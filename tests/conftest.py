@@ -1,0 +1,44 @@
+"""Test harness: force a virtual 8-device CPU platform before JAX loads.
+
+Multi-chip hardware is unavailable in CI; sharding tests run against an
+8-device host mesh (xla_force_host_platform_device_count), per the build
+contract. Pallas kernels run in interpret mode on CPU (handled inside the
+kernels via ``ocean_perception_tpu.ops.pallas.runtime``).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" at
+# interpreter start; re-pin to CPU before any backend initializes so tests run
+# on the virtual 8-device host platform.
+jax.config.update("jax_platforms", "cpu")
+
+# VIO / geometry tests need f64; image kernels request f32 explicitly.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(123)
+
+
+REFERENCE_DIR = os.environ.get("OCEAN_REFERENCE_DIR", "/root/reference")
+
+
+def has_reference() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_DIR, "test", "resources"))
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference fixture images not mounted"
+)

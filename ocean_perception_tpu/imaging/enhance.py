@@ -1,0 +1,100 @@
+"""EnhanceUnderwater: the full Sea-thru pipeline as one jittable function.
+
+Reference parity: imaging/enhance.cpp:22-88 —
+  intensity → FindDark → EstimateBackscatter → RemoveBackscatter →
+  EstimateIlluminantRangeGuided(r = NextEvenInt(2W/3), eps=.01, s=8) →
+  EstimateBeta → CorrectAttenuation,
+with success thresholds error < 0.1 for both fits and a reusable beta_D
+guess threaded across a sequence (enhance_test.cpp:117-148).
+
+TPU design: the whole pipeline is a single XLA graph (no host round trips);
+`jax.vmap(enhance_underwater, ...)` batches over frames/cameras; sharding the
+batch axis over an ICI mesh is provided by ocean_perception_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.image import compute_intensity
+from .attenuation import correct_attenuation, estimate_beta
+from .backscatter import estimate_backscatter, find_dark_mask, remove_backscatter
+from .illuminant import estimate_illuminant_range_guided
+
+
+@struct.dataclass
+class EnhanceParams:
+    back_num_px: int = struct.field(pytree_node=False, default=256)
+    back_opt_iters: int = struct.field(pytree_node=False, default=10)
+    beta_num_px: int = struct.field(pytree_node=False, default=256)
+    beta_opt_iters: int = struct.field(pytree_node=False, default=20)
+    dark_percentile: float = struct.field(pytree_node=False, default=0.01)
+    guided_eps: float = struct.field(pytree_node=False, default=0.01)
+    guided_subsample: int = struct.field(pytree_node=False, default=8)
+
+
+class EnhanceInfo(NamedTuple):
+    B: jnp.ndarray
+    beta_B: jnp.ndarray
+    Jp: jnp.ndarray
+    beta_Dp: jnp.ndarray
+    beta_D: jnp.ndarray        # (12,) attenuation fit result
+    error_backscatter: jnp.ndarray
+    error_attenuation: jnp.ndarray
+    success_backscatter: jnp.ndarray  # error < 0.1 (enhance.cpp:54)
+    success_attenuation: jnp.ndarray  # error < 0.1 (enhance.cpp:78)
+
+
+def _next_even_int(x: int) -> int:
+    """core/math_util NextEvenInt."""
+    return x if x % 2 == 0 else x + 1
+
+
+def enhance_underwater(
+    image: jnp.ndarray,
+    range_img: jnp.ndarray,
+    params: EnhanceParams = EnhanceParams(),
+    beta_D_guess: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, EnhanceInfo]:
+    """Enhance an RGB image (H,W,3) given a per-pixel range map (H,W).
+
+    Returns (enhanced image, fit info). Jit-safe; static shapes throughout.
+    """
+    image = jnp.asarray(image, jnp.float32)
+    range_img = jnp.asarray(range_img, jnp.float32)
+
+    intensity = compute_intensity(image)
+    dark = find_dark_mask(intensity, range_img, params.dark_percentile)
+
+    fit = estimate_backscatter(
+        image, range_img, dark, num_px=params.back_num_px, iters=params.back_opt_iters
+    )
+
+    D = remove_backscatter(image, range_img, fit.B, fit.beta_B)
+
+    radius = _next_even_int(image.shape[1] // 3)  # NextEvenInt(2W/3 / 2): enhance.cpp uses D.cols/3
+    il = estimate_illuminant_range_guided(
+        D, range_img, radius, params.guided_eps, params.guided_subsample
+    )
+
+    beta_fit = estimate_beta(
+        range_img, il, num_px=params.beta_num_px, iters=params.beta_opt_iters, X0=beta_D_guess
+    )
+
+    out = correct_attenuation(D, range_img, beta_fit.X)
+
+    info = EnhanceInfo(
+        B=fit.B,
+        beta_B=fit.beta_B,
+        Jp=fit.Jp,
+        beta_Dp=fit.beta_Dp,
+        beta_D=beta_fit.X,
+        error_backscatter=fit.error,
+        error_attenuation=beta_fit.error,
+        success_backscatter=fit.error < 0.1,
+        success_attenuation=beta_fit.error < 0.1,
+    )
+    return out, info

@@ -1,0 +1,157 @@
+"""Dense image operations as fusable XLA ops.
+
+These replace the reference's OpenCV calls (Sobel, boxFilter, morphology,
+pyrDown, resize — see SURVEY.md §7). Convolutions use reflect-101 padding to
+match OpenCV's BORDER_DEFAULT so parity tests against the reference semantics
+hold at borders. All functions take (H, W) or (H, W, C) float32 arrays and
+are jit/vmap/grad-safe; none of them touch the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_reflect101(image: jnp.ndarray, ry: int, rx: int) -> jnp.ndarray:
+    """OpenCV BORDER_REFLECT_101 (edge pixel not duplicated)."""
+    pad = [(ry, ry), (rx, rx)] + [(0, 0)] * (image.ndim - 2)
+    return jnp.pad(image, pad, mode="reflect")
+
+
+def _sep_conv2d(image: jnp.ndarray, ky: np.ndarray, kx: np.ndarray) -> jnp.ndarray:
+    """Separable 2D correlation with reflect-101 borders.
+
+    Written as two small dense matmul-free convolutions expressed with shifts
+    so XLA fuses them into neighboring elementwise work (no gather).
+    """
+    ky = np.asarray(ky, dtype=np.float32).reshape(-1)
+    kx = np.asarray(kx, dtype=np.float32).reshape(-1)
+    ry, rx = len(ky) // 2, len(kx) // 2
+    padded = _pad_reflect101(image, ry, rx)
+    H, W = image.shape[0], image.shape[1]
+
+    # Vertical pass.
+    acc = None
+    for i, w in enumerate(ky):
+        sl = padded[i : i + H, :]
+        term = w * sl
+        acc = term if acc is None else acc + term
+    # Horizontal pass.
+    out = None
+    for j, w in enumerate(kx):
+        sl = acc[:, j : j + W]
+        term = w * sl
+        out = term if out is None else out + term
+    return out
+
+
+def sobel_x(image: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV Sobel(dx=1, dy=0, ksize=3) parity: smooth [1,2,1]ᵀ ⊗ diff [-1,0,1]."""
+    return _sep_conv2d(image, [1.0, 2.0, 1.0], [-1.0, 0.0, 1.0])
+
+
+def sobel_y(image: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV Sobel(dx=0, dy=1, ksize=3) parity."""
+    return _sep_conv2d(image, [-1.0, 0.0, 1.0], [1.0, 2.0, 1.0])
+
+
+def gradient_magnitude(image: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(Gx² + Gy²) — parity with patchmatch_gpu GradientMagnitude
+    (reference patchmatch_gpu.cu:307-319: Sobel-3 x/y then cu::magnitude)."""
+    gx = sobel_x(image)
+    gy = sobel_y(image)
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+def box_filter(image: jnp.ndarray, radius: int, normalize: bool = True) -> jnp.ndarray:
+    """(2r+1)² box sum/mean with reflect-101 borders (cv::boxFilter parity)."""
+    k = np.ones(2 * radius + 1, dtype=np.float32)
+    if normalize:
+        k = k / k.sum()
+        out = _sep_conv2d(image, k, k)
+    else:
+        out = _sep_conv2d(image, k, k)
+    return out
+
+
+def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(image: jnp.ndarray, sigma: float, radius: int | None = None) -> jnp.ndarray:
+    if radius is None:
+        radius = max(1, int(round(3.0 * sigma)))
+    k = gaussian_kernel1d(sigma, radius)
+    return _sep_conv2d(image, k, k)
+
+
+def _reduce_window_2d(image: jnp.ndarray, ksize: Tuple[int, int], init, op) -> jnp.ndarray:
+    """Same-size min/max window reduce with edge padding."""
+    kh, kw = ksize
+    ry, rx = kh // 2, kw // 2
+    pad = [(ry, kh - 1 - ry), (rx, kw - 1 - rx)] + [(0, 0)] * (image.ndim - 2)
+    padded = jnp.pad(image, pad, mode="edge")
+    window = (kh, kw) + (1,) * (image.ndim - 2)
+    strides = (1,) * image.ndim
+    return jax.lax.reduce_window(padded, init, op, window, strides, "VALID")
+
+
+def dilate(image: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Grayscale dilation, square structuring element (cv::dilate parity)."""
+    return _reduce_window_2d(image, (ksize, ksize), -jnp.inf, jax.lax.max).astype(image.dtype)
+
+
+def erode(image: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Grayscale erosion, square structuring element (cv::erode parity)."""
+    return _reduce_window_2d(image, (ksize, ksize), jnp.inf, jax.lax.min).astype(image.dtype)
+
+
+def morph_gradient(image: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """dilate - erode (cv::morphologyEx MORPH_GRADIENT) — the mesher's
+    foreground-texture cue (reference object_mesher.cpp:35-65)."""
+    return dilate(image, ksize) - erode(image, ksize)
+
+
+# cv::pyrDown 5-tap kernel.
+_PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+
+
+def pyr_down(image: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian blur (cv::pyrDown 5-tap) then 2x decimation."""
+    blurred = _sep_conv2d(image, _PYR_K, _PYR_K)
+    return blurred[::2, ::2]
+
+
+def image_pyramid(image: jnp.ndarray, num_levels: int) -> Sequence[jnp.ndarray]:
+    """List of num_levels images, level 0 = full resolution."""
+    levels = [image]
+    for _ in range(num_levels - 1):
+        levels.append(pyr_down(levels[-1]))
+    return levels
+
+
+def resize(image: jnp.ndarray, shape: Tuple[int, int], method: str = "linear") -> jnp.ndarray:
+    """Resize to (H, W) with half-pixel-center sampling (cv::resize parity)."""
+    out_shape = (shape[0], shape[1]) + image.shape[2:]
+    return jax.image.resize(image, out_shape, method=method)
+
+
+def to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
+    """RGB → luma (BT.601 weights, cv::cvtColor RGB2GRAY parity)."""
+    if image.ndim == 2:
+        return image
+    w = jnp.array([0.299, 0.587, 0.114], dtype=image.dtype)
+    return image @ w
+
+
+def compute_intensity(image_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Luma intensity — parity with imaging ComputeIntensity (reference
+    vision_core/image_util.cpp uses cvtColor BGR2GRAY, i.e. BT.601 luma)."""
+    return to_grayscale(image_rgb)

@@ -1,0 +1,87 @@
+"""Flagship perception step: stereo pair → disparity → depth → enhanced image.
+
+This is the single-XLA-graph composition BASELINE.json's north star asks for
+(camera→enhance→disparity with zero host round-trips). The reference runs
+these as separate processes connected by LCM (patchmatch_gpu + imaging);
+here one jitted function covers a frame, and vmap/pjit add the multi-camera
+batch axis.
+
+Operating point parity: the reference PatchMatch benchmark runs at /2 input
+downsample with max_disp 128 at full scale (patchmatch_gpu_test.cpp:63-82);
+``internal_scale=2`` reproduces that (disparity solved at half resolution
+with D/2 planes, then upsampled and doubled).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.cameras import StereoCamera
+from ..imaging.enhance import EnhanceParams, enhance_underwater
+from ..ops.image import pyr_down, resize, to_grayscale
+from ..stereo.api import StereoEngine, estimate_disparity
+from ..stereo.patchmatch import PatchMatchParams
+from ..stereo.sgm import SgmParams
+
+
+@struct.dataclass
+class PerceptionConfig:
+    engine: str = struct.field(pytree_node=False, default="patchmatch")
+    max_disp: int = struct.field(pytree_node=False, default=128)
+    internal_scale: int = struct.field(pytree_node=False, default=2)
+    max_depth: float = struct.field(pytree_node=False, default=20.0)
+    enhance: EnhanceParams = struct.field(pytree_node=False, default=EnhanceParams())
+    run_enhance: bool = struct.field(pytree_node=False, default=True)
+
+
+class PerceptionOutput(NamedTuple):
+    disparity: jnp.ndarray      # (H, W) full-res left disparity, 0 = invalid
+    depth: jnp.ndarray          # (H, W) meters, 0 = invalid/background
+    enhanced_left: jnp.ndarray  # (H, W, 3) enhanced left RGB
+
+
+def perception_step(
+    left_rgb: jnp.ndarray,
+    right_rgb: jnp.ndarray,
+    rig: StereoCamera,
+    config: PerceptionConfig = PerceptionConfig(),
+) -> PerceptionOutput:
+    """One frame through the dense-vision stack. Jit-safe, no host calls."""
+    left_rgb = jnp.asarray(left_rgb, jnp.float32)
+    right_rgb = jnp.asarray(right_rgb, jnp.float32)
+    H, W = left_rgb.shape[0], left_rgb.shape[1]
+
+    gray_l = to_grayscale(left_rgb)
+    gray_r = to_grayscale(right_rgb)
+
+    scale = config.internal_scale
+    for _ in range(max(0, scale // 2)):
+        gray_l = pyr_down(gray_l)
+        gray_r = pyr_down(gray_r)
+
+    d_small = config.max_disp // scale if scale > 1 else config.max_disp
+    if config.engine == "patchmatch":
+        pm = PatchMatchParams(max_disp=d_small)
+        result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
+    elif config.engine == "sgm":
+        sp = SgmParams(max_disp=d_small)
+        result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.SGM, sgm_params=sp)
+    else:
+        result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.WTA, max_disp=d_small)
+
+    disp = result.left
+    if scale > 1:
+        disp = resize(disp, (H, W), method="nearest") * float(scale)
+
+    depth = rig.disp_to_depth(disp)
+    depth = jnp.where(jnp.isfinite(depth) & (depth <= config.max_depth), depth, 0.0)
+
+    if config.run_enhance:
+        enhanced, _ = enhance_underwater(left_rgb, depth, config.enhance)
+    else:
+        enhanced = left_rgb
+
+    return PerceptionOutput(disparity=disp, depth=depth, enhanced_left=enhanced)

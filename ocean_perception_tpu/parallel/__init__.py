@@ -1,0 +1,10 @@
+"""Multi-device scaling over TPU meshes (ICI).
+
+The reference scales by running more LCM processes per camera rig
+(SURVEY.md §2.4); the TPU-native design treats multiple camera streams as a
+batch axis sharded over an ICI mesh with pjit — collectives ride ICI, the
+host only feeds frames.
+"""
+
+from .mesh import make_mesh, camera_sharding, replicated  # noqa: F401
+from .sharded_pipeline import multi_camera_step, FleetStats  # noqa: F401

@@ -1,0 +1,123 @@
+"""Matching-cost volume over integer disparities — the shared substrate.
+
+Reference parity: the per-pixel cost is exactly patchmatch_gpu.cu
+L1GradientCost3x3 (X-shaped 3x3 stencil: 4 corners + center;
+alpha·|I_l - I_r| + (1-alpha)·|G_l - G_r|), evaluated at integer disparities.
+At integer d the bilinear GetSubpixel degenerates to a plain shift, so the
+whole volume is D static rolls + elementwise work + a 5-tap stencil sum —
+pure VPU streams, no gathers. This is the TPU-first reformulation that turns
+the CUDA kernel's per-thread scalar loops into dense lane-parallel math.
+
+Layout: (D, H, W) float32 — disparity-major so each plane is a contiguous
+(H, W) image (friendly to both XLA fusion and the Pallas SGM kernel's
+per-row slab streaming).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.image import gradient_magnitude
+
+STENCIL = ((-1, -1), (-1, 1), (0, 0), (1, -1), (1, 1))
+
+
+def _shift_right_image(im: jnp.ndarray, d: int) -> jnp.ndarray:
+    """R(y, x-d) with border clamp (matches GetSubpixel's edge clamping)."""
+    if d == 0:
+        return im
+    shifted = jnp.roll(im, d, axis=1)
+    # Columns x < d would wrap; clamp to column 0 (the reference's
+    # fmaxf(x - d, patch_radius) keeps reads in-image).
+    edge = im[:, 0:1]
+    col = jnp.arange(im.shape[1])[None, :]
+    return jnp.where(col < d, edge, shifted)
+
+
+def _stencil_sum(e: jnp.ndarray) -> jnp.ndarray:
+    """5-tap X-stencil sum with edge-clamped shifts (H, W) → (H, W)."""
+    H, W = e.shape
+    padded = jnp.pad(e, ((1, 1), (1, 1)), mode="edge")
+    acc = e  # (0, 0) tap
+    for dy, dx in STENCIL:
+        if dy == 0 and dx == 0:
+            continue
+        acc = acc + padded[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+    return acc
+
+
+def cost_volume(
+    iml: jnp.ndarray,
+    imr: jnp.ndarray,
+    max_disp: int,
+    alpha: float = 0.9,
+    gl: jnp.ndarray | None = None,
+    gr: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(D, H, W) cost volume, D = max_disp, reference X-stencil cost."""
+    iml = jnp.asarray(iml, jnp.float32)
+    imr = jnp.asarray(imr, jnp.float32)
+    if gl is None:
+        gl = gradient_magnitude(iml)
+    if gr is None:
+        gr = gradient_magnitude(imr)
+
+    def plane(d: int) -> jnp.ndarray:
+        rd = _shift_right_image(imr, d)
+        gd = _shift_right_image(gr, d)
+        e = alpha * jnp.abs(iml - rd) + (1.0 - alpha) * jnp.abs(gl - gd)
+        return _stencil_sum(e)
+
+    return jnp.stack([plane(d) for d in range(max_disp)], axis=0)
+
+
+def right_cost_volume_from_left(C: jnp.ndarray) -> jnp.ndarray:
+    """Derive the right-image cost volume: C_R(d, y, x) = C_L(d, y, x+d).
+
+    Standard cost-volume reuse — avoids recomputing matching costs for the
+    right disparity map (the reference instead reruns its whole pipeline on
+    horizontally flipped images; this is the cheap TPU equivalent).
+    """
+    D = C.shape[0]
+
+    def plane(d: int) -> jnp.ndarray:
+        shifted = jnp.roll(C[d], -d, axis=1)
+        if d == 0:
+            return shifted
+        edge = C[d][:, -1:]
+        col = jnp.arange(C.shape[2])[None, :]
+        return jnp.where(col >= C.shape[2] - d, edge, shifted)
+
+    return jnp.stack([plane(d) for d in range(D)], axis=0)
+
+
+def cost_of_disparity(C: jnp.ndarray, disp_int: jnp.ndarray) -> jnp.ndarray:
+    """Cost at a given integer disparity per pixel: (H, W) lookup into (D, H, W).
+
+    One-hot contraction along D (comparisons + multiply-reduce), not a gather
+    — the trick that makes per-pixel disparity-dependent lookups lane-parallel
+    on the VPU.
+    """
+    D = C.shape[0]
+    d_ids = jnp.arange(D, dtype=disp_int.dtype).reshape(D, 1, 1)
+    onehot = (disp_int[None, :, :] == d_ids).astype(C.dtype)
+    return jnp.sum(C * onehot, axis=0)
+
+
+def subpixel_refine(C: jnp.ndarray, disp_int: jnp.ndarray) -> jnp.ndarray:
+    """Parabola fit on (C[d-1], C[d], C[d+1]) → float disparity.
+
+    Quality improvement over the reference (whose output precision is set by
+    seed/noise values); pairs with integer-disparity engines.
+    """
+    D = C.shape[0]
+    c0 = cost_of_disparity(C, jnp.clip(disp_int - 1, 0, D - 1))
+    c1 = cost_of_disparity(C, disp_int)
+    c2 = cost_of_disparity(C, jnp.clip(disp_int + 1, 0, D - 1))
+    denom = c0 - 2.0 * c1 + c2
+    offset = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+    offset = jnp.clip(offset, -0.5, 0.5)
+    # Only refine interior disparities.
+    interior = (disp_int > 0) & (disp_int < D - 1)
+    return disp_int.astype(C.dtype) + jnp.where(interior, offset, 0.0)

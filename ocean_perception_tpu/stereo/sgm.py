@@ -1,0 +1,132 @@
+"""Semi-global matching aggregation over the shared cost volume.
+
+Reference parity: src/vehicle/stereo_matching/stereo_matching.cpp wraps
+cv::StereoSGBM; this is the TPU-native equivalent, operating on the same
+X-stencil cost as PatchMatch so all engines are directly comparable.
+
+The SGM recurrence along a path direction r:
+    L_r(p, d) = C(p, d) + min( L_r(p-r, d),
+                               L_r(p-r, d±1) + P1,
+                               min_d' L_r(p-r, d') + P2 ) - min_d' L_r(p-r, d')
+
+TPU mapping: each directional pass is a `lax.scan` over rows (or columns)
+whose carry is the previous full (W, D) slab — every pixel on the scan front
+and every disparity advance in lockstep; the d±1 terms are static rolls along
+D. This is exactly the structure the MXU/VPU wants: no gathers, no
+data-dependent shapes. 4 directions (down/up/left/right) are aggregated; the
+horizontal passes run on the transposed volume so both scan row-major.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .cost import cost_volume, right_cost_volume_from_left, subpixel_refine
+
+
+@struct.dataclass
+class SgmParams:
+    max_disp: int = struct.field(pytree_node=False, default=128)
+    alpha: float = struct.field(pytree_node=False, default=0.9)
+    p1: float = struct.field(pytree_node=False, default=0.06)
+    p2: float = struct.field(pytree_node=False, default=0.5)
+    subpixel: bool = struct.field(pytree_node=False, default=True)
+    uniqueness: float = struct.field(pytree_node=False, default=0.95)
+    lr_threshold: float = struct.field(pytree_node=False, default=1.5)
+    # Zero out pixels whose aggregated d=0 cost is nearly as good as the best
+    # (the PatchMatch MaskBackground analog); None disables.
+    background_improve: float | None = struct.field(pytree_node=False, default=None)
+
+
+def _directional_pass(C_sweep: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """Aggregate along axis 0 of (N, M, D), forward direction."""
+    D = C_sweep.shape[-1]
+    big = jnp.asarray(1e9, C_sweep.dtype)
+
+    def step(prev, c_row):
+        # prev: (M, D) aggregated costs of the previous scan front.
+        prev_min = jnp.min(prev, axis=-1, keepdims=True)
+        up = jnp.concatenate([jnp.full_like(prev[..., :1], big), prev[..., :-1]], axis=-1)
+        down = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], big)], axis=-1)
+        best = jnp.minimum(
+            jnp.minimum(prev, jnp.minimum(up, down) + p1), prev_min + p2
+        )
+        out = c_row + best - prev_min
+        return out, out
+
+    init = C_sweep[0]
+    _, rest = jax.lax.scan(step, init, C_sweep[1:])
+    return jnp.concatenate([init[None], rest], axis=0)
+
+
+def sgm_aggregate(C: jnp.ndarray, params: SgmParams) -> jnp.ndarray:
+    """Sum of 4 directional passes. C: (D, H, W) → S: (D, H, W)."""
+    p1, p2 = params.p1, params.p2
+    Cv = jnp.transpose(C, (1, 2, 0))  # (H, W, D): vertical scans
+    down = _directional_pass(Cv, p1, p2)
+    up = _directional_pass(Cv[::-1], p1, p2)[::-1]
+    Ch = jnp.transpose(C, (2, 1, 0))  # (W, H, D): horizontal scans
+    right = _directional_pass(Ch, p1, p2)
+    left = _directional_pass(Ch[::-1], p1, p2)[::-1]
+    S = down + up + jnp.transpose(right, (1, 0, 2)) + jnp.transpose(left, (1, 0, 2))
+    return jnp.transpose(S, (2, 0, 1))  # back to (D, H, W)
+
+
+class SgmResult(NamedTuple):
+    left: jnp.ndarray
+    right: jnp.ndarray
+    left_raw: jnp.ndarray
+
+
+def _wta_with_masks(S: jnp.ndarray, params: SgmParams) -> jnp.ndarray:
+    disp = jnp.argmin(S, axis=0).astype(jnp.int32)
+    if params.background_improve is not None:
+        best = jnp.min(S, axis=0)
+        keep = best < params.background_improve * S[0]
+        disp = jnp.where(keep, disp, 0)
+    return disp
+
+
+def _lr_check(disp_l: jnp.ndarray, disp_r: jnp.ndarray, thresh: float) -> jnp.ndarray:
+    W = disp_l.shape[1]
+    x = jnp.arange(W, dtype=disp_l.dtype)[None, :]
+    xr = jnp.clip(jnp.round(x - disp_l), 0, W - 1).astype(jnp.int32)
+    dr = jnp.take_along_axis(disp_r, xr, axis=1)
+    ok = jnp.abs(dr - disp_l) <= thresh
+    return jnp.where(ok, disp_l, 0.0)
+
+
+def sgm_disparity(
+    iml: jnp.ndarray,
+    imr: jnp.ndarray,
+    params: SgmParams = SgmParams(),
+) -> SgmResult:
+    """Full SGM pipeline: cost → 4-path aggregation → WTA → subpixel → LR check.
+
+    The right disparity comes from the derived right cost volume (cost-volume
+    reuse) aggregated the same way — no flipped second pipeline.
+    """
+    iml = jnp.asarray(iml, jnp.float32)
+    imr = jnp.asarray(imr, jnp.float32)
+    C_l = cost_volume(iml, imr, params.max_disp, params.alpha)
+    C_r = right_cost_volume_from_left(C_l)
+
+    S_l = sgm_aggregate(C_l, params)
+    S_r = sgm_aggregate(C_r, params)
+
+    d_l = _wta_with_masks(S_l, params)
+    d_r = _wta_with_masks(S_r, params)
+
+    if params.subpixel:
+        disp_l = subpixel_refine(S_l, d_l)
+        disp_r = subpixel_refine(S_r, d_r)
+    else:
+        disp_l = d_l.astype(jnp.float32)
+        disp_r = d_r.astype(jnp.float32)
+
+    left = _lr_check(disp_l, disp_r, params.lr_threshold)
+    return SgmResult(left=left, right=disp_r, left_raw=disp_l)

@@ -32,38 +32,43 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _sinc(theta: jnp.ndarray) -> jnp.ndarray:
-    """sin(theta)/theta, Taylor-safe at 0."""
-    small = jnp.abs(theta) < 1e-5
-    theta_safe = jnp.where(small, 1.0, theta)
-    return jnp.where(small, 1.0 - theta**2 / 6.0, jnp.sin(theta_safe) / theta_safe)
+# NOTE on AD safety: these helpers are differentiated through by the VIO
+# smoother's autodiff linearization, usually AT the identity (delta = 0).
+# norm/arccos have NaN/inf derivatives at 0, so every small-angle branch is
+# written in terms of theta^2 = sum(w^2) (smooth everywhere) and the sqrt is
+# only evaluated on a where-guarded safe value.
 
 
-def _cosc(theta: jnp.ndarray) -> jnp.ndarray:
-    """(1-cos(theta))/theta^2, Taylor-safe at 0."""
-    small = jnp.abs(theta) < 1e-5
-    theta_safe = jnp.where(small, 1.0, theta)
-    return jnp.where(
-        small, 0.5 - theta**2 / 24.0, (1.0 - jnp.cos(theta_safe)) / theta_safe**2
-    )
+def _sinc_sq(theta_sq: jnp.ndarray) -> jnp.ndarray:
+    """sin(t)/t with t = sqrt(theta_sq); AD-safe at 0."""
+    small = theta_sq < 1e-10
+    t = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
+    return jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(t) / t)
 
 
-def _vc(theta: jnp.ndarray) -> jnp.ndarray:
-    """(theta - sin(theta))/theta^3, Taylor-safe at 0."""
-    small = jnp.abs(theta) < 1e-5
-    theta_safe = jnp.where(small, 1.0, theta)
-    return jnp.where(
-        small, 1.0 / 6.0 - theta**2 / 120.0, (theta_safe - jnp.sin(theta_safe)) / theta_safe**3
-    )
+def _cosc_sq(theta_sq: jnp.ndarray) -> jnp.ndarray:
+    """(1-cos(t))/t^2; AD-safe at 0."""
+    small = theta_sq < 1e-10
+    t_sq = jnp.where(small, 1.0, theta_sq)
+    t = jnp.sqrt(t_sq)
+    return jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(t)) / t_sq)
+
+
+def _vc_sq(theta_sq: jnp.ndarray) -> jnp.ndarray:
+    """(t - sin(t))/t^3; AD-safe at 0."""
+    small = theta_sq < 1e-10
+    t_sq = jnp.where(small, 1.0, theta_sq)
+    t = jnp.sqrt(t_sq)
+    return jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (t - jnp.sin(t)) / (t_sq * t))
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rotation-vector → rotation matrix (Rodrigues; fast_skewexp parity)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta_sq = jnp.sum(w * w, axis=-1)
     S = skew(w)
     S2 = S @ S
-    a = _sinc(theta)[..., None, None]
-    b = _cosc(theta)[..., None, None]
+    a = _sinc_sq(theta_sq)[..., None, None]
+    b = _cosc_sq(theta_sq)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), S.shape)
     return eye + a * S + b * S2
 
@@ -71,43 +76,50 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix → rotation vector (skewcoords/logmap parity).
 
-    Uses the quaternion route for numerical robustness near 0 and pi rather
-    than the reference's acos formulation (same mathematical result).
+    AD-safe at the identity: the small-angle scale is a polynomial in
+    u = 1 - cos(theta) (smooth), never touching arccos'(1).
     """
     # Trace-based angle.
     tr = jnp.trace(R)
     cos_theta = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    u = 1.0 - cos_theta
     # Antisymmetric part gives axis*sin(theta).
     v = jnp.stack(
         [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0], R[..., 1, 0] - R[..., 0, 1]],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
-    # Generic case: w = theta/(2 sin(theta)) * v.
-    scale = jnp.where(jnp.abs(sin_theta) < 1e-6, 0.5 + theta**2 / 12.0, theta / (2.0 * jnp.where(jnp.abs(sin_theta) < 1e-6, 1.0, sin_theta)))
+    sin_sq = jnp.clip(1.0 - cos_theta * cos_theta, 0.0, 1.0)
+    small = sin_sq < 1e-12
+    theta = jnp.arccos(jnp.where(small, 0.0, cos_theta))  # guarded arccos
+    sin_theta = jnp.sqrt(jnp.where(small, 1.0, sin_sq))
+    # Generic: w = theta/(2 sin) * v. Small angle: series in u = 1 - cos:
+    # theta/(2 sin) = 1/2 + u/6 + u^2/15 + O(u^3).
+    scale = jnp.where(
+        small, 0.5 + u / 6.0 + u * u / 15.0, theta / (2.0 * sin_theta)
+    )
     w_generic = scale * v
     # Near pi the antisymmetric part vanishes: recover axis from diagonal.
-    near_pi = theta > 3.0
+    near_pi = cos_theta < -0.99
+    theta_pi = jnp.arccos(jnp.clip(cos_theta, -1.0, -0.5))  # smooth in this branch
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
-    axis_sq = jnp.clip((diag - cos_theta) / jnp.where(jnp.abs(1.0 - cos_theta) < 1e-9, 1.0, (1.0 - cos_theta)), 0.0, None)
-    axis = jnp.sqrt(axis_sq)
+    axis_sq = jnp.clip((diag - cos_theta) / jnp.where(u < 1e-9, 1.0, u), 0.0, None)
+    axis = jnp.sqrt(axis_sq + 1e-12)
     # Fix axis signs using off-diagonal sums (R + R^T terms).
     sx = jnp.sign(jnp.where(jnp.abs(v[..., 0]) > 1e-9, v[..., 0], 1.0))
     sy = jnp.where(R[..., 0, 1] + R[..., 1, 0] >= 0.0, sx, -sx)
     sz = jnp.where(R[..., 0, 2] + R[..., 2, 0] >= 0.0, sx, -sx)
     axis = axis * jnp.stack([sx, sy, sz], axis=-1)
-    w_pi = theta[..., None] * axis
+    w_pi = theta_pi[..., None] * axis
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
 def _so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """V matrix of SE(3) exp (transform_util.cpp expmap_se3 V term)."""
-    theta = jnp.linalg.norm(w, axis=-1)
+    theta_sq = jnp.sum(w * w, axis=-1)
     S = skew(w)
     S2 = S @ S
-    b = _cosc(theta)[..., None, None]
-    c = _vc(theta)[..., None, None]
+    b = _cosc_sq(theta_sq)[..., None, None]
+    c = _vc_sq(theta_sq)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), S.shape)
     return eye + b * S + c * S2
 

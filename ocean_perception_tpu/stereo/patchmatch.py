@@ -113,33 +113,37 @@ def _propagate_x(C: jnp.ndarray, disp: jnp.ndarray, direction: int, p: PatchMatc
     pr = p.patch_radius
     cols_clipped, valid_pos, chunk, w = _chunk_columns(W, p.chunks, p.halo, pr)
 
-    # (chunks, w, H, D): per-strip overlapped slices of the volume.
+    # Scan xs with LEADING scan axis (lax.scan slices axis 0 per step — the
+    # layout the TPU DMA wants): (w, chunks, H, D) volume, (w, chunks, H) disp.
     C_hw_d = jnp.transpose(C, (2, 1, 0))           # (W, H, D)
-    Cc = C_hw_d[cols_clipped]                       # (chunks, w, H, D)
-    dispc = jnp.transpose(disp, (1, 0))[cols_clipped]  # (chunks, w, H)
+    Cc = jnp.transpose(C_hw_d[cols_clipped], (1, 0, 2, 3))       # (w, chunks, H, D)
+    dispc = jnp.transpose(jnp.transpose(disp, (1, 0))[cols_clipped], (1, 0, 2))  # (w, chunks, H)
 
     # Row validity (skip rows without stencil padding).
     row_ok = (jnp.arange(H) >= pr) & (jnp.arange(H) <= H - pr - 1)
 
-    steps = jnp.arange(w)
-    order = steps if direction > 0 else steps[::-1]
+    x_of_step = jnp.transpose(cols_clipped, (1, 0)).astype(disp.dtype)  # (w, chunks)
+    valid_t = jnp.transpose(valid_pos, (1, 0))                           # (w, chunks)
+
+    if direction < 0:
+        Cc, dispc = Cc[::-1], dispc[::-1]
+        x_of_step, valid_t = x_of_step[::-1], valid_t[::-1]
 
     # Initial carry: disp at the predecessor of the first scan position.
-    first_col = cols_clipped[:, order[0]]
+    first_col = cols_clipped[:, 0 if direction > 0 else -1]
     pred_col = jnp.clip(first_col - direction, 0, W - 1)
     carry0 = jnp.transpose(disp, (1, 0))[pred_col]  # (chunks, H)
 
-    def step(carry, j):
-        Cj = Cc[:, j]                    # (chunks, H, D)
-        cur = dispc[:, j]                # (chunks, H)
-        x = cols_clipped[:, j].astype(disp.dtype)[:, None]  # (chunks, 1)
+    def step(carry, xs):
+        Cj, cur, x_row, ok_row = xs
+        x = x_row[:, None]
         cost_cur = _lookup_cost(Cj, cur, x, pr)
         cost_cand = _lookup_cost(Cj, carry, x, pr)
-        better = (cost_cand < cost_cur) & valid_pos[:, j][:, None] & row_ok[None, :]
+        better = (cost_cand < cost_cur) & ok_row[:, None] & row_ok[None, :]
         new = jnp.where(better, jnp.minimum(carry, x - pr), cur)
         return new, new
 
-    _, outs = jax.lax.scan(step, carry0, order)     # (w, chunks, H)
+    _, outs = jax.lax.scan(step, carry0, (Cc, dispc, x_of_step, valid_t))  # (w, chunks, H)
     # Undo scan order.
     outs = outs if direction > 0 else outs[::-1]
     # Keep each strip's interior (the owning chunk wins overlapped columns).
@@ -159,29 +163,29 @@ def _propagate_y(C: jnp.ndarray, disp: jnp.ndarray, direction: int, p: PatchMatc
     rows_clipped, valid_pos, chunk, w = _chunk_columns(H, p.chunks, p.halo, pr)
 
     C_h_wd = jnp.transpose(C, (1, 2, 0))            # (H, W, D)
-    Cc = C_h_wd[rows_clipped]                        # (chunks, w, W, D)
-    dispc = disp[rows_clipped]                       # (chunks, w, W)
+    Cc = jnp.transpose(C_h_wd[rows_clipped], (1, 0, 2, 3))  # (w, chunks, W, D)
+    dispc = jnp.transpose(disp[rows_clipped], (1, 0, 2))     # (w, chunks, W)
 
     col_ok = (jnp.arange(W) >= pr) & (jnp.arange(W) <= W - pr - 1)
     x_coord = jnp.arange(W, dtype=disp.dtype)[None, :]  # (1, W)
+    valid_t = jnp.transpose(valid_pos, (1, 0))           # (w, chunks)
 
-    steps = jnp.arange(w)
-    order = steps if direction > 0 else steps[::-1]
+    if direction < 0:
+        Cc, dispc, valid_t = Cc[::-1], dispc[::-1], valid_t[::-1]
 
-    first_row = rows_clipped[:, order[0]]
+    first_row = rows_clipped[:, 0 if direction > 0 else -1]
     pred_row = jnp.clip(first_row - direction, 0, H - 1)
     carry0 = disp[pred_row]                          # (chunks, W)
 
-    def step(carry, j):
-        Cj = Cc[:, j]                    # (chunks, W, D)
-        cur = dispc[:, j]                # (chunks, W)
+    def step(carry, xs):
+        Cj, cur, ok_row = xs
         cost_cur = _lookup_cost(Cj, cur, x_coord, pr)
         cost_cand = _lookup_cost(Cj, carry, x_coord, pr)
-        better = (cost_cand < cost_cur) & valid_pos[:, j][:, None] & col_ok[None, :]
+        better = (cost_cand < cost_cur) & ok_row[:, None] & col_ok[None, :]
         new = jnp.where(better, jnp.minimum(carry, x_coord - pr), cur)
         return new, new
 
-    _, outs = jax.lax.scan(step, carry0, order)      # (w, chunks, W)
+    _, outs = jax.lax.scan(step, carry0, (Cc, dispc, valid_t))  # (w, chunks, W)
     outs = outs if direction > 0 else outs[::-1]
     interior = jnp.transpose(outs, (1, 0, 2))[:, p.halo : p.halo + chunk]  # (chunks, chunk, W)
     return interior.reshape(H, W)

@@ -1,0 +1,190 @@
+"""Pyramidal Lucas-Kanade optical flow, vmapped over keypoints.
+
+Reference parity: ft/FeatureTracker (feature_tracker.cpp:19-95) wraps
+cv::calcOpticalFlowPyrLK — window 21, 4 pyramid levels, <=30 iterations,
+eps 0.01, plus an optional bidirectional forward/backward consistency check
+with a pixel tolerance (klt_fwd_bwd_tol).
+
+TPU design: per keypoint and per level, a search *window* around the current
+guess is extracted once with a dynamic slice; every LK iteration then
+resamples the shifted patch from that in-register window via the separable
+bilinear matmuls in ops.interp (MXU-friendly, no per-iteration gathers).
+The spatial-gradient normal matrix G comes from the template patch and is
+inverted once per level. Iterations run under lax.fori_loop with convergence
+masking; points whose flow leaves the search window are flagged invalid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.image import image_pyramid
+from ..ops.interp import sample_patches_bilinear
+
+
+@struct.dataclass
+class LKParams:
+    window: int = struct.field(pytree_node=False, default=21)
+    max_level: int = struct.field(pytree_node=False, default=3)  # 4 levels: 0..3
+    max_iters: int = struct.field(pytree_node=False, default=30)
+    eps: float = struct.field(pytree_node=False, default=0.01)
+    # cv2 uses 1e-4 on 0..255-scale images; our images are [0, 1] so the
+    # equivalent gate is ~1e-4/255^2.
+    min_eig_threshold: float = struct.field(pytree_node=False, default=1.5e-9)
+    bidirectional: bool = struct.field(pytree_node=False, default=True)
+    fwd_bwd_tol: float = struct.field(pytree_node=False, default=2.0)
+
+
+class FlowResult(NamedTuple):
+    points: jnp.ndarray  # (K, 2) tracked positions in the new image
+    status: jnp.ndarray  # (K,) bool — tracked successfully
+
+
+def _lk_level(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    pt_prev: jnp.ndarray,   # (2,) location in prev at this level
+    guess: jnp.ndarray,     # (2,) current flow-target estimate in next
+    p: LKParams,
+    win: int | None = None,
+    pad: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One pyramid level of LK for one keypoint. Returns (new_guess, ok).
+
+    ``prev_img``/``next_img`` must be replicate-padded by ``pad`` pixels on
+    every side (cv2 pads its pyramid the same way); coordinates are in the
+    UNPADDED frame, offset internally. This keeps border keypoints trackable
+    without off-center window clamps.
+    """
+    win = p.window if win is None else win
+    r = win // 2
+
+    H, W = prev_img.shape[0] - 2 * pad, prev_img.shape[1] - 2 * pad
+
+    # Template window from prev (win+2 for central-difference gradients).
+    t0y = jnp.clip(jnp.floor(pt_prev[1]) + pad - r - 1, 0, H + 2 * pad - (win + 3)).astype(jnp.int32)
+    t0x = jnp.clip(jnp.floor(pt_prev[0]) + pad - r - 1, 0, W + 2 * pad - (win + 3)).astype(jnp.int32)
+    twin = jax.lax.dynamic_slice(prev_img, (t0y, t0x), (win + 3, win + 3))
+    # Bilinear-center the template on the true subpixel location.
+    fy = pt_prev[1] + pad - t0y.astype(prev_img.dtype)
+    fx = pt_prev[0] + pad - t0x.astype(prev_img.dtype)
+    template = sample_patches_bilinear(twin, fy, fx, win + 2, win + 2)
+    tpatch = template[1:-1, 1:-1]
+    # Scharr-free central-difference gradients (cv::calcOpticalFlowPyrLK uses
+    # a similar local derivative).
+    gx = 0.5 * (template[1:-1, 2:] - template[1:-1, :-2])
+    gy = 0.5 * (template[2:, 1:-1] - template[:-2, 1:-1])
+
+    # Normal matrix G (2x2), inverted once.
+    gxx = jnp.sum(gx * gx)
+    gxy = jnp.sum(gx * gy)
+    gyy = jnp.sum(gy * gy)
+    det = gxx * gyy - gxy * gxy
+    min_eig = 0.5 * ((gxx + gyy) - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy**2)) / (win * win)
+    ok_g = (det > 1e-12) & (min_eig > p.min_eig_threshold)
+    inv = jnp.array([[gyy, -gxy], [-gxy, gxx]]) / jnp.where(det > 1e-12, det, 1.0)
+
+    # Each iteration re-extracts a (win+2)^2 window centered on the current
+    # estimate (dynamic_slice is jit-safe with traced starts), so the walk is
+    # unbounded like cv2's — iterations, not window slack, limit motion.
+    ws = win + 2
+
+    def body(_, carry):
+        pos, converged = carry
+        y0 = jnp.clip(jnp.floor(pos[1]) + pad - r - 1, 0, H + 2 * pad - ws).astype(jnp.int32)
+        x0 = jnp.clip(jnp.floor(pos[0]) + pad - r - 1, 0, W + 2 * pad - ws).astype(jnp.int32)
+        swin = jax.lax.dynamic_slice(next_img, (y0, x0), (ws, ws))
+        cy = pos[1] + pad - y0.astype(pos.dtype)
+        cx = pos[0] + pad - x0.astype(pos.dtype)
+        patch = sample_patches_bilinear(swin, cy, cx, win, win)
+        diff = patch - tpatch
+        b = jnp.array([jnp.sum(diff * gx), jnp.sum(diff * gy)])
+        delta = -(inv @ b)
+        new_pos = jnp.where(converged, pos, pos + delta)
+        converged = converged | (jnp.sum(delta * delta) < p.eps * p.eps)
+        return (new_pos, converged)
+
+    pos, _ = jax.lax.fori_loop(0, p.max_iters, body, (guess, jnp.asarray(False)))
+
+    in_img = (pos[0] >= 0) & (pos[0] <= W - 1) & (pos[1] >= 0) & (pos[1] <= H - 1)
+    finite = jnp.all(jnp.isfinite(pos))
+    return pos, ok_g & in_img & finite
+
+
+def pyramidal_lk(
+    prev_pyr,
+    next_pyr,
+    points: jnp.ndarray,   # (K, 2)
+    p: LKParams,
+    initial_flow: jnp.ndarray | None = None,
+) -> FlowResult:
+    """Coarse-to-fine LK over prebuilt pyramids, vmapped over K points."""
+    levels = len(prev_pyr)
+    scale0 = 2.0 ** (levels - 1)
+
+    # Every level is replicate-padded (cv2-style) so border keypoints and
+    # tiny coarse levels stay usable with the full window. Levels smaller
+    # than a 7px window are skipped (static check on traced shapes).
+    pad = p.window // 2 + 2
+    prev_pad = [jnp.pad(im, pad, mode="edge") for im in prev_pyr]
+    next_pad = [jnp.pad(im, pad, mode="edge") for im in next_pyr]
+
+    def level_window(lvl: int):
+        avail = min(min(prev_pyr[lvl].shape), min(next_pyr[lvl].shape))
+        win = min(p.window, avail)
+        win -= (win + 1) % 2  # odd
+        return win if win >= 7 else None
+
+    def one_point(pt, init):
+        guess = init / scale0
+        ok = jnp.asarray(False)
+        for lvl in range(levels - 1, -1, -1):
+            win = level_window(lvl)
+            if win is not None:
+                s = 2.0**lvl
+                pt_l = pt / s
+                new_guess, ok_l = _lk_level(
+                    prev_pad[lvl], next_pad[lvl], pt_l, guess, p, win=win, pad=pad
+                )
+                guess = jnp.where(ok_l, new_guess, guess)
+                if lvl == 0:
+                    # OpenCV semantics: status comes from the finest level;
+                    # coarse-level failures only skip the guess refinement.
+                    ok = ok_l
+            if lvl > 0:
+                guess = guess * 2.0
+        return guess, ok
+
+    init = points if initial_flow is None else initial_flow
+    pts, status = jax.vmap(one_point)(points, init)
+    return FlowResult(points=pts, status=status)
+
+
+def track_points(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    p: LKParams = LKParams(),
+) -> FlowResult:
+    """Full tracker: pyramids + forward LK + optional backward check.
+
+    Parity: FeatureTracker::Track (feature_tracker.cpp:49-95) — the
+    bidirectional check re-tracks the result back to the previous frame and
+    rejects points whose round trip misses by more than fwd_bwd_tol.
+    """
+    levels = p.max_level + 1
+    prev_pyr = image_pyramid(prev_img, levels)
+    next_pyr = image_pyramid(next_img, levels)
+
+    fwd = pyramidal_lk(prev_pyr, next_pyr, points, p)
+    status = fwd.status & valid
+    if p.bidirectional:
+        bwd = pyramidal_lk(next_pyr, prev_pyr, fwd.points, p)
+        dist2 = jnp.sum((bwd.points - points) ** 2, axis=-1)
+        status = status & bwd.status & (dist2 <= p.fwd_bwd_tol**2)
+    return FlowResult(points=fwd.points, status=status)

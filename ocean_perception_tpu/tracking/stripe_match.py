@@ -1,0 +1,115 @@
+"""Sparse stereo matching along epipolar stripes, batched over keypoints.
+
+Reference parity: ft/StereoMatcher (stereo_matcher.cpp:22-134) — for each
+left keypoint, template match (cv::matchTemplate TM_SQDIFF_NORMED) a
+(templ_rows x templ_cols) patch against a right-image stripe spanning
+max_disp to the left, stripe height = template rows + 2 (rectification
+slack); best match must beat max_matching_cost and lie left of the keypoint;
+optional parabola subpixel refinement. Returns disparity or -1.
+
+TPU design: all K keypoints' stripes are extracted with dynamic slices and
+matched at once; the normalized-SSD over candidate offsets is computed as
+correlations via summed products over static shifts (unrolled at trace time),
+so it compiles to batched dense math, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class StripeMatcherParams:
+    templ_cols: int = struct.field(pytree_node=False, default=31)
+    templ_rows: int = struct.field(pytree_node=False, default=11)
+    max_disp: int = struct.field(pytree_node=False, default=128)
+    max_matching_cost: float = struct.field(pytree_node=False, default=0.15)
+    subpixel: bool = struct.field(pytree_node=False, default=False)
+
+
+class StripeMatches(NamedTuple):
+    disparity: jnp.ndarray  # (K,) float32; -1 = no match
+    cost: jnp.ndarray       # (K,) best normalized SSD
+
+
+def match_rectified(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    points: jnp.ndarray,   # (K, 2) keypoints in the left image (x, y)
+    valid: jnp.ndarray,    # (K,)
+    p: StripeMatcherParams = StripeMatcherParams(),
+) -> StripeMatches:
+    H, W = left.shape
+    tc, tr = p.templ_cols, p.templ_rows
+    rx, ry = tc // 2, tr // 2
+    stripe_h = tr + 2                      # one row of rectification slack
+    stripe_w = p.max_disp + tc             # search span + template width
+    n_offsets = p.max_disp + 1
+
+    def one(pt):
+        x = jnp.round(pt[0]).astype(jnp.int32)
+        y = jnp.round(pt[1]).astype(jnp.int32)
+        # Template from left, centered at (x, y).
+        ty = jnp.clip(y - ry, 0, H - tr)
+        tx = jnp.clip(x - rx, 0, W - tc)
+        templ = jax.lax.dynamic_slice(left, (ty, tx), (tr, tc))
+        # Stripe from right: columns [x - max_disp - rx, x + rx], rows ±(ry+1).
+        sy = jnp.clip(y - ry - 1, 0, H - stripe_h)
+        sx_left = x - p.max_disp - rx
+        sx = jnp.clip(sx_left, 0, W - stripe_w)
+        stripe = jax.lax.dynamic_slice(right, (sy, sx), (stripe_h, stripe_w))
+
+        # Normalized SSD at every (dy, offset): SQDIFF_NORMED =
+        # (Σt² + Σs² − 2Σts) / sqrt(Σt² · Σs²).
+        t2 = jnp.sum(templ * templ)
+        n_dy = stripe_h - tr + 1  # = 3
+        costs = []
+        for dy in range(n_dy):
+            rows = stripe[dy : dy + tr]
+            # Correlation and window energies over all offsets via cumulative
+            # sums along x (static shapes; O(stripe_w · tr) instead of
+            # O(n_offsets · tr · tc)).
+            prod = jnp.concatenate(
+                [jnp.zeros((tr, 1), rows.dtype), jnp.cumsum(rows * rows, axis=1)], axis=1
+            )
+            win_e = jnp.sum(prod[:, tc:] - prod[:, :-tc], axis=0)  # Σs² per offset start
+            corr = []
+            for u in range(n_offsets):
+                corr.append(jnp.sum(templ * jax.lax.dynamic_slice(rows, (0, u), (tr, tc))))
+            corr = jnp.stack(corr)
+            s2 = win_e[:n_offsets]
+            ssd = t2 + s2 - 2.0 * corr
+            denom = jnp.sqrt(jnp.maximum(t2 * s2, 1e-12))
+            costs.append(ssd / denom)
+        cost2d = jnp.stack(costs)                 # (n_dy, n_offsets)
+        flat = cost2d.reshape(-1)
+        best = jnp.argmin(flat)
+        best_cost = flat[best]
+        best_u = (best % n_offsets).astype(jnp.float32)
+
+        # Subpixel parabola along the offset axis.
+        if p.subpixel:
+            dyi = best // n_offsets
+            u = best % n_offsets
+            um = jnp.clip(u - 1, 0, n_offsets - 1)
+            up = jnp.clip(u + 1, 0, n_offsets - 1)
+            c0 = cost2d[dyi, um]
+            c1 = cost2d[dyi, u]
+            c2 = cost2d[dyi, up]
+            denom2 = c0 - 2 * c1 + c2
+            off = jnp.where(jnp.abs(denom2) > 1e-9, 0.5 * (c0 - c2) / jnp.where(jnp.abs(denom2) > 1e-9, denom2, 1.0), 0.0)
+            best_u = best_u + jnp.clip(off, -0.5, 0.5)
+
+        # Disparity: matched template start column vs left template start.
+        matched_x = sx.astype(jnp.float32) + best_u
+        disp = tx.astype(jnp.float32) - matched_x
+        ok = (best_cost < p.max_matching_cost) & (disp >= 0.0)
+        return jnp.where(ok, disp, -1.0), best_cost
+
+    disp, cost = jax.vmap(one)(points)
+    disp = jnp.where(valid, disp, -1.0)
+    return StripeMatches(disparity=disp, cost=cost)

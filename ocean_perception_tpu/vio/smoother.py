@@ -1,0 +1,335 @@
+"""Fixed-lag smoother: windowed factor-graph optimization over keyposes.
+
+Reference parity: vio/fixed_lag_smoother.{hpp,cpp} — the reference builds a
+GTSAM IncrementalFixedLagSmoother (ISAM2, ~10 s lag) with factors per keypose
+(fixed_lag_smoother.cpp:232-468):
+  - VO BetweenFactor with Cauchy-robust noise,
+  - CombinedImuFactor + bias random-walk Between,
+  - depth prior on the gravity-axis translation (SingleAxisFactor),
+  - range factors to beacons,
+  - a no-motion fallback prior when neither VO nor IMU is available.
+
+TPU-native redesign (not a port): instead of incremental ISAM2, a fixed-size
+window of M keyposes is re-solved by batch Gauss-Newton each update — dense
+(15M x 15M) normal equations are tiny on an MXU, and a static-shape window
+jits once. States are lifted to local coordinates around the current
+estimate each iteration ("boxplus" retraction, rotvec for rotation);
+residuals are whitened and the Jacobian comes from jax.jacfwd (autodiff
+replaces GTSAM's hand-derived factor Jacobians). Sliding the window anchors
+the new oldest keypose with its marginal covariance from the previous solve
+(prior anchoring — a first-order approximation of full Schur-complement
+marginalization).
+
+Keypose state: rotation R (world_R_body), position p, velocity v, gyro bias
+bg, accel bias ba — 15 error DoF in [theta(3), p(3), v(3), bg(3), ba(3)].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.se3 import so3_exp, so3_log
+from .imu_preintegration import PreintegratedImu, bias_corrected_deltas
+
+
+@struct.dataclass
+class SmootherConfig:
+    window: int = struct.field(pytree_node=False, default=12)
+    iterations: int = struct.field(pytree_node=False, default=6)
+    damping: float = struct.field(pytree_node=False, default=1e-6)
+    vo_rot_sigma: float = struct.field(pytree_node=False, default=0.02)
+    vo_trans_sigma: float = struct.field(pytree_node=False, default=0.05)
+    depth_sigma: float = struct.field(pytree_node=False, default=0.05)
+    range_sigma: float = struct.field(pytree_node=False, default=0.3)
+    bias_rw_gyro_sigma: float = struct.field(pytree_node=False, default=1e-4)
+    bias_rw_accel_sigma: float = struct.field(pytree_node=False, default=1e-3)
+    no_motion_rot_sigma: float = struct.field(pytree_node=False, default=0.05)
+    no_motion_trans_sigma: float = struct.field(pytree_node=False, default=0.1)
+    imu_sigma_floor: float = struct.field(pytree_node=False, default=1e-5)
+    max_ranges: int = struct.field(pytree_node=False, default=4)
+
+
+class KeyposeWindow(NamedTuple):
+    """Fixed M-slot state + factor storage. Slot i connects to slot i-1."""
+
+    timestamps: jnp.ndarray    # (M,) seconds
+    R: jnp.ndarray             # (M, 3, 3)
+    p: jnp.ndarray             # (M, 3)
+    v: jnp.ndarray             # (M, 3)
+    bg: jnp.ndarray            # (M, 3)
+    ba: jnp.ndarray            # (M, 3)
+    valid: jnp.ndarray         # (M,)
+    # Factors from slot i-1 to slot i:
+    vo_T: jnp.ndarray          # (M, 4, 4) relative pose cam (body) i-1 -> i
+    vo_valid: jnp.ndarray      # (M,)
+    imu_samples: jnp.ndarray   # (M, N_IMU, 7) raw windows for re-preintegration
+    imu_mask: jnp.ndarray      # (M, N_IMU)
+    imu_valid: jnp.ndarray     # (M,)
+    depth: jnp.ndarray         # (M,)
+    depth_valid: jnp.ndarray   # (M,)
+    ranges: jnp.ndarray        # (M, B)
+    range_beacons: jnp.ndarray  # (M, B, 3)
+    range_valid: jnp.ndarray   # (M, B)
+    # Prior on slot 0 (marginalization anchor): mean uses slot-0 state.
+    prior_sqrt_info: jnp.ndarray  # (15, 15)
+    prior_R: jnp.ndarray          # (3, 3)
+    prior_p: jnp.ndarray
+    prior_v: jnp.ndarray
+    prior_bg: jnp.ndarray
+    prior_ba: jnp.ndarray
+
+
+def make_window(config: SmootherConfig, n_imu: int, dtype=jnp.float64) -> KeyposeWindow:
+    M, B = config.window, config.max_ranges
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (M, 3, 3))
+    return KeyposeWindow(
+        timestamps=jnp.zeros(M, dtype),
+        R=eye,
+        p=jnp.zeros((M, 3), dtype),
+        v=jnp.zeros((M, 3), dtype),
+        bg=jnp.zeros((M, 3), dtype),
+        ba=jnp.zeros((M, 3), dtype),
+        valid=jnp.zeros(M, bool),
+        vo_T=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (M, 4, 4)),
+        vo_valid=jnp.zeros(M, bool),
+        imu_samples=jnp.zeros((M, n_imu, 7), dtype),
+        imu_mask=jnp.zeros((M, n_imu), bool),
+        imu_valid=jnp.zeros(M, bool),
+        depth=jnp.zeros(M, dtype),
+        depth_valid=jnp.zeros(M, bool),
+        ranges=jnp.zeros((M, B), dtype),
+        range_beacons=jnp.zeros((M, B, 3), dtype),
+        range_valid=jnp.zeros((M, B), bool),
+        prior_sqrt_info=jnp.eye(15, dtype=dtype) * 10.0,
+        prior_R=jnp.eye(3, dtype=dtype),
+        prior_p=jnp.zeros(3, dtype),
+        prior_v=jnp.zeros(3, dtype),
+        prior_bg=jnp.zeros(3, dtype),
+        prior_ba=jnp.zeros(3, dtype),
+    )
+
+
+def _retract(win: KeyposeWindow, delta: jnp.ndarray) -> KeyposeWindow:
+    """Apply (M, 15) local increments [theta p v bg ba] to the window states."""
+    dR = jax.vmap(so3_exp)(delta[:, 0:3])
+    return win._replace(
+        R=jnp.einsum("mij,mjk->mik", win.R, dR),
+        p=win.p + delta[:, 3:6],
+        v=win.v + delta[:, 6:9],
+        bg=win.bg + delta[:, 9:12],
+        ba=win.ba + delta[:, 12:15],
+    )
+
+
+def _residuals(
+    delta: jnp.ndarray,
+    win: KeyposeWindow,
+    pims: PreintegratedImu,          # stacked (M, ...) preintegrations i-1 -> i
+    gravity: jnp.ndarray,
+    gravity_unit: jnp.ndarray,
+    config: SmootherConfig,
+) -> jnp.ndarray:
+    """Whitened residual vector of every factor, masked rows zeroed."""
+    M = win.valid.shape[0]
+    w = _retract(win, delta)
+    dtype = delta.dtype
+
+    prev = lambda arr: jnp.roll(arr, 1, axis=0)  # slot i-1 aligned with i
+    pair_ok = win.valid & prev(win.valid)
+    pair_ok = pair_ok.at[0].set(False)
+
+    res = []
+
+    # -- prior on slot 0 ------------------------------------------------------
+    r_prior = jnp.concatenate(
+        [
+            so3_log(w.prior_R.T @ w.R[0]),
+            w.p[0] - w.prior_p,
+            w.v[0] - w.prior_v,
+            w.bg[0] - w.prior_bg,
+            w.ba[0] - w.prior_ba,
+        ]
+    )
+    res.append((w.prior_sqrt_info @ r_prior) * win.valid[0].astype(dtype))
+
+    # -- VO between factors ---------------------------------------------------
+    R_rel = jnp.einsum("mji,mjk->mik", prev(w.R), w.R)      # R_{i-1}^T R_i
+    p_rel = jnp.einsum("mji,mj->mi", prev(w.R), w.p - prev(w.p))
+    r_rot = jax.vmap(so3_log)(jnp.einsum("mji,mjk->mik", win.vo_T[:, :3, :3], R_rel))
+    r_trans = p_rel - win.vo_T[:, :3, 3]
+    vo_ok = (win.vo_valid & pair_ok).astype(dtype)[:, None]
+    # Cauchy robust weight on the combined residual norm (fixed_lag_smoother
+    # uses a Cauchy(0.1) noise model on the VO between factor).
+    r_vo_raw = jnp.concatenate(
+        [r_rot / config.vo_rot_sigma, r_trans / config.vo_trans_sigma], axis=1
+    )
+    nrm2 = jnp.sum(r_vo_raw * r_vo_raw, axis=1, keepdims=True)
+    cauchy = 1.0 / jnp.sqrt(1.0 + nrm2 / (0.1 / config.vo_trans_sigma) ** 2)
+    res.append((r_vo_raw * cauchy * vo_ok).reshape(-1))
+
+    # -- IMU preintegration factors ------------------------------------------
+    def imu_res(i_pim, R_i, p_i, v_i, bg_i, ba_i, R_j, p_j, v_j):
+        dR, dv, dp = bias_corrected_deltas(i_pim, bg_i, ba_i)
+        dt = i_pim.dt
+        r_R = so3_log(dR.T @ (R_i.T @ R_j))
+        r_v = R_i.T @ (v_j - v_i - gravity * dt) - dv
+        r_p = R_i.T @ (p_j - p_i - v_i * dt - 0.5 * gravity * dt * dt) - dp
+        return jnp.concatenate([r_R, r_v, r_p])
+
+    r_imu = jax.vmap(imu_res)(
+        pims,
+        prev(w.R), prev(w.p), prev(w.v), prev(w.bg), prev(w.ba),
+        w.R, w.p, w.v,
+    )  # (M, 9)
+    # Whiten with the preintegration covariance (diagonal approximation with
+    # a sigma floor for numerical safety).
+    imu_sig = jnp.sqrt(jnp.clip(jax.vmap(jnp.diag)(pims.cov), config.imu_sigma_floor**2, None))
+    imu_ok = (win.imu_valid & pair_ok).astype(dtype)[:, None]
+    res.append((r_imu / imu_sig * imu_ok).reshape(-1))
+
+    # -- bias random walk between consecutive keyposes ------------------------
+    dt_pair = jnp.clip(w.timestamps - prev(w.timestamps), 1e-3, None)[:, None]
+    rw_g = (w.bg - prev(w.bg)) / (config.bias_rw_gyro_sigma * jnp.sqrt(dt_pair))
+    rw_a = (w.ba - prev(w.ba)) / (config.bias_rw_accel_sigma * jnp.sqrt(dt_pair))
+    res.append((jnp.concatenate([rw_g, rw_a], axis=1) * imu_ok).reshape(-1))
+
+    # -- depth factors (gravity-axis translation) -----------------------------
+    d_pred = jnp.einsum("mi,i->m", w.p, gravity_unit)
+    r_depth = (d_pred - win.depth) / config.depth_sigma
+    res.append(r_depth * (win.depth_valid & win.valid).astype(dtype))
+
+    # -- range factors --------------------------------------------------------
+    delta_b = win.range_beacons - w.p[:, None, :]
+    dist = jnp.linalg.norm(delta_b + 1e-12, axis=-1)
+    r_range = (dist - win.ranges) / config.range_sigma
+    res.append((r_range * (win.range_valid & win.valid[:, None]).astype(dtype)).reshape(-1))
+
+    # -- no-motion fallback (neither VO nor IMU between a valid pair) ---------
+    nm_ok = (pair_ok & ~win.vo_valid & ~win.imu_valid).astype(dtype)[:, None]
+    r_nm = jnp.concatenate(
+        [
+            jax.vmap(so3_log)(R_rel) / config.no_motion_rot_sigma,
+            p_rel / config.no_motion_trans_sigma,
+        ],
+        axis=1,
+    )
+    res.append((r_nm * nm_ok).reshape(-1))
+
+    return jnp.concatenate(res)
+
+
+def preintegrate_window(win: KeyposeWindow, calib=None) -> PreintegratedImu:
+    """Preintegrate each slot's IMU window at the predecessor's bias estimate."""
+    from .imu_preintegration import ImuCalibration, preintegrate
+
+    calib = calib or ImuCalibration()
+    bg_prev = jnp.roll(win.bg, 1, axis=0)
+    ba_prev = jnp.roll(win.ba, 1, axis=0)
+    return jax.vmap(lambda s, m, bg, ba: preintegrate(s, m, bg, ba, calib))(
+        win.imu_samples, win.imu_mask, bg_prev, ba_prev
+    )
+
+
+class SmootherResult(NamedTuple):
+    R: jnp.ndarray           # newest keypose rotation
+    p: jnp.ndarray
+    v: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    timestamp: jnp.ndarray
+    cov_newest: jnp.ndarray  # (15,15) marginal covariance of newest keypose
+    error: jnp.ndarray
+
+
+def solve_window(
+    win: KeyposeWindow,
+    pims: PreintegratedImu,
+    gravity: jnp.ndarray,
+    gravity_unit: jnp.ndarray,
+    config: SmootherConfig,
+    newest_slot: jnp.ndarray,
+) -> Tuple[KeyposeWindow, SmootherResult]:
+    """Batch Gauss-Newton over the whole window. Jit-safe."""
+    M = win.valid.shape[0]
+    dtype = win.p.dtype
+
+    def gn_iter(_, w):
+        def res_of(delta_flat):
+            return _residuals(
+                delta_flat.reshape(M, 15), w, pims, gravity, gravity_unit, config
+            )
+
+        delta0 = jnp.zeros(M * 15, dtype)
+        r = res_of(delta0)
+        J = jax.jacfwd(res_of)(delta0)
+        H = J.T @ J
+        # Gauge/inactive-state protection: damping keeps H invertible where
+        # slots are invalid (their residual rows are zeroed).
+        H = H + (config.damping + 1e-8) * jnp.eye(M * 15, dtype=dtype)
+        delta = jnp.linalg.solve(H, -(J.T @ r))
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        # Freeze invalid slots.
+        delta = delta.reshape(M, 15) * w.valid[:, None].astype(dtype)
+        return _retract(w, delta)
+
+    w = jax.lax.fori_loop(0, config.iterations, gn_iter, win)
+
+    # Final linearization for covariances.
+    def res_of(delta_flat):
+        return _residuals(delta_flat.reshape(M, 15), w, pims, gravity, gravity_unit, config)
+
+    r = res_of(jnp.zeros(M * 15, dtype))
+    J = jax.jacfwd(res_of)(jnp.zeros(M * 15, dtype))
+    H = J.T @ J + (config.damping + 1e-8) * jnp.eye(M * 15, dtype=dtype)
+    cov = jnp.linalg.inv(H)
+
+    sl = newest_slot
+    cov_new = jax.lax.dynamic_slice(cov, (sl * 15, sl * 15), (15, 15))
+    result = SmootherResult(
+        R=w.R[sl], p=w.p[sl], v=w.v[sl], bg=w.bg[sl], ba=w.ba[sl],
+        timestamp=w.timestamps[sl],
+        cov_newest=cov_new,
+        error=jnp.sum(r * r),
+    )
+    return w, result
+
+
+def slide_window(win: KeyposeWindow, cov_slot1: jnp.ndarray) -> KeyposeWindow:
+    """Drop slot 0, shift everything left, anchor the new slot 0 with its
+    marginal covariance (prior anchoring)."""
+    shift = lambda arr: jnp.roll(arr, -1, axis=0)
+    out = win._replace(
+        timestamps=shift(win.timestamps), R=shift(win.R), p=shift(win.p),
+        v=shift(win.v), bg=shift(win.bg), ba=shift(win.ba), valid=shift(win.valid),
+        vo_T=shift(win.vo_T), vo_valid=shift(win.vo_valid),
+        imu_samples=shift(win.imu_samples), imu_mask=shift(win.imu_mask),
+        imu_valid=shift(win.imu_valid),
+        depth=shift(win.depth), depth_valid=shift(win.depth_valid),
+        ranges=shift(win.ranges), range_beacons=shift(win.range_beacons),
+        range_valid=shift(win.range_valid),
+    )
+    # Invalidate the freed last slot.
+    out = out._replace(
+        valid=out.valid.at[-1].set(False),
+        vo_valid=out.vo_valid.at[-1].set(False),
+        imu_valid=out.imu_valid.at[-1].set(False),
+        depth_valid=out.depth_valid.at[-1].set(False),
+        range_valid=out.range_valid.at[-1].set(False),
+    )
+    # New anchor: slot 0's state with sqrt information from its marginal.
+    info = jnp.linalg.inv(cov_slot1 + 1e-9 * jnp.eye(15, dtype=cov_slot1.dtype))
+    info = 0.5 * (info + info.T)
+    evals, evecs = jnp.linalg.eigh(info)
+    sqrt_info = evecs @ jnp.diag(jnp.sqrt(jnp.clip(evals, 0.0, None))) @ evecs.T
+    return out._replace(
+        prior_sqrt_info=sqrt_info,
+        prior_R=out.R[0],
+        prior_p=out.p[0],
+        prior_v=out.v[0],
+        prior_bg=out.bg[0],
+        prior_ba=out.ba[0],
+    )

@@ -1,0 +1,442 @@
+"""StateEstimator: the top-level VIO engine (smoother + EKF hybrid).
+
+Reference parity: vio/state_estimator.{hpp,cpp} — three worker threads
+(frontend / smoother / filter) connected by queues, with:
+- keypose-aligned measurement gathering with per-sensor misalignment
+  tolerances (cpp:237-282),
+- smoother mode state machine VISION_AVAILABLE/UNAVAILABLE: keyposes come
+  from VO when tracking works, else from IMU/range cadence (cpp:333-434),
+- filter↔smoother sync: on each smoother result the EKF rewinds to the
+  keypose time, applies a soft (pose measurement) or hard (re-initialize)
+  correction depending on divergence, then replays IMU (cpp:496-549).
+
+TPU-native redesign: the engine core is a *synchronous, deterministic*
+``process_*`` API driven by the caller (dataset playback or fabric node) —
+threads belong to the transport layer, not the estimator. All numeric work
+happens in jitted pure functions (frontend step, smoother solve, EKF
+predict/update); this class only routes measurements, manages host-side
+history buffers, and implements the sync policy. ``SmootherMode`` and the
+failure-handling semantics match the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.buffers import DataManager, ItemHistory
+from ..core.cameras import StereoCamera
+from ..core.measurements import (
+    DepthMeasurement,
+    ImuMeasurement,
+    MagMeasurement,
+    RangeMeasurement,
+    StereoImage,
+)
+from ..core.quaternion import quat_to_matrix, matrix_to_quat
+from ..core.se3 import gravity_axis
+from .ekf import (
+    EkfParams,
+    EkfState,
+    ekf_initialize,
+    ekf_predict,
+    ekf_update_depth,
+    ekf_update_imu,
+    ekf_update_pose,
+    ekf_update_range,
+)
+from .imu_preintegration import ImuCalibration
+from .smoother import (
+    KeyposeWindow,
+    SmootherConfig,
+    SmootherResult,
+    make_window,
+    preintegrate_window,
+    slide_window,
+    solve_window,
+)
+from .stereo_frontend import FrontendParams, FrontendStatus, StereoFrontend, VoResult
+
+
+class SmootherMode(enum.Enum):
+    VISION_AVAILABLE = 0
+    VISION_UNAVAILABLE = 1
+
+
+@dataclasses.dataclass
+class StateEstimatorParams:
+    frontend: FrontendParams = dataclasses.field(default_factory=FrontendParams)
+    smoother: SmootherConfig = dataclasses.field(default_factory=SmootherConfig)
+    ekf: EkfParams = dataclasses.field(default_factory=EkfParams)
+    imu_calib: ImuCalibration = dataclasses.field(default_factory=ImuCalibration)
+    n_gravity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 9.81, 0.0])
+    )
+    max_imu_per_keypose: int = 256
+    min_sec_btw_keyposes: float = 0.5
+    max_sec_btw_keyposes: float = 1.0
+    # Misalignment tolerances for attaching measurements to a keypose (sec).
+    depth_tolerance: float = 0.1
+    range_tolerance: float = 0.2
+    # Filter divergence thresholds vs smoother (soft = measurement update,
+    # hard = re-initialize; state_estimator.cpp:507-543).
+    soft_correction_pos: float = 0.05
+    hard_correction_pos: float = 0.5
+    ekf_history_sec: float = 10.0
+
+
+@dataclasses.dataclass
+class StateStamped:
+    timestamp: int
+    world_T_body: np.ndarray
+    velocity: np.ndarray
+    covariance: Optional[np.ndarray] = None
+
+
+class StateEstimator:
+    """Deterministic VIO engine; feed measurements in timestamp order."""
+
+    def __init__(self, params: StateEstimatorParams, rig: StereoCamera):
+        self.params = params
+        self.rig = rig
+        self._gravity_axis, g_unit = gravity_axis(params.n_gravity)
+        self._gravity_unit = np.asarray(g_unit, np.float64)
+        self._gravity = np.asarray(params.n_gravity, np.float64)
+
+        self.frontend = StereoFrontend(params.frontend, rig)
+        self.mode = SmootherMode.VISION_UNAVAILABLE
+
+        # Measurement managers (host).
+        self.imu_manager: DataManager[ImuMeasurement] = DataManager(max_size=10000)
+        self.depth_manager: DataManager[DepthMeasurement] = DataManager(max_size=1000)
+        self.range_manager: DataManager[RangeMeasurement] = DataManager(max_size=1000)
+
+        # Smoother window.
+        self.window = make_window(params.smoother, params.max_imu_per_keypose)
+        self._n_keyposes = 0
+        self._last_keypose_t: Optional[int] = None
+        self._last_smoother_result: Optional[SmootherResult] = None
+
+        # EKF + history for rewind/replay.
+        self.ekf_params = params.ekf
+        self.ekf_state: Optional[EkfState] = None
+        self._ekf_time: Optional[int] = None
+        self._ekf_history: ItemHistory = ItemHistory(lag_seconds=params.ekf_history_sec)
+        self._imu_history: ItemHistory = ItemHistory(lag_seconds=params.ekf_history_sec)
+
+        self.smoother_callbacks: List[Callable[[SmootherResult], None]] = []
+        self.filter_callbacks: List[Callable[[StateStamped], None]] = []
+
+        self._solve = jax.jit(
+            lambda win, pims, slot: solve_window(
+                win,
+                pims,
+                jnp.asarray(self._gravity),
+                jnp.asarray(self._gravity_unit),
+                params.smoother,
+                slot,
+            )
+        )
+
+    # -- initialization -------------------------------------------------------
+
+    def initialize(self, timestamp: int, world_T_body: np.ndarray) -> None:
+        """External pose initialization (state_estimator_lcm InitializeLcm)."""
+        R0 = world_T_body[:3, :3]
+        p0 = world_T_body[:3, 3]
+        q0 = matrix_to_quat(jnp.asarray(R0))
+        self.ekf_state = ekf_initialize(t0=p0, q0=np.asarray(q0), dtype=jnp.float64)
+        self._ekf_time = timestamp
+        self._push_keypose(
+            timestamp, R0, p0, np.zeros(3),
+            vo_T=None, imu_rows=None, depth=None, ranges=(),
+            prior_anchor=True,
+        )
+
+    # -- measurement intake ---------------------------------------------------
+
+    def receive_imu(self, m: ImuMeasurement) -> None:
+        self.imu_manager.push(m)
+        self._imu_history.add(m.timestamp, m)
+        if self.ekf_state is not None:
+            self._filter_predict_update(m)
+        self._maybe_imu_keypose(m.timestamp)
+
+    def receive_depth(self, m: DepthMeasurement) -> None:
+        self.depth_manager.push(m)
+        if self.ekf_state is not None:
+            self.ekf_state = ekf_update_depth(
+                self.ekf_state, m.depth, jnp.asarray(self._gravity_unit), self.ekf_params
+            )
+
+    def receive_range(self, m: RangeMeasurement) -> None:
+        self.range_manager.push(m)
+        if self.ekf_state is not None:
+            self.ekf_state = ekf_update_range(
+                self.ekf_state, m.range, jnp.asarray(m.point, jnp.float64), self.ekf_params
+            )
+
+    def receive_stereo(self, m: StereoImage) -> None:
+        vo = self.frontend.track(m.left, m.right)
+        status = int(vo.status)
+        vision_ok = not (status & FrontendStatus.ODOM_ESTIMATION_FAILED) and not (
+            status & FrontendStatus.NO_FEATURES_FROM_LAST_KF
+        )
+        self.mode = (
+            SmootherMode.VISION_AVAILABLE if vision_ok else SmootherMode.VISION_UNAVAILABLE
+        )
+        if bool(vo.is_keyframe) and vision_ok:
+            self._vision_keypose(m.timestamp, vo)
+
+    # -- keypose creation -----------------------------------------------------
+
+    def _maybe_imu_keypose(self, timestamp: int) -> None:
+        """VISION_UNAVAILABLE fallback: keyposes at min cadence from IMU."""
+        if self.mode is SmootherMode.VISION_AVAILABLE:
+            return
+        if self._last_keypose_t is None or self.ekf_state is None:
+            return
+        dt = (timestamp - self._last_keypose_t) * 1e-9
+        if dt < self.params.max_sec_btw_keyposes:
+            return
+        imu_rows = self._gather_imu(self._last_keypose_t, timestamp)
+        R = np.asarray(quat_to_matrix(self.ekf_state.q))
+        p = np.asarray(self.ekf_state.t)
+        v = np.asarray(self.ekf_state.v)
+        self._push_keypose(
+            timestamp, R, p, v,
+            vo_T=None, imu_rows=imu_rows,
+            depth=self._gather_depth(timestamp),
+            ranges=self._gather_ranges(timestamp),
+        )
+        self._run_smoother(timestamp)
+
+    def _vision_keypose(self, timestamp: int, vo: VoResult) -> None:
+        if self._last_keypose_t is not None:
+            dt = (timestamp - self._last_keypose_t) * 1e-9
+            if dt < self.params.min_sec_btw_keyposes:
+                return
+        imu_rows = (
+            self._gather_imu(self._last_keypose_t, timestamp)
+            if self._last_keypose_t is not None
+            else None
+        )
+        # Predicted new state: previous keypose composed with VO.
+        T_rel = np.asarray(vo.T_prev_cur, np.float64)
+        prev_slot = self._newest_slot()
+        R_prev = np.asarray(self.window.R[prev_slot])
+        p_prev = np.asarray(self.window.p[prev_slot])
+        R = R_prev @ T_rel[:3, :3]
+        p = p_prev + R_prev @ T_rel[:3, 3]
+        v = np.asarray(self.window.v[prev_slot])
+        self._push_keypose(
+            timestamp, R, p, v,
+            vo_T=T_rel, imu_rows=imu_rows,
+            depth=self._gather_depth(timestamp),
+            ranges=self._gather_ranges(timestamp),
+        )
+        self._run_smoother(timestamp)
+
+    def _gather_imu(self, t0: int, t1: int) -> Optional[np.ndarray]:
+        items = [m for m in self.imu_manager.pop_until(t1) if m.timestamp > t0]
+        if not items:
+            return None
+        rows = np.zeros((len(items), 7))
+        t_prev = t0
+        for i, m in enumerate(items):
+            rows[i, 0] = (m.timestamp - t_prev) * 1e-9
+            rows[i, 1:4] = m.angular_velocity
+            rows[i, 4:7] = m.linear_acceleration
+            t_prev = m.timestamp
+        return rows
+
+    def _gather_depth(self, t: int) -> Optional[float]:
+        tol = int(self.params.depth_tolerance * 1e9)
+        self.depth_manager.discard_before(t - tol)
+        items = self.depth_manager.pop_until(t + tol)
+        return items[-1].depth if items else None
+
+    def _gather_ranges(self, t: int):
+        tol = int(self.params.range_tolerance * 1e9)
+        self.range_manager.discard_before(t - tol)
+        items = self.range_manager.pop_until(t + tol)
+        return [(m.range, np.asarray(m.point, np.float64)) for m in items[-self.params.smoother.max_ranges:]]
+
+    def _newest_slot(self) -> int:
+        return min(self._n_keyposes, self.params.smoother.window) - 1
+
+    def _push_keypose(
+        self, timestamp, R, p, v, vo_T, imu_rows, depth, ranges, prior_anchor=False
+    ) -> None:
+        cfg = self.params.smoother
+        win = self.window
+        if self._n_keyposes >= cfg.window:
+            # Slide: marginal covariance of slot 1 anchors the new slot 0.
+            cov = (
+                np.asarray(self._last_smoother_result.cov_newest)
+                if self._last_smoother_result is not None
+                else np.eye(15) * 1e-2
+            )
+            win = slide_window(win, jnp.asarray(cov))
+            self._n_keyposes = cfg.window - 1
+        slot = self._n_keyposes
+
+        n_imu = self.params.max_imu_per_keypose
+        samples = np.zeros((n_imu, 7))
+        mask = np.zeros(n_imu, bool)
+        if imu_rows is not None:
+            k = min(len(imu_rows), n_imu)
+            samples[:k] = imu_rows[:k]
+            mask[:k] = True
+
+        B = cfg.max_ranges
+        rng_vals = np.zeros(B)
+        rng_beacons = np.zeros((B, 3))
+        rng_valid = np.zeros(B, bool)
+        for i, (rv, bp) in enumerate(ranges[:B]):
+            rng_vals[i], rng_beacons[i], rng_valid[i] = rv, bp, True
+
+        win = win._replace(
+            timestamps=win.timestamps.at[slot].set(timestamp * 1e-9),
+            R=win.R.at[slot].set(jnp.asarray(R)),
+            p=win.p.at[slot].set(jnp.asarray(p)),
+            v=win.v.at[slot].set(jnp.asarray(v)),
+            valid=win.valid.at[slot].set(True),
+            vo_T=win.vo_T.at[slot].set(jnp.asarray(vo_T if vo_T is not None else np.eye(4))),
+            vo_valid=win.vo_valid.at[slot].set(vo_T is not None),
+            imu_samples=win.imu_samples.at[slot].set(jnp.asarray(samples)),
+            imu_mask=win.imu_mask.at[slot].set(jnp.asarray(mask)),
+            imu_valid=win.imu_valid.at[slot].set(imu_rows is not None),
+            depth=win.depth.at[slot].set(depth if depth is not None else 0.0),
+            depth_valid=win.depth_valid.at[slot].set(depth is not None),
+            ranges=win.ranges.at[slot].set(jnp.asarray(rng_vals)),
+            range_beacons=win.range_beacons.at[slot].set(jnp.asarray(rng_beacons)),
+            range_valid=win.range_valid.at[slot].set(jnp.asarray(rng_valid)),
+        )
+        if prior_anchor:
+            win = win._replace(
+                prior_R=jnp.asarray(R),
+                prior_p=jnp.asarray(p),
+                prior_v=jnp.asarray(v),
+                prior_sqrt_info=jnp.eye(15) * 100.0,
+            )
+        self.window = win
+        self._n_keyposes += 1
+        self._last_keypose_t = timestamp
+
+    # -- smoother + filter sync ----------------------------------------------
+
+    def _run_smoother(self, timestamp: int) -> None:
+        if self._n_keyposes < 2:
+            return
+        pims = preintegrate_window(self.window, self.params.imu_calib)
+        slot = jnp.asarray(self._newest_slot(), jnp.int32)
+        self.window, result = self._solve(self.window, pims, slot)
+        self._last_smoother_result = result
+        for cb in self.smoother_callbacks:
+            cb(result)
+        self._sync_filter(timestamp, result)
+
+    def _sync_filter(self, timestamp: int, result: SmootherResult) -> None:
+        """Rewind → soft/hard correction → IMU replay (cpp:496-549)."""
+        if self.ekf_state is None:
+            return
+        rewind = self._ekf_history.closest_before(timestamp)
+        state_at = rewind[1] if rewind is not None else self.ekf_state
+
+        p_s = np.asarray(result.p)
+        p_f = np.asarray(state_at.t)
+        divergence = float(np.linalg.norm(p_s - p_f))
+
+        q_s = matrix_to_quat(jnp.asarray(np.asarray(result.R)))
+        if divergence > self.params.hard_correction_pos:
+            # Hard: re-initialize the filter at the smoother state.
+            state = ekf_initialize(t0=p_s, q0=np.asarray(q_s), dtype=jnp.float64)
+            state = state._replace(v=jnp.asarray(np.asarray(result.v)))
+        elif divergence > self.params.soft_correction_pos:
+            # Soft: treat the smoother pose as a measurement.
+            cov6 = np.asarray(result.cov_newest)[np.ix_([3, 4, 5, 0, 1, 2], [3, 4, 5, 0, 1, 2])]
+            cov6 = cov6 + np.eye(6) * 1e-6
+            state = ekf_update_pose(
+                state_at, jnp.asarray(p_s), jnp.asarray(np.asarray(q_s)), jnp.asarray(cov6)
+            )
+        else:
+            return  # filter agrees; nothing to do
+
+        # Replay IMU newer than the rewind point.
+        self._ekf_history.discard_after(timestamp)
+        t_cur = timestamp
+        for t_m, m in zip(*self._imu_items_after(timestamp)):
+            dt = (t_m - t_cur) * 1e-9
+            state = ekf_predict(state, max(dt, 0.0), self.ekf_params)
+            state = ekf_update_imu(
+                state,
+                jnp.asarray(m.angular_velocity),
+                jnp.asarray(m.linear_acceleration),
+                jnp.asarray(self._gravity),
+                self.ekf_params,
+            )
+            t_cur = t_m
+        self.ekf_state = state
+        self._ekf_time = t_cur
+
+    def _imu_items_after(self, t: int):
+        times, items = [], []
+        hist = self._imu_history
+        with hist._lock:  # snapshot
+            for tt, m in zip(hist._times, hist._items):
+                if tt > t:
+                    times.append(tt)
+                    items.append(m)
+        return times, items
+
+    def _filter_predict_update(self, m: ImuMeasurement) -> None:
+        dt = 0.0 if self._ekf_time is None else (m.timestamp - self._ekf_time) * 1e-9
+        state = ekf_predict(self.ekf_state, max(dt, 0.0), self.ekf_params)
+        state = ekf_update_imu(
+            state,
+            jnp.asarray(m.angular_velocity),
+            jnp.asarray(m.linear_acceleration),
+            jnp.asarray(self._gravity),
+            self.ekf_params,
+        )
+        self.ekf_state = state
+        self._ekf_time = m.timestamp
+        self._ekf_history.add(m.timestamp, state)
+        if self.filter_callbacks:
+            out = self.filter_state()
+            for cb in self.filter_callbacks:
+                cb(out)
+
+    # -- outputs --------------------------------------------------------------
+
+    def filter_state(self) -> StateStamped:
+        assert self.ekf_state is not None and self._ekf_time is not None
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(quat_to_matrix(self.ekf_state.q))
+        T[:3, 3] = np.asarray(self.ekf_state.t)
+        return StateStamped(
+            timestamp=self._ekf_time,
+            world_T_body=T,
+            velocity=np.asarray(self.ekf_state.v),
+            covariance=np.asarray(self.ekf_state.S),
+        )
+
+    def smoother_state(self) -> Optional[StateStamped]:
+        r = self._last_smoother_result
+        if r is None:
+            return None
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(r.R)
+        T[:3, 3] = np.asarray(r.p)
+        return StateStamped(
+            timestamp=int(float(r.timestamp) * 1e9),
+            world_T_body=T,
+            velocity=np.asarray(r.v),
+            covariance=np.asarray(r.cov_newest),
+        )

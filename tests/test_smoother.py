@@ -1,0 +1,186 @@
+"""Fixed-lag smoother tests: synthetic trajectory recovery with VO+IMU+depth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocean_perception_tpu.core.se3 import se3_inverse, so3_exp
+from ocean_perception_tpu.vio.smoother import (
+    KeyposeWindow,
+    SmootherConfig,
+    make_window,
+    preintegrate_window,
+    slide_window,
+    solve_window,
+)
+
+GRAVITY = np.array([0.0, 0.0, -9.81])
+G_UNIT = np.array([0.0, 0.0, -1.0])  # depth measured downward (= -z here)
+N_IMU = 60
+DT_KP = 0.5  # seconds between keyposes
+
+
+def simulate(M_used=6, yaw_rate=0.2, vel=np.array([0.4, 0.1, -0.05]), seed=0):
+    """Ground-truth keypose states + consistent IMU windows + VO + depth."""
+    rng = np.random.default_rng(seed)
+    dt = DT_KP / N_IMU
+    R = np.eye(3)
+    p = np.zeros(3)
+    v = vel.copy()
+    w_body = np.array([0.0, 0.0, yaw_rate])
+
+    states = [(R.copy(), p.copy(), v.copy())]
+    imu_windows = []
+    for k in range(M_used - 1):
+        rows = np.zeros((N_IMU, 7))
+        for i in range(N_IMU):
+            a_world = np.zeros(3)  # constant velocity
+            # specific force in body frame: R^T (a_world - g)
+            rows[i] = [dt, *w_body, *(R.T @ (a_world - GRAVITY))]
+            p = p + v * dt + 0.5 * a_world * dt * dt
+            v = v + a_world * dt
+            R = R @ np.asarray(so3_exp(jnp.asarray(w_body * dt)))
+        imu_windows.append(rows)
+        states.append((R.copy(), p.copy(), v.copy()))
+    return states, imu_windows
+
+
+def build_window(states, imu_windows, config, vo_noise=0.0, state_noise=0.0, seed=1,
+                 with_imu=True, with_vo=True, with_depth=True):
+    rng = np.random.default_rng(seed)
+    M = config.window
+    win = make_window(config, N_IMU)
+    M_used = len(states)
+
+    ts = win.timestamps
+    R = np.asarray(win.R).copy()
+    p = np.asarray(win.p).copy()
+    v = np.asarray(win.v).copy()
+    valid = np.zeros(M, bool)
+    vo_T = np.asarray(win.vo_T).copy()
+    vo_valid = np.zeros(M, bool)
+    imu_samples = np.asarray(win.imu_samples).copy()
+    imu_mask = np.zeros((M, N_IMU), bool)
+    imu_valid = np.zeros(M, bool)
+    depth = np.zeros(M)
+    depth_valid = np.zeros(M, bool)
+    ts = np.zeros(M)
+
+    for k, (Rk, pk, vk) in enumerate(states):
+        ts[k] = k * DT_KP
+        # Noisy initial estimates (what the optimizer must correct).
+        R[k] = Rk @ np.asarray(so3_exp(jnp.asarray(rng.normal(0, state_noise, 3))))
+        p[k] = pk + rng.normal(0, state_noise, 3)
+        v[k] = vk + rng.normal(0, state_noise, 3)
+        valid[k] = True
+        if k > 0:
+            if with_imu:
+                imu_samples[k] = imu_windows[k - 1]
+                imu_mask[k] = True
+                imu_valid[k] = True
+            if with_vo:
+                R_prev, p_prev, _ = states[k - 1]
+                T_rel = np.eye(4)
+                T_rel[:3, :3] = R_prev.T @ Rk
+                T_rel[:3, 3] = R_prev.T @ (pk - p_prev)
+                if vo_noise > 0:
+                    T_rel[:3, 3] += rng.normal(0, vo_noise, 3)
+                vo_T[k] = T_rel
+                vo_valid[k] = True
+        if with_depth:
+            depth[k] = G_UNIT @ pk
+            depth_valid[k] = True
+
+    # Anchor prior = true slot-0 state.
+    R0, p0, v0 = states[0]
+    return win._replace(
+        timestamps=jnp.asarray(ts),
+        R=jnp.asarray(R), p=jnp.asarray(p), v=jnp.asarray(v),
+        valid=jnp.asarray(valid),
+        vo_T=jnp.asarray(vo_T), vo_valid=jnp.asarray(vo_valid),
+        imu_samples=jnp.asarray(imu_samples), imu_mask=jnp.asarray(imu_mask),
+        imu_valid=jnp.asarray(imu_valid),
+        depth=jnp.asarray(depth), depth_valid=jnp.asarray(depth_valid),
+        prior_R=jnp.asarray(R0), prior_p=jnp.asarray(p0), prior_v=jnp.asarray(v0),
+        prior_sqrt_info=jnp.eye(15) * 100.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def config():
+    return SmootherConfig(window=8, iterations=8)
+
+
+def _solve(win, config):
+    pims = preintegrate_window(win)
+    return solve_window(
+        win, pims, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), config,
+        jnp.asarray(5, jnp.int32),
+    )
+
+
+def test_smoother_recovers_trajectory(config):
+    states, imu_windows = simulate()
+    win = build_window(states, imu_windows, config, state_noise=0.05)
+    w, result = _solve(win, config)
+    for k, (Rk, pk, vk) in enumerate(states):
+        np.testing.assert_allclose(np.asarray(w.p[k]), pk, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(w.v[k]), vk, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(w.R[k]), Rk, atol=2e-2)
+    # Newest-slot result matches the last state.
+    np.testing.assert_allclose(np.asarray(result.p), states[5][1], atol=2e-2)
+    # Covariance is SPD.
+    cov = np.asarray(result.cov_newest)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-9)
+    assert np.linalg.eigvalsh(cov).min() > 0
+
+
+def test_smoother_imu_only(config):
+    """No VO: IMU + depth + prior still constrain the trajectory."""
+    states, imu_windows = simulate()
+    win = build_window(states, imu_windows, config, state_noise=0.03, with_vo=False)
+    w, result = _solve(win, config)
+    np.testing.assert_allclose(np.asarray(w.p[5]), states[5][1], atol=5e-2)
+
+
+def test_smoother_no_motion_fallback(config):
+    """Neither VO nor IMU: the no-motion prior keeps the graph constrained
+    (fixed_lag_smoother.cpp:413-428 parity)."""
+    states, imu_windows = simulate(vel=np.zeros(3), yaw_rate=0.0)
+    win = build_window(
+        states, imu_windows, config, state_noise=0.02, with_vo=False, with_imu=False
+    )
+    w, result = _solve(win, config)
+    # Everything should collapse toward the anchored (static) pose.
+    np.testing.assert_allclose(np.asarray(w.p[5]), states[0][1], atol=5e-2)
+
+
+def test_slide_window(config):
+    states, imu_windows = simulate()
+    win = build_window(states, imu_windows, config, state_noise=0.0)
+    w, result = _solve(win, config)
+    cov1 = np.eye(15) * 1e-4
+    slid = slide_window(w, jnp.asarray(cov1))
+    # Slot 0 now holds what was slot 1.
+    np.testing.assert_allclose(np.asarray(slid.p[0]), np.asarray(w.p[1]))
+    assert not bool(slid.valid[-1])
+    # Prior anchors the new slot 0 at its current state.
+    np.testing.assert_allclose(np.asarray(slid.prior_p), np.asarray(w.p[1]))
+    # sqrt_info^T sqrt_info ≈ inv(cov).
+    si = np.asarray(slid.prior_sqrt_info)
+    np.testing.assert_allclose(si.T @ si, np.linalg.inv(cov1), rtol=1e-4)
+
+
+def test_smoother_jit_compiles(config):
+    states, imu_windows = simulate()
+    win = build_window(states, imu_windows, config, state_noise=0.05)
+    pims = preintegrate_window(win)
+    f = jax.jit(
+        lambda w, pm: solve_window(
+            w, pm, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), config, jnp.asarray(5, jnp.int32)
+        )
+    )
+    w1, r1 = f(win, pims)
+    w2, r2 = f(win, pims)
+    np.testing.assert_allclose(np.asarray(r1.p), np.asarray(r2.p))

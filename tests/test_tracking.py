@@ -1,0 +1,185 @@
+"""Front-end tests: detector, LK flow, stripe matching, tracker state machine.
+
+Goldens are synthetic: textured images with known planted corners and known
+shifts (the reference's tests are visual; SURVEY.md §4 says numeric
+thresholds must be invented)."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocean_perception_tpu.tracking import (
+    DetectorParams,
+    LKParams,
+    StereoTrackerParams,
+    StereoTrackerState,
+    StripeMatcherParams,
+    detect_features,
+    match_rectified,
+    track_and_triangulate,
+    track_points,
+)
+from ocean_perception_tpu.tracking.detector import corner_score, mask_around_points
+
+H, W = 120, 160
+
+
+@pytest.fixture(scope="module")
+def textured(rng=None):
+    rng = np.random.default_rng(11)
+    im = rng.random((H, W + 40)).astype(np.float32)
+    im = cv2.GaussianBlur(im, (5, 5), 1.2) * 0.7 + 0.15
+    return im
+
+
+def checkerboard(h=H, w=W, square=12):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (((yy // square) + (xx // square)) % 2).astype(np.float32)
+
+
+def test_corner_score_peaks_on_corners():
+    im = jnp.asarray(checkerboard())
+    score = np.asarray(corner_score(im, DetectorParams()))
+    # Corners of squares (multiples of 12) should outscore edges/flats.
+    corner_vals = score[24, 24], score[36, 48], score[48, 96]
+    flat_vals = score[6, 6], score[18, 30]
+    assert min(corner_vals) > 10 * max(abs(v) for v in flat_vals)
+
+
+def test_detect_features_parity_with_opencv(textured):
+    """Our grid-bucketed GFTT should land near cv2.goodFeaturesToTrack corners."""
+    im = textured[:, :W]
+    det = detect_features(jnp.asarray(im), DetectorParams(max_features=48, min_distance=10, border=8))
+    pts = np.asarray(det.points)[np.asarray(det.valid)]
+    assert len(pts) >= 30
+    ref = cv2.goodFeaturesToTrack(im, maxCorners=300, qualityLevel=0.01, minDistance=3, blockSize=9)
+    ref = ref.reshape(-1, 2)
+    d = np.linalg.norm(pts[:, None, :] - ref[None, :, :], axis=-1).min(axis=1)
+    # Most of our detections coincide with OpenCV corners to a couple px.
+    assert np.median(d) <= 2.0
+
+
+def test_detect_features_respects_exclusion():
+    im = jnp.asarray(checkerboard())
+    p = DetectorParams(max_features=64, min_distance=10, border=4)
+    excl_pts = jnp.asarray([[48.0, 48.0]])
+    det = detect_features(im, p, excl_pts, jnp.asarray([True]))
+    pts = np.asarray(det.points)[np.asarray(det.valid)]
+    d = np.linalg.norm(pts - np.array([48.0, 48.0]), axis=1)
+    assert d.min() > 8.0
+
+
+def test_mask_around_points():
+    m = np.asarray(mask_around_points((40, 40), jnp.asarray([[20.0, 10.0]]), jnp.asarray([True]), 5.0))
+    assert m[10, 20] and m[14, 24] and not m[10, 30]
+
+
+def test_lk_tracks_pure_translation(textured):
+    shift = (3.6, 2.2)  # (dx, dy); warpAffine M is the FORWARD map by default
+    prev = textured[:, :W]
+    M = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = np.stack(np.meshgrid(np.arange(30, W - 30, 20), np.arange(30, H - 30, 20)), -1).reshape(-1, 2).astype(np.float32)
+    res = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), jnp.ones(len(pts), bool), LKParams())
+    ok = np.asarray(res.status)
+    assert ok.mean() > 0.8
+    flow = np.asarray(res.points)[ok] - pts[ok]
+    np.testing.assert_allclose(np.median(flow, axis=0), shift, atol=0.25)
+
+
+def test_lk_bidirectional_rejects_bad(textured):
+    prev = textured[:, :W]
+    rng = np.random.default_rng(5)
+    nxt = rng.random((H, W)).astype(np.float32)  # unrelated image
+    pts = np.array([[40.0, 40.0], [80.0, 60.0]], np.float32)
+    res = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), jnp.ones(2, bool), LKParams())
+    assert not np.asarray(res.status).any()
+
+
+def test_stripe_match_known_disparity(textured):
+    d_true = 14
+    # right(y, x - d) == left(y, x)  =>  right(y, u) = canvas(y, 20 + u + d).
+    left = textured[:, 20 : 20 + W]
+    right = textured[:, 20 + d_true : 20 + d_true + W]
+    pts = np.stack(np.meshgrid(np.arange(40, W - 20, 15), np.arange(20, H - 20, 15)), -1).reshape(-1, 2).astype(np.float32)
+    p = StripeMatcherParams(max_disp=32, templ_cols=15, templ_rows=11)
+    res = match_rectified(jnp.asarray(left), jnp.asarray(right), jnp.asarray(pts), jnp.ones(len(pts), bool), p)
+    d = np.asarray(res.disparity)
+    matched = d >= 0
+    assert matched.mean() > 0.8
+    assert abs(np.median(d[matched]) - d_true) <= 1.0
+
+
+def test_stripe_match_rejects_garbage(textured):
+    left = textured[:, :W]
+    rng = np.random.default_rng(6)
+    right = rng.random((H, W)).astype(np.float32)
+    pts = np.array([[80.0, 60.0], [100.0, 40.0]], np.float32)
+    p = StripeMatcherParams(max_disp=32, templ_cols=15, templ_rows=11, max_matching_cost=0.1)
+    res = match_rectified(jnp.asarray(left), jnp.asarray(right), jnp.asarray(pts), jnp.ones(2, bool), p)
+    assert (np.asarray(res.disparity) < 0).all()
+
+
+def _tracker_params():
+    return StereoTrackerParams(
+        capacity=64,
+        detector=DetectorParams(max_features=64, min_distance=10, border=8),
+        lk=LKParams(max_level=2),
+        matcher=StripeMatcherParams(max_disp=24, templ_cols=15, templ_rows=11, max_matching_cost=0.3),
+        trigger_keyframe_k=3,
+    )
+
+
+def test_stereo_tracker_end_to_end(textured):
+    """Track a translating camera over a few frames; ids persist, disparities
+    near truth, keyframes trigger on schedule."""
+    d_true = 8
+    params = _tracker_params()
+    fxb = jnp.asarray(100.0)  # fx*baseline -> depth gates pass for d in (5, 500)
+
+    def frame(shift):
+        M = np.float32([[1, 0, -shift], [0, 1, 0]])
+        l = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+        r = np.roll(l, -d_true, axis=1)
+        return jnp.asarray(l), jnp.asarray(r)
+
+    state = StereoTrackerState.create(params)
+    step = jax.jit(lambda s, pl, cl, cr, f: track_and_triangulate(s, pl, cl, cr, fxb, params, f))
+
+    prev_l, _ = frame(0.0)
+    ids_by_frame = []
+    for i, shift in enumerate([0.0, 1.5, 3.0, 4.5]):
+        cur_l, cur_r = frame(shift)
+        state, out = step(state, prev_l, cur_l, cur_r, i == 0)
+        prev_l = cur_l
+        obs = out.observations
+        valid = np.asarray(obs.valid)
+        ids_by_frame.append(set(np.asarray(obs.lmk_ids)[valid].tolist()))
+        if i == 0:
+            assert bool(out.is_keyframe)
+            assert valid.sum() >= 20
+        if i >= 1:
+            assert int(out.n_tracked) >= 15
+            d = np.asarray(obs.disparities)[valid]
+            good = d[d > 0]
+            assert len(good) > 10
+            assert abs(np.median(good) - d_true) <= 1.0
+    # Most landmark ids persist across consecutive frames.
+    common = ids_by_frame[1] & ids_by_frame[2]
+    assert len(common) >= 0.7 * len(ids_by_frame[1])
+
+
+def test_tracker_keyframe_trigger(textured):
+    params = _tracker_params()
+    fxb = jnp.asarray(100.0)
+    l = jnp.asarray(textured[:, :W])
+    r = jnp.asarray(np.roll(textured[:, :W], -8, axis=1))
+    state = StereoTrackerState.create(params)
+    kfs = []
+    for i in range(5):
+        state, out = track_and_triangulate(state, l, l, r, fxb, params, i == 0)
+        kfs.append(bool(out.is_keyframe))
+    assert kfs[0]  # forced
+    assert kfs[3]  # trigger_keyframe_k = 3

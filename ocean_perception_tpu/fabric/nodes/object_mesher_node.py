@@ -1,0 +1,114 @@
+"""ObjectMesher node: stereo frames in → obstacle meshes out.
+
+Reference parity: lcm_nodes/object_mesher_lcm.cpp — subscribes the stereo
+channel (shm path supported), optionally downscales to mesher_input_height,
+publishes MeshMessage on the mesh channel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ...core.cameras import PinholeCamera, StereoCamera
+from ...mesher import ObjectMesher, ObjectMesherParams
+from ..messages import MeshMessage, ShmImageHeader, StereoImageMessage
+from ..pubsub import PubSub, UdpMulticastBus
+from ..shm_ring import ShmRingReader
+
+
+class ObjectMesherNode:
+    def __init__(
+        self,
+        bus: PubSub,
+        rig: StereoCamera,
+        params: Optional[ObjectMesherParams] = None,
+        mesher_input_height: Optional[int] = None,
+        channel_input: str = "sensors/stereo",
+        channel_output: str = "object_mesher/mesh",
+    ):
+        self.bus = bus
+        self.rig = rig
+        self.input_height = mesher_input_height
+        self.channel_output = channel_output
+        self._scale = 1.0
+        self.mesher = ObjectMesher(params or ObjectMesherParams(), rig)
+        self._shm_readers = {}
+        bus.subscribe(channel_input, self._on_stereo)
+        bus.subscribe(channel_input + "_shm_left", self._on_shm("left"))
+        bus.subscribe(channel_input + "_shm_right", self._on_shm("right"))
+        self._pending = {}
+
+    def _maybe_downscale(self, img: np.ndarray) -> np.ndarray:
+        if self.input_height is None or img.shape[0] <= self.input_height:
+            self._scale = 1.0
+            return img
+        import cv2
+
+        self._scale = img.shape[0] / self.input_height
+        w = int(round(img.shape[1] / self._scale))
+        out = cv2.resize(img, (w, self.input_height))
+        # Disparities measured at the reduced scale must be re-scaled when
+        # back-projecting (object_mesher_lcm.cpp mesher_input_height path).
+        self.mesher.params.disparity_scale = self._scale
+        return out
+
+    def _process(self, timestamp: int, left: np.ndarray, right: np.ndarray) -> None:
+        left = self._maybe_downscale(left)
+        right = self._maybe_downscale(right)
+        mesh = self.mesher.process_stereo(left, right)
+        if mesh.num_triangles > 0:
+            self.bus.publish(
+                self.channel_output,
+                MeshMessage(timestamp=timestamp, vertices=mesh.vertices, triangles=mesh.triangles),
+            )
+
+    def _on_stereo(self, _ch, m: StereoImageMessage):
+        self._process(m.timestamp, m.left.to_array(), m.right.to_array())
+
+    def _on_shm(self, side: str):
+        def handler(_ch, hdr: ShmImageHeader):
+            reader = self._shm_readers.get(hdr.shm_path)
+            if reader is None:
+                reader = ShmRingReader(hdr.shm_path)
+                self._shm_readers[hdr.shm_path] = reader
+            frame = reader.read(hdr.seq)
+            if frame is None:
+                return
+            _, img = frame
+            pending = self._pending.setdefault(hdr.timestamp, {})
+            pending[side] = img
+            if "left" in pending and "right" in pending:
+                del self._pending[hdr.timestamp]
+                self._process(hdr.timestamp, pending["left"], pending["right"])
+
+        return handler
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--fx", type=float, default=336.0)
+    ap.add_argument("--baseline", type=float, default=0.2)
+    ap.add_argument("--width", type=int, default=672)
+    ap.add_argument("--height", type=int, default=376)
+    ap.add_argument("--mesher-input-height", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    cam = PinholeCamera.create(args.fx, args.fx, args.width / 2, args.height / 2, args.height, args.width)
+    rig = StereoCamera.create(cam, cam, args.baseline)
+    bus = UdpMulticastBus()
+    node = ObjectMesherNode(bus, rig, mesher_input_height=args.mesher_input_height)
+    print("object_mesher_node listening...")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

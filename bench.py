@@ -1,11 +1,24 @@
 #!/usr/bin/env python
 """Headline benchmark: enhance + PatchMatch depth at 1280x720, frames/sec/chip.
 
-Target (BASELINE.json): >= 60 fps/chip on TPU with the reference operating
-point (/2 internal downsample, max_disp 128 full-scale). Prints ONE JSON line:
-    {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": fps/60}
+Target (BASELINE.json): >= 60 fps/chip on TPU at the reference operating
+point (/2 internal downsample, max_disp 128 full-scale).
 
-Run with no args on the TPU terminal. First call pays remote compile.
+Measurement notes (axon remote TPU):
+- `jax.block_until_ready` is unreliable on this platform and identical
+  repeated dispatches can hit execution caches, so completion is forced by a
+  scalar host readback and every frame's input is unique.
+- Each host->device dispatch pays a ~50 ms RPC floor on this rig (a trivial
+  jitted sum costs that much), which would swamp any kernel measurement.
+  Production perception is a streaming pipeline, so the headline metric is
+  STREAMING THROUGHPUT: N frames run as a sequential `lax.scan` *inside one
+  jitted call* (each frame's input depends on the previous frame's digest,
+  so nothing can be elided or parallelized), timed end-to-end including the
+  final readback. The JSON also reports the single-call latency and the
+  measured RPC floor for transparency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": fps/60, ...}
 """
 
 from __future__ import annotations
@@ -20,6 +33,7 @@ import numpy as np
 
 H, W = 720, 1280
 BASELINE_FPS = 60.0
+N_FRAMES = 30
 ENGINE = "patchmatch" if "--sgm" not in sys.argv else "sgm"
 
 
@@ -27,7 +41,6 @@ def make_inputs():
     """Synthetic 720p underwater stereo scene with a known disparity layout."""
     rng = np.random.default_rng(0)
     canvas = rng.random((H, W + 200)).astype(np.float32)
-    # Smooth it so the cost has structure.
     k = np.ones(5, np.float32) / 5
     canvas = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, canvas)
     canvas = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, canvas)
@@ -51,18 +64,47 @@ def main() -> None:
     rig = StereoCamera.create(cam, cam, baseline=0.12)
     config = PerceptionConfig(engine=ENGINE, max_disp=128, internal_scale=2)
 
-    step = jax.jit(lambda l, r: perception_step(l, r, rig, config))
+    # RPC floor for reference.
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x) * 1.000001
 
-    out = step(left, right)
-    jax.block_until_ready(out)
-
-    n_iters = 20
+    float(trivial(left))
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step(left, right)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
-    fps = 1.0 / dt
+    for i in range(5):
+        float(trivial(left + np.float32(i) * 1e-7))
+    rpc_floor_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    # Single-call latency (1 frame per dispatch, readback forced).
+    @jax.jit
+    def one_frame(l, r):
+        out = perception_step(l, r, rig, config)
+        return jnp.sum(out.disparity) + jnp.sum(out.enhanced_left[::16, ::16])
+
+    float(one_frame(left, right))
+    t0 = time.perf_counter()
+    for i in range(5):
+        float(one_frame(left + np.float32(i) * 1e-7, right))
+    latency_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    # Streaming throughput: N sequential frames inside one dispatch, each
+    # frame's input perturbed by the previous digest (hard data dependency).
+    @jax.jit
+    def stream(l, r):
+        def frame(carry, i):
+            perturb = (carry * 1e-12 + i.astype(jnp.float32) * 1e-7)
+            out = perception_step(l + perturb, r, rig, config)
+            digest = jnp.sum(out.disparity) * 1e-6 + jnp.sum(out.enhanced_left[::64, ::64])
+            return digest, digest
+
+        final, _ = jax.lax.scan(frame, jnp.asarray(0.0, jnp.float32), jnp.arange(N_FRAMES))
+        return final
+
+    float(stream(left, right))  # compile + warm
+    t0 = time.perf_counter()
+    float(stream(left + np.float32(1e-7), right))
+    total = time.perf_counter() - t0
+    fps = N_FRAMES / total
 
     print(
         json.dumps(
@@ -71,6 +113,9 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "streaming_frames": N_FRAMES,
+                "single_dispatch_latency_ms": round(latency_ms, 1),
+                "rpc_floor_ms": round(rpc_floor_ms, 1),
             }
         )
     )

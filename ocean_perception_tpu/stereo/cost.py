@@ -54,10 +54,25 @@ def cost_volume(
     alpha: float = 0.9,
     gl: jnp.ndarray | None = None,
     gr: jnp.ndarray | None = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """(D, H, W) cost volume, D = max_disp, reference X-stencil cost."""
+    """(D, H, W) cost volume, D = max_disp, reference X-stencil cost.
+
+    ``use_pallas=True`` routes to the fused VMEM-resident Pallas kernel
+    (ops/pallas/cost_volume.py) when the images fit its VMEM plan; border
+    columns x < d use edge-padding there (vs edge-select here) — identical on
+    the interior.
+    """
     iml = jnp.asarray(iml, jnp.float32)
     imr = jnp.asarray(imr, jnp.float32)
+    if use_pallas:
+        from ..ops.pallas.cost_volume import pallas_cost_volume, pallas_supported
+
+        if pallas_supported(iml.shape[0], iml.shape[1], max_disp):
+            import jax
+
+            interpret = jax.default_backend() not in ("tpu",)
+            return pallas_cost_volume(iml, imr, max_disp, alpha, interpret=interpret)
     if gl is None:
         gl = gradient_magnitude(iml)
     if gr is None:

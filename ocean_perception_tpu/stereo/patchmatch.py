@@ -104,91 +104,112 @@ def _chunk_columns(W: int, chunks: int, halo: int, pr: int):
     return jnp.clip(cols, 0, W - 1), valid, chunk, w
 
 
-def _propagate_x(C: jnp.ndarray, disp: jnp.ndarray, direction: int, p: PatchMatchParams) -> jnp.ndarray:
-    """One PropagateRow pass (scan along x), all strips and rows in lockstep.
+class _StripLayout(NamedTuple):
+    """Precomputed per-orientation strip views (built once, used by all
+    passes/iterations — the gathers dominate HBM traffic otherwise)."""
 
-    C: (D, H, W) volume; disp: (H, W) float. Returns updated disp.
-    """
+    Cc: jnp.ndarray        # (w, chunks, N, D) overlapped volume slices
+    pos_clipped: jnp.ndarray  # (chunks, w) absolute scan positions
+    valid: jnp.ndarray     # (w, chunks) CUDA loop-bound validity
+    x_of: jnp.ndarray      # (w, chunks, 1) or (1, N): epipolar x per element
+    lane_ok: jnp.ndarray   # (N,) validity of the non-scan axis
+    chunk: int
+    w: int
+
+
+def _layout_rows(C: jnp.ndarray, p: PatchMatchParams) -> _StripLayout:
+    """Row-pass layout: scan along x; slab per step = (chunks, H, D)."""
     D, H, W = C.shape
     pr = p.patch_radius
     cols_clipped, valid_pos, chunk, w = _chunk_columns(W, p.chunks, p.halo, pr)
-
-    # Scan xs with LEADING scan axis (lax.scan slices axis 0 per step — the
-    # layout the TPU DMA wants): (w, chunks, H, D) volume, (w, chunks, H) disp.
-    C_hw_d = jnp.transpose(C, (2, 1, 0))           # (W, H, D)
-    Cc = jnp.transpose(C_hw_d[cols_clipped], (1, 0, 2, 3))       # (w, chunks, H, D)
-    dispc = jnp.transpose(jnp.transpose(disp, (1, 0))[cols_clipped], (1, 0, 2))  # (w, chunks, H)
-
-    # Row validity (skip rows without stencil padding).
-    row_ok = (jnp.arange(H) >= pr) & (jnp.arange(H) <= H - pr - 1)
-
-    x_of_step = jnp.transpose(cols_clipped, (1, 0)).astype(disp.dtype)  # (w, chunks)
-    valid_t = jnp.transpose(valid_pos, (1, 0))                           # (w, chunks)
-
-    if direction < 0:
-        Cc, dispc = Cc[::-1], dispc[::-1]
-        x_of_step, valid_t = x_of_step[::-1], valid_t[::-1]
-
-    # Initial carry: disp at the predecessor of the first scan position.
-    first_col = cols_clipped[:, 0 if direction > 0 else -1]
-    pred_col = jnp.clip(first_col - direction, 0, W - 1)
-    carry0 = jnp.transpose(disp, (1, 0))[pred_col]  # (chunks, H)
-
-    def step(carry, xs):
-        Cj, cur, x_row, ok_row = xs
-        x = x_row[:, None]
-        cost_cur = _lookup_cost(Cj, cur, x, pr)
-        cost_cand = _lookup_cost(Cj, carry, x, pr)
-        better = (cost_cand < cost_cur) & ok_row[:, None] & row_ok[None, :]
-        new = jnp.where(better, jnp.minimum(carry, x - pr), cur)
-        return new, new
-
-    _, outs = jax.lax.scan(step, carry0, (Cc, dispc, x_of_step, valid_t))  # (w, chunks, H)
-    # Undo scan order.
-    outs = outs if direction > 0 else outs[::-1]
-    # Keep each strip's interior (the owning chunk wins overlapped columns).
-    interior = jnp.transpose(outs, (1, 0, 2))[:, p.halo : p.halo + chunk]  # (chunks, chunk, H)
-    return jnp.transpose(interior.reshape(W, H), (1, 0))
+    C_hw_d = jnp.transpose(C, (2, 1, 0))  # (W, H, D)
+    Cc = jnp.transpose(C_hw_d[cols_clipped], (1, 0, 2, 3))  # (w, chunks, H, D)
+    x_of = jnp.transpose(cols_clipped, (1, 0)).astype(jnp.float32)[:, :, None]  # (w, chunks, 1)
+    lane_ok = (jnp.arange(H) >= pr) & (jnp.arange(H) <= H - pr - 1)
+    return _StripLayout(Cc, cols_clipped, jnp.transpose(valid_pos, (1, 0)), x_of, lane_ok, chunk, w)
 
 
-def _propagate_y(C: jnp.ndarray, disp: jnp.ndarray, direction: int, p: PatchMatchParams) -> jnp.ndarray:
-    """One PropagateCol pass: scan along y by transposing the spatial axes.
-
-    The disparity axis stays the x-shift axis; only the scan runs over rows.
-    The x - patch_radius clamp applies to the *column* coordinate, so the
-    lookup uses each pixel's own x, not the scan coordinate.
-    """
+def _layout_cols(C: jnp.ndarray, p: PatchMatchParams) -> _StripLayout:
+    """Col-pass layout: scan along y; slab per step = (chunks, W, D)."""
     D, H, W = C.shape
     pr = p.patch_radius
     rows_clipped, valid_pos, chunk, w = _chunk_columns(H, p.chunks, p.halo, pr)
-
-    C_h_wd = jnp.transpose(C, (1, 2, 0))            # (H, W, D)
+    C_h_wd = jnp.transpose(C, (1, 2, 0))  # (H, W, D)
     Cc = jnp.transpose(C_h_wd[rows_clipped], (1, 0, 2, 3))  # (w, chunks, W, D)
-    dispc = jnp.transpose(disp[rows_clipped], (1, 0, 2))     # (w, chunks, W)
+    x_of = jnp.arange(W, dtype=jnp.float32)[None, :]  # broadcast (1, W)
+    lane_ok = (jnp.arange(W) >= pr) & (jnp.arange(W) <= W - pr - 1)
+    return _StripLayout(Cc, rows_clipped, jnp.transpose(valid_pos, (1, 0)), x_of, lane_ok, chunk, w)
 
-    col_ok = (jnp.arange(W) >= pr) & (jnp.arange(W) <= W - pr - 1)
-    x_coord = jnp.arange(W, dtype=disp.dtype)[None, :]  # (1, W)
-    valid_t = jnp.transpose(valid_pos, (1, 0))           # (w, chunks)
+
+def _propagate(
+    layout: _StripLayout,
+    disp: jnp.ndarray,       # (H, W)
+    cost_map: jnp.ndarray,   # (H, W) cost at the current disparities
+    direction: int,
+    axis: int,               # 1 = scan along x (rows pass), 0 = along y
+    p: PatchMatchParams,
+):
+    """One directional pass. Carries (front disp, front cost); per step only
+    the *candidate* cost needs a one-hot lookup — the current pixel's cost
+    comes from the maintained cost map. Returns updated (disp, cost_map)."""
+    H, W = disp.shape
+    pr = p.patch_radius
+
+    if axis == 1:  # values indexed [pos, lane] = [x, y]
+        vals_d = jnp.transpose(disp, (1, 0))[layout.pos_clipped]   # (chunks, w, H)
+        vals_c = jnp.transpose(cost_map, (1, 0))[layout.pos_clipped]
+    else:          # [pos, lane] = [y, x]
+        vals_d = disp[layout.pos_clipped]                           # (chunks, w, W)
+        vals_c = cost_map[layout.pos_clipped]
+    vals_d = jnp.transpose(vals_d, (1, 0, 2))  # (w, chunks, N)
+    vals_c = jnp.transpose(vals_c, (1, 0, 2))
+
+    Cc, valid, x_of = layout.Cc, layout.valid, layout.x_of
+    if direction < 0:
+        Cc, vals_d, vals_c, valid = Cc[::-1], vals_d[::-1], vals_c[::-1], valid[::-1]
+        x_of = x_of[::-1] if x_of.shape[0] == layout.w else x_of
+
+    first = layout.pos_clipped[:, 0 if direction > 0 else -1]
+    pred = jnp.clip(first - direction, 0, (W if axis == 1 else H) - 1)
+    if axis == 1:
+        carry_d0 = jnp.transpose(disp, (1, 0))[pred]
+    else:
+        carry_d0 = disp[pred]
+
+    lane_ok = layout.lane_ok[None, :]
+
+    def step(carry_d, xs):
+        if x_of.shape[0] == layout.w:
+            Cj, cur_d, cur_c, ok_row, x = xs
+        else:
+            Cj, cur_d, cur_c, ok_row = xs
+            x = x_of
+        cost_cand = _lookup_cost(Cj, carry_d, x, pr)
+        better = (cost_cand < cur_c) & ok_row[:, None] & lane_ok
+        new_d = jnp.where(better, jnp.minimum(carry_d, x - pr), cur_d)
+        new_c = jnp.where(better, cost_cand, cur_c)
+        return new_d, (new_d, new_c)
+
+    if x_of.shape[0] == layout.w:
+        xs = (Cc, vals_d, vals_c, valid, x_of)
+    else:
+        xs = (Cc, vals_d, vals_c, valid)
+    _, (out_d, out_c) = jax.lax.scan(step, carry_d0, xs)
 
     if direction < 0:
-        Cc, dispc, valid_t = Cc[::-1], dispc[::-1], valid_t[::-1]
-
-    first_row = rows_clipped[:, 0 if direction > 0 else -1]
-    pred_row = jnp.clip(first_row - direction, 0, H - 1)
-    carry0 = disp[pred_row]                          # (chunks, W)
-
-    def step(carry, xs):
-        Cj, cur, ok_row = xs
-        cost_cur = _lookup_cost(Cj, cur, x_coord, pr)
-        cost_cand = _lookup_cost(Cj, carry, x_coord, pr)
-        better = (cost_cand < cost_cur) & ok_row[:, None] & col_ok[None, :]
-        new = jnp.where(better, jnp.minimum(carry, x_coord - pr), cur)
-        return new, new
-
-    _, outs = jax.lax.scan(step, carry0, (Cc, dispc, valid_t))  # (w, chunks, W)
-    outs = outs if direction > 0 else outs[::-1]
-    interior = jnp.transpose(outs, (1, 0, 2))[:, p.halo : p.halo + chunk]  # (chunks, chunk, W)
-    return interior.reshape(H, W)
+        out_d, out_c = out_d[::-1], out_c[::-1]
+    halo, chunk = p.halo, layout.chunk
+    out_d = jnp.transpose(out_d, (1, 0, 2))[:, halo : halo + chunk]
+    out_c = jnp.transpose(out_c, (1, 0, 2))[:, halo : halo + chunk]
+    if axis == 1:
+        n = out_d.shape[0] * chunk  # = W
+        new_disp = jnp.transpose(out_d.reshape(n, H), (1, 0))
+        new_cost = jnp.transpose(out_c.reshape(n, H), (1, 0))
+    else:
+        n = out_d.shape[0] * chunk  # = H
+        new_disp = out_d.reshape(n, W)
+        new_cost = out_c.reshape(n, W)
+    return new_disp, new_cost
 
 
 def mask_background(C: jnp.ndarray, disp: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
@@ -238,14 +259,29 @@ class PatchMatchResult(NamedTuple):
     left_raw: jnp.ndarray   # before occlusion masking
 
 
+def _full_cost_map(C: jnp.ndarray, disp: jnp.ndarray, pr: int) -> jnp.ndarray:
+    """(H, W) cost of each pixel's current (clamped) disparity — one
+    vectorized volume sweep, maintained incrementally by the passes."""
+    D, H, W = C.shape
+    x = jnp.arange(W, dtype=disp.dtype)[None, :]
+    d_eff = jnp.minimum(disp, x - pr)
+    idx = jnp.clip(jnp.round(d_eff), 0, D - 1).astype(jnp.int32)
+    ids = jnp.arange(D, dtype=jnp.int32).reshape(D, 1, 1)
+    onehot = (idx[None] == ids).astype(C.dtype)
+    return jnp.sum(C * onehot, axis=0)
+
+
 def _match_one_side(C: jnp.ndarray, seed: jnp.ndarray, noise: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
+    rows = _layout_rows(C, p)
+    cols = _layout_cols(C, p)
     disp = seed
     for it in range(p.iters):
         disp = add_foreground_noise(disp, noise, p.noise_scale0 / 2.0**it)
-        disp = _propagate_x(C, disp, +1, p)
-        disp = _propagate_y(C, disp, +1, p)
-        disp = _propagate_x(C, disp, -1, p)
-        disp = _propagate_y(C, disp, -1, p)
+        cost = _full_cost_map(C, disp, p.patch_radius)
+        disp, cost = _propagate(rows, disp, cost, +1, 1, p)
+        disp, cost = _propagate(cols, disp, cost, +1, 0, p)
+        disp, cost = _propagate(rows, disp, cost, -1, 1, p)
+        disp, cost = _propagate(cols, disp, cost, -1, 0, p)
     return mask_background(C, disp, p)
 
 
@@ -271,8 +307,12 @@ def patchmatch_disparity(
     if seed_right is None:
         seed_right = sparse_wta_seed(C_r, params)
 
-    disp_l = _match_one_side(C_l, seed_left, noise, params)
-    disp_r = _match_one_side(C_r, seed_right, noise, params)
+    # Both sides propagate in lockstep (vmap doubles slab width per scan step
+    # instead of doubling the number of latency-bound sequential steps).
+    disp_lr = jax.vmap(lambda C, s: _match_one_side(C, s, noise, params))(
+        jnp.stack([C_l, C_r]), jnp.stack([seed_left, seed_right])
+    )
+    disp_l, disp_r = disp_lr[0], disp_lr[1]
 
     if params.subpixel:
         int_l = jnp.clip(jnp.round(disp_l), 0, params.max_disp - 1).astype(jnp.int32)

@@ -49,6 +49,10 @@ class SmootherConfig:
     bias_rw_accel_sigma: float = struct.field(pytree_node=False, default=1e-3)
     no_motion_rot_sigma: float = struct.field(pytree_node=False, default=0.05)
     no_motion_trans_sigma: float = struct.field(pytree_node=False, default=0.1)
+    mag_sigma: float = struct.field(pytree_node=False, default=0.1)
+    mag_scale: float = struct.field(pytree_node=False, default=1.0)
+    # World-frame field direction (config/shared mag0.local_field).
+    mag_local_field: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 1.0))
     imu_sigma_floor: float = struct.field(pytree_node=False, default=1e-5)
     max_ranges: int = struct.field(pytree_node=False, default=4)
 
@@ -74,6 +78,8 @@ class KeyposeWindow(NamedTuple):
     ranges: jnp.ndarray        # (M, B)
     range_beacons: jnp.ndarray  # (M, B, 3)
     range_valid: jnp.ndarray   # (M, B)
+    mag: jnp.ndarray           # (M, 3) measured field, sensor==body frame
+    mag_valid: jnp.ndarray     # (M,)
     # Prior on slot 0 (marginalization anchor): mean uses slot-0 state.
     prior_sqrt_info: jnp.ndarray  # (15, 15)
     prior_R: jnp.ndarray          # (3, 3)
@@ -104,6 +110,8 @@ def make_window(config: SmootherConfig, n_imu: int, dtype=jnp.float64) -> Keypos
         ranges=jnp.zeros((M, B), dtype),
         range_beacons=jnp.zeros((M, B, 3), dtype),
         range_valid=jnp.zeros((M, B), bool),
+        mag=jnp.zeros((M, 3), dtype),
+        mag_valid=jnp.zeros(M, bool),
         prior_sqrt_info=jnp.eye(15, dtype=dtype) * 10.0,
         prior_R=jnp.eye(3, dtype=dtype),
         prior_p=jnp.zeros(3, dtype),
@@ -208,6 +216,12 @@ def _residuals(
     r_range = (dist - win.ranges) / config.range_sigma
     res.append((r_range * (win.range_valid & win.valid[:, None]).astype(dtype)).reshape(-1))
 
+    # -- magnetometer heading factors (MagPoseFactor parity) ------------------
+    local_field = jnp.asarray(config.mag_local_field, dtype) * config.mag_scale
+    mag_pred = jnp.einsum("mji,j->mi", w.R, local_field)  # R^T · world field
+    r_mag = (mag_pred - win.mag) / config.mag_sigma
+    res.append((r_mag * (win.mag_valid & win.valid).astype(dtype)[:, None]).reshape(-1))
+
     # -- no-motion fallback (neither VO nor IMU between a valid pair) ---------
     nm_ok = (pair_ok & ~win.vo_valid & ~win.imu_valid).astype(dtype)[:, None]
     r_nm = jnp.concatenate(
@@ -311,6 +325,7 @@ def slide_window(win: KeyposeWindow, cov_slot1: jnp.ndarray) -> KeyposeWindow:
         depth=shift(win.depth), depth_valid=shift(win.depth_valid),
         ranges=shift(win.ranges), range_beacons=shift(win.range_beacons),
         range_valid=shift(win.range_valid),
+        mag=shift(win.mag), mag_valid=shift(win.mag_valid),
     )
     # Invalidate the freed last slot.
     out = out._replace(
@@ -319,6 +334,7 @@ def slide_window(win: KeyposeWindow, cov_slot1: jnp.ndarray) -> KeyposeWindow:
         imu_valid=out.imu_valid.at[-1].set(False),
         depth_valid=out.depth_valid.at[-1].set(False),
         range_valid=out.range_valid.at[-1].set(False),
+        mag_valid=out.mag_valid.at[-1].set(False),
     )
     # New anchor: slot 0's state with sqrt information from its marginal.
     info = jnp.linalg.inv(cov_slot1 + 1e-9 * jnp.eye(15, dtype=cov_slot1.dtype))

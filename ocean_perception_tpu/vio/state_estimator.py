@@ -115,6 +115,7 @@ class StateEstimator:
         self.imu_manager: DataManager[ImuMeasurement] = DataManager(max_size=10000)
         self.depth_manager: DataManager[DepthMeasurement] = DataManager(max_size=1000)
         self.range_manager: DataManager[RangeMeasurement] = DataManager(max_size=1000)
+        self.mag_manager: DataManager[MagMeasurement] = DataManager(max_size=1000)
 
         # Smoother window.
         self.window = make_window(params.smoother, params.max_imu_per_keypose)
@@ -180,6 +181,9 @@ class StateEstimator:
             self.ekf_state = ekf_update_range(
                 self.ekf_state, m.range, jnp.asarray(m.point, jnp.float64), self.ekf_params
             )
+
+    def receive_mag(self, m: MagMeasurement) -> None:
+        self.mag_manager.push(m)
 
     def receive_stereo(self, m: StereoImage) -> None:
         vo = self.frontend.track(m.left, m.right)
@@ -267,11 +271,18 @@ class StateEstimator:
         items = self.range_manager.pop_until(t + tol)
         return [(m.range, np.asarray(m.point, np.float64)) for m in items[-self.params.smoother.max_ranges:]]
 
+    def _gather_mag(self, t: int) -> Optional[np.ndarray]:
+        tol = int(self.params.depth_tolerance * 1e9)
+        self.mag_manager.discard_before(t - tol)
+        items = self.mag_manager.pop_until(t + tol)
+        return np.asarray(items[-1].field, np.float64) if items else None
+
     def _newest_slot(self) -> int:
         return min(self._n_keyposes, self.params.smoother.window) - 1
 
     def _push_keypose(
-        self, timestamp, R, p, v, vo_T, imu_rows, depth, ranges, prior_anchor=False
+        self, timestamp, R, p, v, vo_T, imu_rows, depth, ranges,
+        mag=None, prior_anchor=False,
     ) -> None:
         cfg = self.params.smoother
         win = self.window
@@ -317,6 +328,8 @@ class StateEstimator:
             ranges=win.ranges.at[slot].set(jnp.asarray(rng_vals)),
             range_beacons=win.range_beacons.at[slot].set(jnp.asarray(rng_beacons)),
             range_valid=win.range_valid.at[slot].set(jnp.asarray(rng_valid)),
+            mag=win.mag.at[slot].set(jnp.asarray(mag if mag is not None else np.zeros(3))),
+            mag_valid=win.mag_valid.at[slot].set(mag is not None),
         )
         if prior_anchor:
             win = win._replace(

@@ -51,6 +51,17 @@ def gamma_to_linear(image: jnp.ndarray, gamma_power: float = 2.2) -> jnp.ndarray
     return jnp.power(jnp.maximum(image, 0.0), gamma_power)
 
 
+def normalize_color_illuminant(image: jnp.ndarray, sigma: float = 15.0) -> jnp.ndarray:
+    """Remove the global color cast using a local illuminant estimate
+    (NormalizeColorIlluminant): divide by a heavily blurred per-channel
+    illuminant and renormalize to gray."""
+    from ..ops.image import gaussian_blur
+
+    il = jnp.stack([gaussian_blur(image[..., c], sigma) for c in range(image.shape[-1])], axis=-1)
+    out = image / jnp.maximum(il, 1e-3)
+    return jnp.clip(out * jnp.mean(il), 0.0, 1.0)
+
+
 def sharpen(gray: jnp.ndarray, amount: float = 1.0, sigma: float = 1.0) -> jnp.ndarray:
     """Unsharp mask (Sharpen)."""
     from ..ops.image import gaussian_blur

@@ -37,41 +37,78 @@ class SgmParams:
     subpixel: bool = struct.field(pytree_node=False, default=True)
     uniqueness: float = struct.field(pytree_node=False, default=0.95)
     lr_threshold: float = struct.field(pytree_node=False, default=1.5)
+    # Strip-parallel scans: split each directional pass into `chunks` strips
+    # with `halo` warm-up rows (same decomposition as the PatchMatch CUDA
+    # grid). Paths are truncated at strip borders minus the halo — the
+    # standard tiled-SGM approximation; 1 = exact full-image paths.
+    chunks: int = struct.field(pytree_node=False, default=8)
+    halo: int = struct.field(pytree_node=False, default=8)
     # Zero out pixels whose aggregated d=0 cost is nearly as good as the best
     # (the PatchMatch MaskBackground analog); None disables.
     background_improve: float | None = struct.field(pytree_node=False, default=None)
 
 
-def _directional_pass(C_sweep: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
-    """Aggregate along axis 0 of (N, M, D), forward direction."""
-    D = C_sweep.shape[-1]
+def _sgm_step(prev, c_row, p1, p2, big):
+    """One SGM recurrence step: prev (..., M, D) -> out (..., M, D)."""
+    prev_min = jnp.min(prev, axis=-1, keepdims=True)
+    up = jnp.concatenate([jnp.full_like(prev[..., :1], big), prev[..., :-1]], axis=-1)
+    down = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], big)], axis=-1)
+    best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, down) + p1), prev_min + p2)
+    return c_row + best - prev_min
+
+
+def _directional_pass(C_sweep: jnp.ndarray, p1: float, p2: float,
+                      chunks: int = 1, halo: int = 0) -> jnp.ndarray:
+    """Aggregate along axis 0 of (N, M, D), forward direction.
+
+    chunks > 1: the N axis splits into strips processed in lockstep (scan
+    length N/chunks + halo instead of N); each strip warms up over `halo`
+    predecessor rows so truncation effects stay near strip seams.
+    """
+    N, M, D = C_sweep.shape
     big = jnp.asarray(1e9, C_sweep.dtype)
 
+    # Largest divisor of N that is <= chunks.
+    c = min(chunks, N)
+    while N % c != 0:
+        c -= 1
+    if c <= 1:
+        def step(prev, c_row):
+            out = _sgm_step(prev, c_row, p1, p2, big)
+            return out, out
+
+        init = C_sweep[0]
+        _, rest = jax.lax.scan(step, init, C_sweep[1:])
+        return jnp.concatenate([init[None], rest], axis=0)
+
+    n = N // c
+    w = n + halo
+    s = jnp.arange(c)[:, None]
+    j = jnp.arange(w)[None, :]
+    pos = jnp.clip(s * n - halo + j, 0, N - 1)      # (c, w) absolute rows
+    Cc = jnp.transpose(C_sweep[pos], (1, 0, 2, 3))   # (w, c, M, D)
+
     def step(prev, c_row):
-        # prev: (M, D) aggregated costs of the previous scan front.
-        prev_min = jnp.min(prev, axis=-1, keepdims=True)
-        up = jnp.concatenate([jnp.full_like(prev[..., :1], big), prev[..., :-1]], axis=-1)
-        down = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], big)], axis=-1)
-        best = jnp.minimum(
-            jnp.minimum(prev, jnp.minimum(up, down) + p1), prev_min + p2
-        )
-        out = c_row + best - prev_min
+        out = _sgm_step(prev, c_row, p1, p2, big)
         return out, out
 
-    init = C_sweep[0]
-    _, rest = jax.lax.scan(step, init, C_sweep[1:])
-    return jnp.concatenate([init[None], rest], axis=0)
+    init = Cc[0]
+    _, outs = jax.lax.scan(step, init, Cc[1:])       # (w-1, c, M, D)
+    outs = jnp.concatenate([init[None], outs], axis=0)
+    interior = jnp.transpose(outs, (1, 0, 2, 3))[:, halo:]   # (c, n, M, D)
+    return interior.reshape(N, M, D)
 
 
 def sgm_aggregate(C: jnp.ndarray, params: SgmParams) -> jnp.ndarray:
     """Sum of 4 directional passes. C: (D, H, W) → S: (D, H, W)."""
     p1, p2 = params.p1, params.p2
+    ck, hl = params.chunks, params.halo
     Cv = jnp.transpose(C, (1, 2, 0))  # (H, W, D): vertical scans
-    down = _directional_pass(Cv, p1, p2)
-    up = _directional_pass(Cv[::-1], p1, p2)[::-1]
+    down = _directional_pass(Cv, p1, p2, ck, hl)
+    up = _directional_pass(Cv[::-1], p1, p2, ck, hl)[::-1]
     Ch = jnp.transpose(C, (2, 1, 0))  # (W, H, D): horizontal scans
-    right = _directional_pass(Ch, p1, p2)
-    left = _directional_pass(Ch[::-1], p1, p2)[::-1]
+    right = _directional_pass(Ch, p1, p2, ck, hl)
+    left = _directional_pass(Ch[::-1], p1, p2, ck, hl)[::-1]
     S = down + up + jnp.transpose(right, (1, 0, 2)) + jnp.transpose(left, (1, 0, 2))
     return jnp.transpose(S, (2, 0, 1))  # back to (D, H, W)
 
@@ -115,8 +152,9 @@ def sgm_disparity(
     C_l = cost_volume(iml, imr, params.max_disp, params.alpha)
     C_r = right_cost_volume_from_left(C_l)
 
-    S_l = sgm_aggregate(C_l, params)
-    S_r = sgm_aggregate(C_r, params)
+    # Both sides aggregate in lockstep (wider slabs beat 2x the scan steps).
+    S_lr = jax.vmap(lambda C: sgm_aggregate(C, params))(jnp.stack([C_l, C_r]))
+    S_l, S_r = S_lr[0], S_lr[1]
 
     d_l = _wta_with_masks(S_l, params)
     d_r = _wta_with_masks(S_r, params)

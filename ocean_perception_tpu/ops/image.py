@@ -93,14 +93,21 @@ def gaussian_blur(image: jnp.ndarray, sigma: float, radius: int | None = None) -
 
 
 def _reduce_window_2d(image: jnp.ndarray, ksize: Tuple[int, int], init, op) -> jnp.ndarray:
-    """Same-size min/max window reduce with edge padding."""
+    """Same-size min/max window reduce with edge padding.
+
+    Rect min/max is separable: two 1-D passes (kh + kw work per pixel
+    instead of kh*kw — a 35x35 mesher/seed dilation is ~17x cheaper)."""
     kh, kw = ksize
     ry, rx = kh // 2, kw // 2
-    pad = [(ry, kh - 1 - ry), (rx, kw - 1 - rx)] + [(0, 0)] * (image.ndim - 2)
-    padded = jnp.pad(image, pad, mode="edge")
-    window = (kh, kw) + (1,) * (image.ndim - 2)
+    pad_y = [(ry, kh - 1 - ry)] + [(0, 0)] * (image.ndim - 1)
+    padded = jnp.pad(image, pad_y, mode="edge")
+    window_y = (kh,) + (1,) * (image.ndim - 1)
     strides = (1,) * image.ndim
-    return jax.lax.reduce_window(padded, init, op, window, strides, "VALID")
+    out = jax.lax.reduce_window(padded, init, op, window_y, strides, "VALID")
+    pad_x = [(0, 0), (rx, kw - 1 - rx)] + [(0, 0)] * (image.ndim - 2)
+    padded = jnp.pad(out, pad_x, mode="edge")
+    window_x = (1, kw) + (1,) * (image.ndim - 2)
+    return jax.lax.reduce_window(padded, init, op, window_x, strides, "VALID")
 
 
 def dilate(image: jnp.ndarray, ksize: int) -> jnp.ndarray:

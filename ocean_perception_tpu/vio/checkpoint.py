@@ -1,0 +1,74 @@
+"""Estimator state checkpoint/resume.
+
+The reference has NO checkpointing (SURVEY.md §5.4: state lives in memory;
+re-initialization comes from an external pose). This module adds it: the
+smoother window, EKF state, and engine counters serialize to a single
+``.npz`` (pytree leaves flattened by path), so a node can restart mid-mission
+and resume smoothing where it left off.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray]) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    for path, leaf in leaves:
+        key = prefix + jax.tree_util.keystr(path)
+        out[key] = np.asarray(leaf)
+
+
+def save_estimator(est, path: str) -> None:
+    """Serialize a StateEstimator's resumable state to `path` (.npz)."""
+    data: Dict[str, np.ndarray] = {
+        "__version__": np.asarray(FORMAT_VERSION),
+        "n_keyposes": np.asarray(est._n_keyposes),
+        "last_keypose_t": np.asarray(est._last_keypose_t if est._last_keypose_t is not None else -1),
+        "ekf_time": np.asarray(est._ekf_time if est._ekf_time is not None else -1),
+        "mode": np.asarray(est.mode.value),
+    }
+    _flatten(est.window, "window", data)
+    if est.ekf_state is not None:
+        _flatten(est.ekf_state, "ekf", data)
+    np.savez_compressed(path, **data)
+
+
+def load_estimator(est, path: str) -> None:
+    """Restore state saved by save_estimator into a freshly constructed
+    StateEstimator (same params/window geometry)."""
+    from .ekf import EkfState
+    from .state_estimator import SmootherMode
+
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    assert int(data["__version__"]) == FORMAT_VERSION
+
+    def _unflatten(template, prefix):
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        new_leaves = []
+        for path_, leaf in leaves:
+            key = prefix + jax.tree_util.keystr(path_)
+            arr = data[key]
+            new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    est.window = _unflatten(est.window, "window")
+    if any(k.startswith("ekf") for k in data):
+        if est.ekf_state is None:
+            from .ekf import ekf_initialize
+
+            est.ekf_state = ekf_initialize(dtype=jnp.float64)
+        est.ekf_state = _unflatten(est.ekf_state, "ekf")
+    est._n_keyposes = int(data["n_keyposes"])
+    lk = int(data["last_keypose_t"])
+    est._last_keypose_t = lk if lk >= 0 else None
+    et = int(data["ekf_time"])
+    est._ekf_time = et if et >= 0 else None
+    est.mode = SmootherMode(int(data["mode"]))

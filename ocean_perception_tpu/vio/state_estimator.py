@@ -133,6 +133,13 @@ class StateEstimator:
         self.smoother_callbacks: List[Callable[[SmootherResult], None]] = []
         self.filter_callbacks: List[Callable[[StateStamped], None]] = []
 
+        # Per-stage latency stats (reference: StatsTracker use at
+        # state_estimator.cpp:395-396, 427-428).
+        from ..utils.timing import StatsTracker
+
+        self.stats = StatsTracker("state_estimator")
+        self.print_stats = False
+
         self._solve = jax.jit(
             lambda win, pims, slot: solve_window(
                 win,
@@ -347,9 +354,14 @@ class StateEstimator:
     def _run_smoother(self, timestamp: int) -> None:
         if self._n_keyposes < 2:
             return
+        import time as _time
+
+        t0 = _time.perf_counter()
         pims = preintegrate_window(self.window, self.params.imu_calib)
         slot = jnp.asarray(self._newest_slot(), jnp.int32)
         self.window, result = self._solve(self.window, pims, slot)
+        jax.block_until_ready(result.p)
+        self.stats.add("smoother_update_ms", (_time.perf_counter() - t0) * 1e3, self.print_stats)
         self._last_smoother_result = result
         for cb in self.smoother_callbacks:
             cb(result)

@@ -25,4 +25,4 @@ from .normalization import (  # noqa: F401
     correct_color_ratio,
     normalize_unit,
 )
-from .enhance import enhance_underwater, EnhanceInfo, EnhanceParams  # noqa: F401
+from .enhance import enhance_underwater, EnhanceInfo, EnhanceParams, EnhanceSequence  # noqa: F401

@@ -98,3 +98,26 @@ def enhance_underwater(
         success_attenuation=beta_fit.error < 0.1,
     )
     return out, info
+
+
+class EnhanceSequence:
+    """Stateful sequence driver: reuse the last successful beta_D fit as the
+    next frame's initial guess (reference enhance_test.cpp:117-148 — the fit
+    is expensive to re-converge and water properties drift slowly)."""
+
+    def __init__(self, params: EnhanceParams = EnhanceParams(), beta_D_guess=None):
+        import jax
+
+        from .formation import BETA_GUESS_1
+
+        self.params = params
+        self._guess = jnp.asarray(BETA_GUESS_1 if beta_D_guess is None else beta_D_guess)
+        self._step = jax.jit(
+            lambda img, rng, guess: enhance_underwater(img, rng, params, guess)
+        )
+
+    def __call__(self, image, range_img):
+        out, info = self._step(jnp.asarray(image, jnp.float32), jnp.asarray(range_img, jnp.float32), self._guess)
+        if bool(info.success_attenuation):
+            self._guess = info.beta_D
+        return out, info

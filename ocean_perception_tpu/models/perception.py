@@ -64,7 +64,9 @@ def perception_step(
 
     d_small = config.max_disp // scale if scale > 1 else config.max_disp
     if config.engine == "patchmatch":
-        pm = PatchMatchParams(max_disp=d_small)
+        # Production operating point: wider strip decomposition (shorter
+        # latency-bound scans) and WTA right map for the occlusion check.
+        pm = PatchMatchParams(max_disp=d_small, chunks=32, right_wta=True)
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
     elif config.engine == "sgm":
         sp = SgmParams(max_disp=d_small)

@@ -48,7 +48,7 @@ def _cost_kernel(l_ref, rpad_ref, gl_ref, grpad_ref, out_ref, *, D: int, W: int,
     acc = e
     for dy, dx in STENCIL_OFFSETS:
         acc = acc + jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (H, W))
-    out_ref[0] = acc
+    out_ref[:, :, 0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "alpha", "interpret"))
@@ -59,7 +59,7 @@ def pallas_cost_volume(
     alpha: float = 0.9,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(D, H, W) cost volume; parity with stereo.cost.cost_volume."""
+    """(H, W, D) cost volume; parity with stereo.cost.cost_volume."""
     iml = jnp.asarray(iml, jnp.float32)
     imr = jnp.asarray(imr, jnp.float32)
     H, W = iml.shape
@@ -81,7 +81,7 @@ def pallas_cost_volume(
             pl.BlockSpec((H, W), lambda d: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, W + D), lambda d: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W), lambda d: (d, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, H, W), jnp.float32),
+        out_specs=pl.BlockSpec((H, W, 1), lambda d: (0, 0, d), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, W, D), jnp.float32),
         interpret=interpret,
     )(iml, rpad, gl, grpad)

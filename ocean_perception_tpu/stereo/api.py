@@ -41,19 +41,19 @@ def wta_disparity(
     """Winner-take-all over the reference cost (block-matching equivalent)."""
     C = cost_volume(iml, imr, max_disp, alpha)
     C_r = right_cost_volume_from_left(C)
-    d_l = jnp.argmin(C, axis=0).astype(jnp.int32)
-    d_r = jnp.argmin(C_r, axis=0).astype(jnp.int32)
+    d_l = jnp.argmin(C, axis=-1).astype(jnp.int32)
+    d_r = jnp.argmin(C_r, axis=-1).astype(jnp.int32)
     if subpixel:
         disp_l = subpixel_refine(C, d_l)
         disp_r = subpixel_refine(C_r, d_r)
     else:
         disp_l = d_l.astype(jnp.float32)
         disp_r = d_r.astype(jnp.float32)
-    # LR consistency.
-    W = disp_l.shape[1]
-    x = jnp.arange(W, dtype=disp_l.dtype)[None, :]
-    xr = jnp.clip(jnp.round(x - disp_l), 0, W - 1).astype(jnp.int32)
-    dr = jnp.take_along_axis(disp_r, xr, axis=1)
+    # LR consistency (gather-free).
+    from .cost import sample_at_disparity
+
+    d_int = jnp.clip(jnp.round(disp_l), 0, max_disp - 1).astype(jnp.int32)
+    dr = sample_at_disparity(disp_r, d_int, max_disp)
     ok = jnp.abs(dr - disp_l) <= 1.5
     return DisparityResult(jnp.where(ok, disp_l, 0.0), disp_r, disp_l)
 

@@ -8,9 +8,10 @@ whole volume is D static rolls + elementwise work + a 5-tap stencil sum —
 pure VPU streams, no gathers. This is the TPU-first reformulation that turns
 the CUDA kernel's per-thread scalar loops into dense lane-parallel math.
 
-Layout: (D, H, W) float32 — disparity-major so each plane is a contiguous
-(H, W) image (friendly to both XLA fusion and the Pallas SGM kernel's
-per-row slab streaming).
+Layout: (H, W, D) float32 — disparity-MINOR. The propagation/SGM scans and
+every per-pixel disparity lookup want (…, D) slabs; keeping D on the lane
+axis means no major-axis relayouts (a (D,H,W)→(…,D) transpose on TPU is a
+full re-tiling copy and dominated the pipeline before this layout).
 """
 
 from __future__ import annotations
@@ -56,7 +57,7 @@ def cost_volume(
     gr: jnp.ndarray | None = None,
     use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """(D, H, W) cost volume, D = max_disp, reference X-stencil cost.
+    """(H, W, D) cost volume, D = max_disp, reference X-stencil cost.
 
     ``use_pallas=True`` routes to the fused VMEM-resident Pallas kernel
     (ops/pallas/cost_volume.py) when the images fit its VMEM plan; border
@@ -84,40 +85,60 @@ def cost_volume(
         e = alpha * jnp.abs(iml - rd) + (1.0 - alpha) * jnp.abs(gl - gd)
         return _stencil_sum(e)
 
-    return jnp.stack([plane(d) for d in range(max_disp)], axis=0)
+    return jnp.stack([plane(d) for d in range(max_disp)], axis=-1)
 
 
 def right_cost_volume_from_left(C: jnp.ndarray) -> jnp.ndarray:
-    """Derive the right-image cost volume: C_R(d, y, x) = C_L(d, y, x+d).
+    """Derive the right-image cost volume: C_R(y, x, d) = C_L(y, x+d, d).
 
     Standard cost-volume reuse — avoids recomputing matching costs for the
     right disparity map (the reference instead reruns its whole pipeline on
     horizontally flipped images; this is the cheap TPU equivalent).
     """
-    D = C.shape[0]
+    D = C.shape[-1]
+    W = C.shape[1]
+    col = jnp.arange(W)[None, :]
 
     def plane(d: int) -> jnp.ndarray:
-        shifted = jnp.roll(C[d], -d, axis=1)
+        Cd = C[..., d]
+        shifted = jnp.roll(Cd, -d, axis=1)
         if d == 0:
             return shifted
-        edge = C[d][:, -1:]
-        col = jnp.arange(C.shape[2])[None, :]
-        return jnp.where(col >= C.shape[2] - d, edge, shifted)
+        edge = Cd[:, -1:]
+        return jnp.where(col >= W - d, edge, shifted)
 
-    return jnp.stack([plane(d) for d in range(D)], axis=0)
+    return jnp.stack([plane(d) for d in range(D)], axis=-1)
 
 
 def cost_of_disparity(C: jnp.ndarray, disp_int: jnp.ndarray) -> jnp.ndarray:
-    """Cost at a given integer disparity per pixel: (H, W) lookup into (D, H, W).
+    """Cost at a given integer disparity per pixel: (H, W) lookup into (H, W, D).
 
     One-hot contraction along D (comparisons + multiply-reduce), not a gather
     — the trick that makes per-pixel disparity-dependent lookups lane-parallel
     on the VPU.
     """
-    D = C.shape[0]
-    d_ids = jnp.arange(D, dtype=disp_int.dtype).reshape(D, 1, 1)
-    onehot = (disp_int[None, :, :] == d_ids).astype(C.dtype)
-    return jnp.sum(C * onehot, axis=0)
+    D = C.shape[-1]
+    d_ids = jnp.arange(D, dtype=disp_int.dtype)
+    onehot = (disp_int[..., None] == d_ids).astype(C.dtype)
+    return jnp.sum(C * onehot, axis=-1)
+
+
+def sample_at_disparity(values: jnp.ndarray, disp_int: jnp.ndarray, max_disp: int) -> jnp.ndarray:
+    """values[y, x - d(y,x)] without gathers: D static rolls + one-hot select.
+
+    TPU gathers over (H, W) are an order of magnitude slower than D
+    lane-parallel rolls; disparities are bounded by max_disp so the shift
+    basis is small. Used by the L/R occlusion checks.
+    """
+    H, W = values.shape
+    out = jnp.zeros_like(values)
+    col = jnp.arange(W)[None, :]
+    for s in range(max_disp):
+        shifted = jnp.roll(values, s, axis=1)
+        # Columns x < s would wrap; clamp to column 0's value.
+        shifted = jnp.where(col < s, values[:, 0:1], shifted)
+        out = out + jnp.where(disp_int == s, shifted, 0.0)
+    return out
 
 
 def subpixel_refine(C: jnp.ndarray, disp_int: jnp.ndarray) -> jnp.ndarray:
@@ -126,7 +147,7 @@ def subpixel_refine(C: jnp.ndarray, disp_int: jnp.ndarray) -> jnp.ndarray:
     Quality improvement over the reference (whose output precision is set by
     seed/noise values); pairs with integer-disparity engines.
     """
-    D = C.shape[0]
+    D = C.shape[-1]
     c0 = cost_of_disparity(C, jnp.clip(disp_int - 1, 0, D - 1))
     c1 = cost_of_disparity(C, disp_int)
     c2 = cost_of_disparity(C, jnp.clip(disp_int + 1, 0, D - 1))

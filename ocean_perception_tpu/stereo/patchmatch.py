@@ -50,6 +50,10 @@ class PatchMatchParams:
     occlusion_lo: float = struct.field(pytree_node=False, default=0.7)
     occlusion_hi: float = struct.field(pytree_node=False, default=1.4)
     init_dilate_factor: int = struct.field(pytree_node=False, default=4)
+    # Speed knob: the right map only feeds the occlusion ratio-check; WTA on
+    # the derived right volume is a cheap stand-in for the reference's full
+    # flipped second pipeline. False = full PatchMatch both sides (parity).
+    right_wta: bool = struct.field(pytree_node=False, default=False)
 
 
 def unit_noise(shape, seed: int) -> jnp.ndarray:
@@ -118,24 +122,28 @@ class _StripLayout(NamedTuple):
 
 
 def _layout_rows(C: jnp.ndarray, p: PatchMatchParams) -> _StripLayout:
-    """Row-pass layout: scan along x; slab per step = (chunks, H, D)."""
-    D, H, W = C.shape
+    """Row-pass layout: scan along x; slab per step = (chunks, H, D).
+
+    C is (H, W, D) — only the two spatial axes swap (D stays minor: no
+    re-tiling relayout)."""
+    H, W, D = C.shape
     pr = p.patch_radius
     cols_clipped, valid_pos, chunk, w = _chunk_columns(W, p.chunks, p.halo, pr)
-    C_hw_d = jnp.transpose(C, (2, 1, 0))  # (W, H, D)
-    Cc = jnp.transpose(C_hw_d[cols_clipped], (1, 0, 2, 3))  # (w, chunks, H, D)
+    C_whd = jnp.transpose(C, (1, 0, 2))  # (W, H, D)
+    Cc = jnp.transpose(C_whd[cols_clipped], (1, 0, 2, 3))  # (w, chunks, H, D)
     x_of = jnp.transpose(cols_clipped, (1, 0)).astype(jnp.float32)[:, :, None]  # (w, chunks, 1)
     lane_ok = (jnp.arange(H) >= pr) & (jnp.arange(H) <= H - pr - 1)
     return _StripLayout(Cc, cols_clipped, jnp.transpose(valid_pos, (1, 0)), x_of, lane_ok, chunk, w)
 
 
 def _layout_cols(C: jnp.ndarray, p: PatchMatchParams) -> _StripLayout:
-    """Col-pass layout: scan along y; slab per step = (chunks, W, D)."""
-    D, H, W = C.shape
+    """Col-pass layout: scan along y; slab per step = (chunks, W, D).
+
+    C is already (H, W, D): direct strip slicing, zero transposes."""
+    H, W, D = C.shape
     pr = p.patch_radius
     rows_clipped, valid_pos, chunk, w = _chunk_columns(H, p.chunks, p.halo, pr)
-    C_h_wd = jnp.transpose(C, (1, 2, 0))  # (H, W, D)
-    Cc = jnp.transpose(C_h_wd[rows_clipped], (1, 0, 2, 3))  # (w, chunks, W, D)
+    Cc = jnp.transpose(C[rows_clipped], (1, 0, 2, 3))  # (w, chunks, W, D)
     x_of = jnp.arange(W, dtype=jnp.float32)[None, :]  # broadcast (1, W)
     lane_ok = (jnp.arange(W) >= pr) & (jnp.arange(W) <= W - pr - 1)
     return _StripLayout(Cc, rows_clipped, jnp.transpose(valid_pos, (1, 0)), x_of, lane_ok, chunk, w)
@@ -218,8 +226,8 @@ def mask_background(C: jnp.ndarray, disp: jnp.ndarray, p: PatchMatchParams) -> j
     H, W = disp.shape
     pr = p.patch_radius
     x = jnp.arange(W, dtype=disp.dtype)[None, :]
-    cost0 = C[0]
-    cost_d = _lookup_cost(jnp.transpose(C, (1, 2, 0)), disp, x, pr)
+    cost0 = C[..., 0]
+    cost_d = _lookup_cost(C, disp, x, pr)
     keep = cost_d < p.improve_factor * cost0
     yy = jnp.arange(H)[:, None]
     interior = (yy >= pr) & (yy <= H - pr - 1) & (x >= pr) & (x <= W - pr - 1)
@@ -227,11 +235,14 @@ def mask_background(C: jnp.ndarray, disp: jnp.ndarray, p: PatchMatchParams) -> j
 
 
 def mask_occlusions(displ: jnp.ndarray, dispr: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
-    """L/R consistency: zero where dr(x-dl) outside [0.7, 1.4]·dl (cu:273-295)."""
-    H, W = displ.shape
-    x = jnp.arange(W, dtype=displ.dtype)[None, :]
-    xr = jnp.clip(jnp.round(jnp.maximum(x - displ, 0.0)), 0, W - 1).astype(jnp.int32)
-    dr = jnp.take_along_axis(dispr, xr, axis=1)
+    """L/R consistency: zero where dr(x-dl) outside [0.7, 1.4]·dl (cu:273-295).
+
+    The right-map lookup at x - dl uses the gather-free shift basis
+    (cost.sample_at_disparity) — TPU gathers over (H, W) are slow."""
+    from .cost import sample_at_disparity
+
+    d_int = jnp.clip(jnp.round(displ), 0, p.max_disp - 1).astype(jnp.int32)
+    dr = sample_at_disparity(dispr, d_int, p.max_disp)
     bad = (dr > p.occlusion_hi * displ) | (dr < p.occlusion_lo * displ)
     return jnp.where(bad, 0.0, displ)
 
@@ -244,10 +255,10 @@ def sparse_wta_seed(C: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
     where it beats cost(0) decisively, then square max-dilate with the same
     element size (2·(2^dilate_factor + 1) + 1).
     """
-    D = C.shape[0]
-    wta = jnp.argmin(C, axis=0).astype(jnp.float32)
-    best = jnp.min(C, axis=0)
-    confident = best < p.improve_factor * C[0]
+    D = C.shape[-1]
+    wta = jnp.argmin(C, axis=-1).astype(jnp.float32)
+    best = jnp.min(C, axis=-1)
+    confident = best < p.improve_factor * C[..., 0]
     seeds = jnp.where(confident, wta, 0.0)
     dilate_size = 2 ** p.init_dilate_factor + 1
     return dilate(seeds, 2 * dilate_size + 1)
@@ -262,13 +273,13 @@ class PatchMatchResult(NamedTuple):
 def _full_cost_map(C: jnp.ndarray, disp: jnp.ndarray, pr: int) -> jnp.ndarray:
     """(H, W) cost of each pixel's current (clamped) disparity — one
     vectorized volume sweep, maintained incrementally by the passes."""
-    D, H, W = C.shape
+    H, W, D = C.shape
     x = jnp.arange(W, dtype=disp.dtype)[None, :]
     d_eff = jnp.minimum(disp, x - pr)
     idx = jnp.clip(jnp.round(d_eff), 0, D - 1).astype(jnp.int32)
-    ids = jnp.arange(D, dtype=jnp.int32).reshape(D, 1, 1)
-    onehot = (idx[None] == ids).astype(C.dtype)
-    return jnp.sum(C * onehot, axis=0)
+    ids = jnp.arange(D, dtype=jnp.int32)
+    onehot = (idx[..., None] == ids).astype(C.dtype)
+    return jnp.sum(C * onehot, axis=-1)
 
 
 def _match_one_side(C: jnp.ndarray, seed: jnp.ndarray, noise: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
@@ -304,15 +315,22 @@ def patchmatch_disparity(
     noise = unit_noise(iml.shape, params.noise_seed)
     if seed_left is None:
         seed_left = sparse_wta_seed(C_l, params)
-    if seed_right is None:
-        seed_right = sparse_wta_seed(C_r, params)
 
-    # Both sides propagate in lockstep (vmap doubles slab width per scan step
-    # instead of doubling the number of latency-bound sequential steps).
-    disp_lr = jax.vmap(lambda C, s: _match_one_side(C, s, noise, params))(
-        jnp.stack([C_l, C_r]), jnp.stack([seed_left, seed_right])
-    )
-    disp_l, disp_r = disp_lr[0], disp_lr[1]
+    if params.right_wta:
+        disp_l = _match_one_side(C_l, seed_left, noise, params)
+        wta_r = jnp.argmin(C_r, axis=-1).astype(jnp.float32)
+        disp_r = jnp.where(
+            jnp.min(C_r, axis=-1) < params.improve_factor * C_r[..., 0], wta_r, 0.0
+        )
+    else:
+        if seed_right is None:
+            seed_right = sparse_wta_seed(C_r, params)
+        # Both sides propagate in lockstep (vmap doubles slab width per scan
+        # step instead of doubling the latency-bound sequential step count).
+        disp_lr = jax.vmap(lambda C, s: _match_one_side(C, s, noise, params))(
+            jnp.stack([C_l, C_r]), jnp.stack([seed_left, seed_right])
+        )
+        disp_l, disp_r = disp_lr[0], disp_lr[1]
 
     if params.subpixel:
         int_l = jnp.clip(jnp.round(disp_l), 0, params.max_disp - 1).astype(jnp.int32)

@@ -100,17 +100,18 @@ def _directional_pass(C_sweep: jnp.ndarray, p1: float, p2: float,
 
 
 def sgm_aggregate(C: jnp.ndarray, params: SgmParams) -> jnp.ndarray:
-    """Sum of 4 directional passes. C: (D, H, W) → S: (D, H, W)."""
+    """Sum of 4 directional passes. C: (H, W, D) → S: (H, W, D).
+
+    D stays on the lane axis throughout; the only transpose swaps the two
+    spatial (major) axes for the horizontal scans — no re-tiling relayouts."""
     p1, p2 = params.p1, params.p2
     ck, hl = params.chunks, params.halo
-    Cv = jnp.transpose(C, (1, 2, 0))  # (H, W, D): vertical scans
-    down = _directional_pass(Cv, p1, p2, ck, hl)
-    up = _directional_pass(Cv[::-1], p1, p2, ck, hl)[::-1]
-    Ch = jnp.transpose(C, (2, 1, 0))  # (W, H, D): horizontal scans
+    down = _directional_pass(C, p1, p2, ck, hl)
+    up = _directional_pass(C[::-1], p1, p2, ck, hl)[::-1]
+    Ch = jnp.transpose(C, (1, 0, 2))  # (W, H, D): horizontal scans
     right = _directional_pass(Ch, p1, p2, ck, hl)
     left = _directional_pass(Ch[::-1], p1, p2, ck, hl)[::-1]
-    S = down + up + jnp.transpose(right, (1, 0, 2)) + jnp.transpose(left, (1, 0, 2))
-    return jnp.transpose(S, (2, 0, 1))  # back to (D, H, W)
+    return down + up + jnp.transpose(right, (1, 0, 2)) + jnp.transpose(left, (1, 0, 2))
 
 
 class SgmResult(NamedTuple):
@@ -120,19 +121,19 @@ class SgmResult(NamedTuple):
 
 
 def _wta_with_masks(S: jnp.ndarray, params: SgmParams) -> jnp.ndarray:
-    disp = jnp.argmin(S, axis=0).astype(jnp.int32)
+    disp = jnp.argmin(S, axis=-1).astype(jnp.int32)
     if params.background_improve is not None:
-        best = jnp.min(S, axis=0)
-        keep = best < params.background_improve * S[0]
+        best = jnp.min(S, axis=-1)
+        keep = best < params.background_improve * S[..., 0]
         disp = jnp.where(keep, disp, 0)
     return disp
 
 
-def _lr_check(disp_l: jnp.ndarray, disp_r: jnp.ndarray, thresh: float) -> jnp.ndarray:
-    W = disp_l.shape[1]
-    x = jnp.arange(W, dtype=disp_l.dtype)[None, :]
-    xr = jnp.clip(jnp.round(x - disp_l), 0, W - 1).astype(jnp.int32)
-    dr = jnp.take_along_axis(disp_r, xr, axis=1)
+def _lr_check(disp_l: jnp.ndarray, disp_r: jnp.ndarray, thresh: float, max_disp: int) -> jnp.ndarray:
+    from .cost import sample_at_disparity
+
+    d_int = jnp.clip(jnp.round(disp_l), 0, max_disp - 1).astype(jnp.int32)
+    dr = sample_at_disparity(disp_r, d_int, max_disp)
     ok = jnp.abs(dr - disp_l) <= thresh
     return jnp.where(ok, disp_l, 0.0)
 
@@ -166,5 +167,5 @@ def sgm_disparity(
         disp_l = d_l.astype(jnp.float32)
         disp_r = d_r.astype(jnp.float32)
 
-    left = _lr_check(disp_l, disp_r, params.lr_threshold)
+    left = _lr_check(disp_l, disp_r, params.lr_threshold, params.max_disp)
     return SgmResult(left=left, right=disp_r, left_raw=disp_l)

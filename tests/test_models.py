@@ -1,0 +1,57 @@
+"""Flagship perception pipeline end-to-end test with ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
+from ocean_perception_tpu.models.perception import PerceptionConfig, perception_step
+from test_stereo import make_scene
+
+H, W = 64, 96
+
+
+def _rgbify(gray):
+    tint = np.array([0.35, 0.75, 0.9], np.float32)
+    return np.clip(gray[..., None] * tint + 0.05, 0, 1)
+
+
+@pytest.mark.slow
+def test_perception_step_recovers_disparity_and_depth():
+    left, right, truth = make_scene(np.random.default_rng(9), h=H, w=W, d_fg=12.0, d_bg=3.0)
+    cam = PinholeCamera.create(120.0, 120.0, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, baseline=0.3)
+    cfg = PerceptionConfig(engine="patchmatch", max_disp=24, internal_scale=1, run_enhance=True)
+    out = jax.jit(lambda l, r: perception_step(l, r, rig, cfg))(
+        jnp.asarray(_rgbify(left)), jnp.asarray(_rgbify(right))
+    )
+    d = np.asarray(out.disparity)
+    valid = (d > 0)
+    valid[: 4] = valid[-4:] = False
+    valid[:, :4] = valid[:, -4:] = False
+    assert valid.mean() > 0.25
+    err = np.abs(d - truth)[valid]
+    assert np.median(err) < 1.0  # the BASELINE acceptance bound
+    # Depth agrees with fx*b/d on the foreground block.
+    fg = valid & (truth > 10)
+    if fg.any():
+        z = np.asarray(out.depth)[fg]
+        z_true = 120.0 * 0.3 / truth[fg]
+        assert np.median(np.abs(z - z_true)) < 0.4
+    assert np.isfinite(np.asarray(out.enhanced_left)).all()
+
+
+def test_perception_step_engines_agree_roughly():
+    left, right, truth = make_scene(np.random.default_rng(5), h=H, w=W)
+    cam = PinholeCamera.create(120.0, 120.0, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, baseline=0.3)
+    results = {}
+    for engine in ("wta", "sgm", "patchmatch"):
+        cfg = PerceptionConfig(engine=engine, max_disp=24, internal_scale=1, run_enhance=False)
+        out = perception_step(jnp.asarray(_rgbify(left)), jnp.asarray(_rgbify(right)), rig, cfg)
+        results[engine] = np.asarray(out.disparity)
+    for engine, d in results.items():
+        valid = d > 0
+        assert valid.mean() > 0.2, engine
+        assert np.median(np.abs(d - truth)[valid]) < 1.5, engine

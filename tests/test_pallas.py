@@ -19,7 +19,7 @@ def test_pallas_cost_volume_matches_jnp(rng):
     ref = np.asarray(cost_volume(left, right, D, alpha=0.9))
     # Interior parity is exact; border columns x < d differ only in clamp
     # flavor (edge-pad vs edge-column select) — compare where x >= D.
-    np.testing.assert_allclose(ours[:, :, D:], ref[:, :, D:], atol=1e-5)
+    np.testing.assert_allclose(ours[:, D:, :], ref[:, D:, :], atol=1e-5)
 
 
 def test_pallas_supported_budget():

@@ -96,7 +96,7 @@ def test_cost_volume_matches_oracle_cost(scene):
         ref = oracle.stencil_cost(
             left, right, gl, gr, ys, xs, (xs - d).astype(np.float32), 0.9
         )
-        np.testing.assert_allclose(C[d][ys, xs], ref, atol=1e-3)
+        np.testing.assert_allclose(C[ys, xs, d], ref, atol=1e-3)
 
 
 def test_wta_recovers_disparity(scene):

@@ -6,4 +6,10 @@ stages land) in a single XLA graph with no host round-trips, batchable over
 cameras and shardable over an ICI mesh (ocean_perception_tpu.parallel).
 """
 
-from .perception import PerceptionConfig, PerceptionOutput, perception_step  # noqa: F401
+from .perception import (  # noqa: F401
+    FullFrontendOutput,
+    PerceptionConfig,
+    PerceptionOutput,
+    full_frontend_step,
+    perception_step,
+)

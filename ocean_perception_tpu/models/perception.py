@@ -87,3 +87,46 @@ def perception_step(
         enhanced = left_rgb
 
     return PerceptionOutput(disparity=disp, depth=depth, enhanced_left=enhanced)
+
+
+class FullFrontendOutput(NamedTuple):
+    perception: PerceptionOutput
+    mesher: "object"        # mesher.MesherDeviceOutput
+    tracker_state: "object"
+    graph: "object"
+
+
+def full_frontend_step(
+    tracker_state,
+    graph,
+    prev_left_gray: jnp.ndarray,
+    left_rgb: jnp.ndarray,
+    right_rgb: jnp.ndarray,
+    rig: StereoCamera,
+    config: PerceptionConfig = PerceptionConfig(),
+    mesher_params=None,
+):
+    """The BASELINE north star: camera → enhanced → disparity → tracked
+    features → landmark-graph clusters in ONE jitted XLA graph, zero host
+    round trips. Host code only threads state pytrees between frames and
+    runs the (tiny) per-cluster Delaunay on the outputs.
+
+    Returns (FullFrontendOutput, cur_left_gray) — feed cur_left_gray back as
+    prev_left_gray next frame.
+    """
+    from ..mesher.object_mesher import ObjectMesherDeviceParams, mesher_device_step
+
+    mesher_params = mesher_params or ObjectMesherDeviceParams()
+    out = perception_step(left_rgb, right_rgb, rig, config)
+    gray_l = to_grayscale(jnp.asarray(left_rgb, jnp.float32))
+    gray_r = to_grayscale(jnp.asarray(right_rgb, jnp.float32))
+    fxb = rig.fx * rig.baseline
+    new_state, new_graph, mesh_out = mesher_device_step(
+        tracker_state, graph, prev_left_gray, gray_l, gray_r, fxb, mesher_params
+    )
+    return (
+        FullFrontendOutput(
+            perception=out, mesher=mesh_out, tracker_state=new_state, graph=new_graph
+        ),
+        gray_l,
+    )

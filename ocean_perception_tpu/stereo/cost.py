@@ -88,6 +88,38 @@ def cost_volume(
     return jnp.stack([plane(d) for d in range(max_disp)], axis=-1)
 
 
+def cost_volume_zncc(
+    iml: jnp.ndarray,
+    imr: jnp.ndarray,
+    max_disp: int,
+    patch_size: int = 5,
+) -> jnp.ndarray:
+    """(H, W, D) volume with cost = 1 - ZNCC over a patch.
+
+    Parity: the reference CPU PatchMatch takes caller-supplied cost functors
+    and its tests use ZNCC (patchmatch.cpp:79-99, patchmatch_test.cpp).
+    Computed densely with box-filtered means/variances + shifted
+    cross-correlations — separable filters and static rolls only.
+    """
+    from ..ops.image import box_filter
+
+    iml = jnp.asarray(iml, jnp.float32)
+    imr = jnp.asarray(imr, jnp.float32)
+    r = patch_size // 2
+    mu_l = box_filter(iml, r)
+    var_l = jnp.maximum(box_filter(iml * iml, r) - mu_l * mu_l, 1e-8)
+
+    def plane(d: int) -> jnp.ndarray:
+        rd = _shift_right_image(imr, d)
+        mu_r = box_filter(rd, r)
+        var_r = jnp.maximum(box_filter(rd * rd, r) - mu_r * mu_r, 1e-8)
+        cross = box_filter(iml * rd, r) - mu_l * mu_r
+        zncc = cross / jnp.sqrt(var_l * var_r)
+        return 1.0 - jnp.clip(zncc, -1.0, 1.0)
+
+    return jnp.stack([plane(d) for d in range(max_disp)], axis=-1)
+
+
 def right_cost_volume_from_left(C: jnp.ndarray) -> jnp.ndarray:
     """Derive the right-image cost volume: C_R(y, x, d) = C_L(y, x+d, d).
 

@@ -54,6 +54,10 @@ class PatchMatchParams:
     # the derived right volume is a cheap stand-in for the reference's full
     # flipped second pipeline. False = full PatchMatch both sides (parity).
     right_wta: bool = struct.field(pytree_node=False, default=False)
+    # Matching cost: "l1g" = reference X-stencil L1+gradient; "zncc" =
+    # 1 - ZNCC over zncc_patch (the CPU PatchMatch's test functor).
+    cost: str = struct.field(pytree_node=False, default="l1g")
+    zncc_patch: int = struct.field(pytree_node=False, default=5)
 
 
 def unit_noise(shape, seed: int) -> jnp.ndarray:
@@ -306,10 +310,15 @@ def patchmatch_disparity(
     """Full PatchMatch pipeline: L and R disparities + masks. Jit-safe."""
     iml = jnp.asarray(iml, jnp.float32)
     imr = jnp.asarray(imr, jnp.float32)
-    gl = gradient_magnitude(iml)
-    gr = gradient_magnitude(imr)
 
-    C_l = cost_volume(iml, imr, params.max_disp, params.alpha, gl, gr)
+    if params.cost == "zncc":
+        from .cost import cost_volume_zncc
+
+        C_l = cost_volume_zncc(iml, imr, params.max_disp, params.zncc_patch)
+    else:
+        gl = gradient_magnitude(iml)
+        gr = gradient_magnitude(imr)
+        C_l = cost_volume(iml, imr, params.max_disp, params.alpha, gl, gr)
     C_r = right_cost_volume_from_left(C_l)
 
     noise = unit_noise(iml.shape, params.noise_seed)

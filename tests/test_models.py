@@ -55,3 +55,44 @@ def test_perception_step_engines_agree_roughly():
         valid = d > 0
         assert valid.mean() > 0.2, engine
         assert np.median(np.abs(d - truth)[valid]) < 1.5, engine
+
+
+@pytest.mark.slow
+def test_full_frontend_step_single_graph():
+    """enhance+disparity+tracking+graph in one jit; state threads across frames."""
+    from ocean_perception_tpu.mesher import LandmarkGraph
+    from ocean_perception_tpu.mesher.object_mesher import ObjectMesherDeviceParams
+    from ocean_perception_tpu.models.perception import full_frontend_step
+    from ocean_perception_tpu.tracking import DetectorParams, LKParams, StripeMatcherParams
+    from ocean_perception_tpu.tracking.stereo_tracker import (
+        StereoTrackerParams,
+        StereoTrackerState,
+    )
+
+    left, right, truth = make_scene(np.random.default_rng(2), h=H, w=W)
+    lrgb, rrgb = jnp.asarray(_rgbify(left)), jnp.asarray(_rgbify(right))
+    cam = PinholeCamera.create(120.0, 120.0, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, baseline=0.3)
+    cfg = PerceptionConfig(engine="wta", max_disp=24, internal_scale=1, run_enhance=True)
+    mp = ObjectMesherDeviceParams(
+        tracker=StereoTrackerParams(
+            capacity=48,
+            detector=DetectorParams(max_features=48, min_distance=8, border=6),
+            lk=LKParams(max_level=1),
+            matcher=StripeMatcherParams(max_disp=24, templ_cols=11, templ_rows=9, max_matching_cost=0.4),
+        ),
+        min_obs_connect_edge=2.0,
+        min_obs_disconnect_edge=1.0,
+    )
+    state = StereoTrackerState.create(mp.tracker)
+    graph = LandmarkGraph.create(mp.tracker.capacity)
+    step = jax.jit(
+        lambda s, g, pl, l, r: full_frontend_step(s, g, pl, l, r, rig, cfg, mp)
+    )
+    prev_gray = jnp.asarray(left)
+    for _ in range(3):
+        out, prev_gray = step(state, graph, prev_gray, lrgb, rrgb)
+        state, graph = out.tracker_state, out.graph
+    assert out.perception.disparity.shape == (H, W)
+    assert int(np.asarray(out.mesher.alive).sum()) > 10
+    assert np.isfinite(np.asarray(out.perception.enhanced_left)).all()

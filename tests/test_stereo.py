@@ -194,3 +194,18 @@ def test_sgm_jit_and_batch(scene):
         jnp.stack([jnp.asarray(left)] * 2), jnp.stack([jnp.asarray(right)] * 2)
     )
     assert batched.shape == (2, H, W)
+
+
+def test_zncc_cost_engine(scene):
+    """ZNCC cost (the CPU PatchMatch's test functor) also recovers disparity."""
+    from ocean_perception_tpu.stereo.cost import cost_volume_zncc
+
+    left, right, truth = scene
+    C = np.asarray(cost_volume_zncc(jnp.asarray(left), jnp.asarray(right), D, 5))
+    assert C.shape == (H, W, D)
+    assert C.min() >= -1e-5 and C.max() <= 2.0 + 1e-5
+    p = PatchMatchParams(max_disp=D, chunks=4, cost="zncc", improve_factor=0.95)
+    r = patchmatch_disparity(jnp.asarray(left), jnp.asarray(right), p)
+    m = interior_mask(np.asarray(r.left), truth)
+    assert m.mean() > 0.25
+    assert median_error(r.left, truth, m) < 1.0

@@ -46,7 +46,16 @@ class OdometryResult(NamedTuple):
 
 
 def _linearize(P0, p_obs, sigma, mask, fx, fy, cx, cy, T):
-    """Residuals/Jacobian for all points; masked rows are zero."""
+    """Residuals/Jacobian for all points; masked rows are zero.
+
+    2-D pixel residuals per point (2N rows) with a Cauchy weight on the
+    residual norm. The reference linearizes the scalar norm |r| directly
+    (optimize_odometry.cpp:205-227); that form has a spurious null space
+    whenever one residual component vanishes (e.g. pure-x image motion),
+    which float32 — the only dtype TPUs have — turns into divergence. The
+    2-D form is the standard BA Jacobian: same minimum, same robust
+    weighting, well-conditioned in f32.
+    """
     P1 = (T[:3, :3] @ P0.T).T + T[:3, 3]
     gz = jnp.maximum(P1[:, 2], 1e-5)
     u = fx * P1[:, 0] / gz + cx
@@ -55,24 +64,26 @@ def _linearize(P0, p_obs, sigma, mask, fx, fy, cx, cy, T):
     ry = p_obs[:, 1] - v
     r = jnp.sqrt(rx * rx + ry * ry)
     r_sigma = r / sigma
-    w = 1.0 / (1.0 + r_sigma * r_sigma) * mask
-    chain = -w / jnp.maximum(1e-5, sigma * r)
+    w = jnp.sqrt(1.0 / (1.0 + r_sigma * r_sigma)) * mask  # sqrt: applied to rows of a 2-norm
+    scale = w / sigma
 
     gx, gy = P1[:, 0], P1[:, 1]
     gz2 = gz * gz
-    Ji = jnp.stack(
-        [
-            rx * fx / gz,
-            ry * fy / gz,
-            -(rx * fx * gx + ry * fy * gy) / gz2,
-            -rx * fx * gx * gy / gz2 - ry * fy * (1.0 + gy * gy / gz2),
-            rx * fx * (1.0 + gx * gx / gz2) + ry * fy * gx * gy / gz2,
-            -rx * fx * gy / gz + ry * fy * gx / gz,
-        ],
+    zeros = jnp.zeros_like(gz)
+    # d(u)/d(eps) for the left-multiplicative update T ← exp(eps)·T.
+    Ju = jnp.stack(
+        [fx / gz, zeros, -fx * gx / gz2,
+         -fx * gx * gy / gz2, fx * (1.0 + gx * gx / gz2), -fx * gy / gz],
         axis=-1,
     )
-    J = chain[:, None] * Ji
-    R = w * r_sigma
+    Jv = jnp.stack(
+        [zeros, fy / gz, -fy * gy / gz2,
+         -fy * (1.0 + gy * gy / gz2), fy * gx * gy / gz2, fy * gx / gz],
+        axis=-1,
+    )
+    # Residual rows = scale·(obs - proj); J = d(residual)/d(eps) = -scale·Jproj.
+    J = jnp.concatenate([-scale[:, None] * Ju, -scale[:, None] * Jv], axis=0)
+    R = jnp.concatenate([scale * rx, scale * ry])
     n = jnp.maximum(jnp.sum(mask), 1.0)
     err = jnp.sum(r_sigma * mask) / n
     return J, R, err, r_sigma
@@ -91,10 +102,16 @@ def _lm(P0, p_obs, sigma, mask, rig: StereoCamera, T0, p: OdometryParams):
     def body(_, state):
         T, lam, err = state
         J, R, _, _ = _linearize(P0, p_obs, sigma, mask, fx, fy, cx, cy, T)
-        H = J.T @ J
-        g = -(J.T @ R)
-        H_lm = H + lam * jnp.diag(jnp.diag(H))
-        eps = jnp.linalg.solve(H_lm + 1e-12 * jnp.eye(6, dtype=T.dtype), g)
+        # Augmented least squares solved by QR instead of normal equations:
+        # cond(J) = sqrt(cond(JᵀJ)), which keeps the near-degenerate planar
+        # cases solvable in float32 (TPUs have no f64). Marquardt damping rows
+        # sqrt(λ)·sqrt(diag(JᵀJ)) appended as pseudo-measurements.
+        diag_H = jnp.sum(J * J, axis=0)
+        damp = jnp.sqrt(lam * jnp.maximum(diag_H, 1e-12))
+        A = jnp.concatenate([J, jnp.diag(damp)], axis=0)
+        b = jnp.concatenate([-R, jnp.zeros(6, dtype=T.dtype)])
+        q, r_mat = jnp.linalg.qr(A)
+        eps = jax.scipy.linalg.solve_triangular(r_mat, q.T @ b, lower=False)
         eps = jnp.where(jnp.all(jnp.isfinite(eps)), eps, jnp.zeros_like(eps))
         T_test = se3_exp(eps) @ T
         err_new = error_of(T_test)

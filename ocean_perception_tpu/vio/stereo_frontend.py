@@ -70,16 +70,20 @@ def frontend_step(
 ) -> Tuple[StereoTrackerState, VoResult]:
     """Track + solve odometry in one jittable step."""
     fxb = rig.fx * rig.baseline
+    prev_table = state.table  # keyframe snapshot BEFORE this step's update
     new_state, out = track_and_triangulate(
         state, prev_left, cur_left, cur_right, fxb, params.tracker, force_keyframe
     )
     table = new_state.table
 
-    # Correspondences: landmarks observed (with disparity) at the last
-    # keyframe and tracked into the current frame.
-    has_kf_3d = table.alive & (table.kf_disparities > 0) & (table.missed == 0)
-    depth_kf = fxb / jnp.maximum(table.kf_disparities, 1e-3)
-    P0 = rig.left.backproject(table.kf_pixels, depth_kf)  # (K, 3) prev-KF cam frame
+    # Correspondences: landmarks observed (with disparity) at the LAST
+    # keyframe (pre-update snapshot — on keyframe steps the table already
+    # re-snapshotted to the current frame, which would yield identity VO)
+    # tracked into the current frame. Slot identity must hold across the step.
+    same_lmk = (prev_table.ids == table.ids) & (prev_table.ids >= 0)
+    has_kf_3d = same_lmk & table.alive & (prev_table.kf_disparities > 0) & (table.missed == 0)
+    depth_kf = fxb / jnp.maximum(prev_table.kf_disparities, 1e-3)
+    P0 = rig.left.backproject(prev_table.kf_pixels, depth_kf)  # (K, 3) prev-KF cam
     sigmas = jnp.full(table.capacity, params.pixel_sigma, P0.dtype)
 
     odo = optimize_odometry(

@@ -1,0 +1,89 @@
+"""End-to-end VISION-driven VIO: rendered stereo sequence → StateEstimator.
+
+A textured planar scene at known depth, camera translating laterally at
+constant velocity. Every stage runs: detection, LK tracking, stripe stereo
+matching, LM odometry, keyposing, smoothing. The recovered trajectory must
+match the ground-truth motion.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
+from ocean_perception_tpu.core.measurements import StereoImage
+from ocean_perception_tpu.tracking import DetectorParams, LKParams, StripeMatcherParams
+from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerParams
+from ocean_perception_tpu.vio.odometry import OdometryParams
+from ocean_perception_tpu.vio.smoother import SmootherConfig
+from ocean_perception_tpu.vio.state_estimator import (
+    SmootherMode,
+    StateEstimator,
+    StateEstimatorParams,
+)
+from ocean_perception_tpu.vio.stereo_frontend import FrontendParams
+
+H, W = 160, 240
+FX = 200.0
+BASELINE = 0.3
+DEPTH = 5.0            # planar scene depth [m]
+DISP = FX * BASELINE / DEPTH  # = 12 px
+
+
+@pytest.mark.slow
+def test_vision_only_trajectory():
+    rng = np.random.default_rng(4)
+    canvas = rng.random((H, W + 200)).astype(np.float32)
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 1.0) * 0.8 + 0.1
+
+    # Camera moves +x; for a plane at depth z, image content shifts by
+    # fx * tx / z pixels (left), right image additionally offset by DISP.
+    def render(i):
+        px_shift = i * 4  # 4 px/frame
+        left = canvas[:, 40 + px_shift : 40 + px_shift + W]
+        right = canvas[:, 40 + px_shift + int(DISP) : 40 + px_shift + int(DISP) + W]
+        return left, right
+
+    dx_per_frame = 4 * DEPTH / FX  # meters of true motion per frame = 0.1 m
+
+    cam = PinholeCamera.create(FX, FX, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, BASELINE)
+    params = StateEstimatorParams(
+        n_gravity=np.array([0.0, 0.0, -9.81]),
+        frontend=FrontendParams(
+            tracker=StereoTrackerParams(
+                capacity=96,
+                detector=DetectorParams(max_features=96, min_distance=10, border=10),
+                lk=LKParams(max_level=2),
+                matcher=StripeMatcherParams(
+                    max_disp=32, templ_cols=15, templ_rows=11, max_matching_cost=0.3
+                ),
+                trigger_keyframe_k=2,
+            ),
+            odometry=OdometryParams(),
+            pixel_sigma=1.0,
+        ),
+        smoother=SmootherConfig(window=8, iterations=5),
+        min_sec_btw_keyposes=0.05,
+        max_sec_btw_keyposes=10.0,  # never fall back to IMU keyposes
+    )
+    est = StateEstimator(params, rig)
+    est.initialize(0, np.eye(4))
+
+    n_frames = 8
+    for i in range(n_frames):
+        t_ns = int((i + 1) * 1e8)  # 10 Hz
+        l, r = render(i)
+        est.receive_stereo(StereoImage(t_ns, 0, l, r))
+
+    assert est.mode is SmootherMode.VISION_AVAILABLE
+    ss = est.smoother_state()
+    assert ss is not None
+    p = ss.world_T_body[:3, 3]
+    # The camera x-axis motion: total true displacement at the newest keypose.
+    # Keyposes happen on keyframes; the newest one is at or before frame n-1.
+    total_true = (n_frames - 1) * dx_per_frame
+    # Direction dominated by +x, magnitude within 25%.
+    assert p[0] > 0.5 * total_true
+    assert abs(p[0] - total_true) / total_true < 0.3
+    assert abs(p[1]) < 0.15 and abs(p[2]) < 0.15

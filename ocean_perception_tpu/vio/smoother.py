@@ -53,6 +53,18 @@ class SmootherConfig:
     mag_scale: float = struct.field(pytree_node=False, default=1.0)
     # World-frame field direction (config/shared mag0.local_field).
     mag_local_field: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 1.0))
+    # Landmark (structureless projection) factors — the reference legacy
+    # Smoother's SmartStereoProjectionPoseFactor equivalent (smoother.cpp:
+    # 455-490). max_landmarks columns track landmark identity across the
+    # window (assigned host-side); 0 disables.
+    max_landmarks: int = struct.field(pytree_node=False, default=0)
+    lmk_sigma_px: float = struct.field(pytree_node=False, default=2.0)
+    # Left-camera intrinsics for the projection factors.
+    cam_fx: float = struct.field(pytree_node=False, default=300.0)
+    cam_fy: float = struct.field(pytree_node=False, default=300.0)
+    cam_cx: float = struct.field(pytree_node=False, default=320.0)
+    cam_cy: float = struct.field(pytree_node=False, default=240.0)
+    cam_baseline: float = struct.field(pytree_node=False, default=0.2)
     imu_sigma_floor: float = struct.field(pytree_node=False, default=1e-5)
     max_ranges: int = struct.field(pytree_node=False, default=4)
 
@@ -80,6 +92,11 @@ class KeyposeWindow(NamedTuple):
     range_valid: jnp.ndarray   # (M, B)
     mag: jnp.ndarray           # (M, 3) measured field, sensor==body frame
     mag_valid: jnp.ndarray     # (M,)
+    # Landmark observations: column l holds ONE landmark's pixel track
+    # across the window (host keeps the id→column assignment).
+    lmk_uv: jnp.ndarray        # (M, L, 2)
+    lmk_disp: jnp.ndarray      # (M, L) stereo disparity (<=0: mono obs)
+    lmk_valid: jnp.ndarray     # (M, L)
     # Prior on slot 0 (marginalization anchor): mean uses slot-0 state.
     prior_sqrt_info: jnp.ndarray  # (15, 15)
     prior_R: jnp.ndarray          # (3, 3)
@@ -112,6 +129,9 @@ def make_window(config: SmootherConfig, n_imu: int, dtype=jnp.float64) -> Keypos
         range_valid=jnp.zeros((M, B), bool),
         mag=jnp.zeros((M, 3), dtype),
         mag_valid=jnp.zeros(M, bool),
+        lmk_uv=jnp.zeros((M, max(config.max_landmarks, 1), 2), dtype),
+        lmk_disp=jnp.zeros((M, max(config.max_landmarks, 1)), dtype),
+        lmk_valid=jnp.zeros((M, max(config.max_landmarks, 1)), bool),
         prior_sqrt_info=jnp.eye(15, dtype=dtype) * 10.0,
         prior_R=jnp.eye(3, dtype=dtype),
         prior_p=jnp.zeros(3, dtype),
@@ -222,6 +242,61 @@ def _residuals(
     r_mag = (mag_pred - win.mag) / config.mag_sigma
     res.append((r_mag * (win.mag_valid & win.valid).astype(dtype)[:, None]).reshape(-1))
 
+    # -- landmark projection factors (structureless smart factors) ------------
+    if config.max_landmarks > 0:
+        fx, fy = config.cam_fx, config.cam_fy
+        cx, cy = config.cam_cx, config.cam_cy
+        obs_ok = (win.lmk_valid & win.valid[:, None]).astype(dtype)  # (M, L)
+        # Only landmarks with >= 2 observations constrain anything.
+        n_obs = jnp.sum(obs_ok, axis=0)                               # (L,)
+        lmk_ok = (n_obs >= 2.0).astype(dtype)
+
+        # Bearing rays in world frame per (keypose, landmark).
+        xn = (win.lmk_uv[..., 0] - cx) / fx
+        yn = (win.lmk_uv[..., 1] - cy) / fy
+        dirs_cam = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)    # (M, L, 3)
+        dirs_w = jnp.einsum("mij,mlj->mli", w.R, dirs_cam)
+        dirs_w = dirs_w / jnp.maximum(jnp.linalg.norm(dirs_w, axis=-1, keepdims=True), 1e-9)
+
+        # Structureless elimination: the landmark is re-estimated in closed
+        # form at every linearization. Observations with stereo disparity
+        # give full 3D point measurements (z = fx·b/disp — the reference's
+        # stereo smart factors work the same way); the landmark estimate is
+        # their masked mean, with a ray-midpoint fallback blended in for
+        # mono-only tracks. AD flows through, so the Schur-complement effect
+        # on the pose Jacobians is automatic.
+        eye3 = jnp.eye(3, dtype=dtype)
+        has_disp = (win.lmk_disp > 0).astype(dtype) * obs_ok           # (M, L)
+        z_meas = fx * config.cam_baseline / jnp.maximum(win.lmk_disp, 1e-3)
+        X_cam_meas = jnp.stack([xn * z_meas, yn * z_meas, z_meas], axis=-1)
+        X_meas = w.p[:, None, :] + jnp.einsum("mij,mlj->mli", w.R, X_cam_meas)
+        n_stereo = jnp.sum(has_disp, axis=0)                           # (L,)
+        X_stereo = jnp.sum(X_meas * has_disp[..., None], axis=0) / jnp.maximum(n_stereo, 1.0)[:, None]
+        # Ray-midpoint fallback (mono tracks).
+        Pm = eye3[None, None] - dirs_w[..., :, None] * dirs_w[..., None, :]
+        Pm = Pm * obs_ok[..., None, None]
+        A = jnp.sum(Pm, axis=0) + (1e-6 + (1.0 - lmk_ok))[:, None, None] * eye3[None]
+        b = jnp.sum(jnp.einsum("mlij,mj->mli", Pm, w.p), axis=0)
+        X_mono = jnp.linalg.solve(A, b[..., None])[..., 0]             # (L, 3)
+        X = jnp.where((n_stereo > 0)[:, None], X_stereo, X_mono)
+
+        # Reprojection residuals into every observing keypose.
+        X_cam = jnp.einsum("mji,mlj->mli", w.R, X[None] - w.p[:, None, :])
+        z_cam = X_cam[..., 2]
+        behind = z_cam < 0.1
+        z_safe = jnp.maximum(z_cam, 0.1)
+        u_pred = fx * X_cam[..., 0] / z_safe + cx
+        v_pred = fy * X_cam[..., 1] / z_safe + cy
+        w_lmk = obs_ok * lmk_ok[None, :] * (~behind).astype(dtype) / config.lmk_sigma_px
+        res.append(((u_pred - win.lmk_uv[..., 0]) * w_lmk).reshape(-1))
+        res.append(((v_pred - win.lmk_uv[..., 1]) * w_lmk).reshape(-1))
+        # Stereo row: predicted disparity fx·b/z vs observed — this is what
+        # makes the factor STEREO (SmartStereoProjectionPoseFactor) and pins
+        # the scale gauge that mono projection factors leave free.
+        disp_pred = fx * config.cam_baseline / z_safe
+        has_disp = (win.lmk_disp > 0).astype(dtype)
+        res.append(((disp_pred - win.lmk_disp) * w_lmk * has_disp).reshape(-1))
+
     # -- no-motion fallback (neither VO nor IMU between a valid pair) ---------
     nm_ok = (pair_ok & ~win.vo_valid & ~win.imu_valid).astype(dtype)[:, None]
     r_nm = jnp.concatenate(
@@ -326,6 +401,8 @@ def slide_window(win: KeyposeWindow, cov_slot1: jnp.ndarray) -> KeyposeWindow:
         ranges=shift(win.ranges), range_beacons=shift(win.range_beacons),
         range_valid=shift(win.range_valid),
         mag=shift(win.mag), mag_valid=shift(win.mag_valid),
+        lmk_uv=shift(win.lmk_uv), lmk_disp=shift(win.lmk_disp),
+        lmk_valid=shift(win.lmk_valid),
     )
     # Invalidate the freed last slot.
     out = out._replace(
@@ -335,6 +412,7 @@ def slide_window(win: KeyposeWindow, cov_slot1: jnp.ndarray) -> KeyposeWindow:
         depth_valid=out.depth_valid.at[-1].set(False),
         range_valid=out.range_valid.at[-1].set(False),
         mag_valid=out.mag_valid.at[-1].set(False),
+        lmk_valid=out.lmk_valid.at[-1].set(False),
     )
     # New anchor: slot 0's state with sqrt information from its marginal.
     info = jnp.linalg.inv(cov_slot1 + 1e-9 * jnp.eye(15, dtype=cov_slot1.dtype))

@@ -117,8 +117,17 @@ class StateEstimator:
         self.range_manager: DataManager[RangeMeasurement] = DataManager(max_size=1000)
         self.mag_manager: DataManager[MagMeasurement] = DataManager(max_size=1000)
 
-        # Smoother window.
-        self.window = make_window(params.smoother, params.max_imu_per_keypose)
+        # Smoother window. Landmark projection factors need the left-camera
+        # intrinsics baked into the (static) smoother config.
+        smoother_cfg = params.smoother
+        if smoother_cfg.max_landmarks > 0:
+            smoother_cfg = smoother_cfg.replace(
+                cam_fx=float(rig.left.fx), cam_fy=float(rig.left.fy),
+                cam_cx=float(rig.left.cx), cam_cy=float(rig.left.cy),
+            )
+        self._smoother_cfg = smoother_cfg
+        self.window = make_window(smoother_cfg, params.max_imu_per_keypose)
+        self._lmk_columns: dict = {}  # landmark id -> window landmark column
         self._n_keyposes = 0
         self._last_keypose_t: Optional[int] = None
         self._last_smoother_result: Optional[SmootherResult] = None
@@ -146,7 +155,7 @@ class StateEstimator:
                 pims,
                 jnp.asarray(self._gravity),
                 jnp.asarray(self._gravity_unit),
-                params.smoother,
+                self._smoother_cfg,
                 slot,
             )
         )
@@ -250,7 +259,9 @@ class StateEstimator:
             vo_T=T_rel, imu_rows=imu_rows,
             depth=self._gather_depth(timestamp),
             ranges=self._gather_ranges(timestamp),
+            mag=self._gather_mag(timestamp),
         )
+        self._attach_landmarks(vo)
         self._run_smoother(timestamp)
 
     def _gather_imu(self, t0: int, t1: int) -> Optional[np.ndarray]:
@@ -276,7 +287,7 @@ class StateEstimator:
         tol = int(self.params.range_tolerance * 1e9)
         self.range_manager.discard_before(t - tol)
         items = self.range_manager.pop_until(t + tol)
-        return [(m.range, np.asarray(m.point, np.float64)) for m in items[-self.params.smoother.max_ranges:]]
+        return [(m.range, np.asarray(m.point, np.float64)) for m in items[-self._smoother_cfg.max_ranges:]]
 
     def _gather_mag(self, t: int) -> Optional[np.ndarray]:
         tol = int(self.params.depth_tolerance * 1e9)
@@ -284,14 +295,60 @@ class StateEstimator:
         items = self.mag_manager.pop_until(t + tol)
         return np.asarray(items[-1].field, np.float64) if items else None
 
+    def _attach_landmarks(self, vo: VoResult) -> None:
+        """Write this keypose's landmark pixel observations into the window
+        (structureless projection factors; legacy Smoother landmark parity).
+
+        Landmark identity across keyposes = window COLUMN; the host keeps the
+        id→column assignment and recycles columns of landmarks that dropped
+        out of the tracker."""
+        L = self._smoother_cfg.max_landmarks
+        if L <= 0:
+            return
+        slot = self._newest_slot()
+        ids = np.asarray(vo.lmk_ids)
+        valid = np.asarray(vo.lmk_valid)
+        pixels = np.asarray(vo.lmk_pixels)
+        live = {int(i) for i in ids[valid]}
+        # Recycle columns whose landmark has left the tracker.
+        self._lmk_columns = {i: c for i, c in self._lmk_columns.items() if i in live}
+        used = set(self._lmk_columns.values())
+        free = [c for c in range(L) if c not in used]
+
+        disps = np.asarray(vo.lmk_disparities)
+        uv = np.zeros((L, 2))
+        dsp = np.zeros(L)
+        v_mask = np.zeros(L, bool)
+        for k in np.where(valid)[0]:
+            lmk = int(ids[k])
+            col = self._lmk_columns.get(lmk)
+            if col is None:
+                if not free:
+                    continue
+                col = free.pop()
+                self._lmk_columns[lmk] = col
+                # A recycled column's stale history belongs to another
+                # landmark: clear it across the window.
+                self.window = self.window._replace(
+                    lmk_valid=self.window.lmk_valid.at[:, col].set(False)
+                )
+            uv[col] = pixels[k]
+            dsp[col] = max(float(disps[k]), 0.0)
+            v_mask[col] = True
+        self.window = self.window._replace(
+            lmk_uv=self.window.lmk_uv.at[slot].set(jnp.asarray(uv)),
+            lmk_disp=self.window.lmk_disp.at[slot].set(jnp.asarray(dsp)),
+            lmk_valid=self.window.lmk_valid.at[slot].set(jnp.asarray(v_mask)),
+        )
+
     def _newest_slot(self) -> int:
-        return min(self._n_keyposes, self.params.smoother.window) - 1
+        return min(self._n_keyposes, self._smoother_cfg.window) - 1
 
     def _push_keypose(
         self, timestamp, R, p, v, vo_T, imu_rows, depth, ranges,
         mag=None, prior_anchor=False,
     ) -> None:
-        cfg = self.params.smoother
+        cfg = self._smoother_cfg
         win = self.window
         if self._n_keyposes >= cfg.window:
             # Slide: marginal covariance of slot 1 anchors the new slot 0.

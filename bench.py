@@ -38,6 +38,9 @@ N_REPEATS = 3   # shared rig: take the best (least-contended) repeat
 ENGINE = "patchmatch" if "--sgm" not in sys.argv else "sgm"
 
 
+TRUE_DISP = 8.0  # uniform scene disparity in the synthetic bench scene
+
+
 def make_inputs():
     """Synthetic 720p underwater stereo scene with a known disparity layout."""
     rng = np.random.default_rng(0)
@@ -46,7 +49,8 @@ def make_inputs():
     canvas = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, canvas)
     canvas = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, canvas)
     left = canvas[:, 100 : 100 + W]
-    right = np.roll(canvas, 8, axis=1)[:, 100 : 100 + W]  # ~8 px disparity
+    # right(y, x - d) == left(y, x) with d = TRUE_DISP.
+    right = canvas[:, 100 + int(TRUE_DISP) : 100 + int(TRUE_DISP) + W]
     tint = np.array([0.35, 0.75, 0.9], np.float32)
     left_rgb = np.clip(left[..., None] * tint + 0.05, 0, 1)
     right_rgb = np.clip(right[..., None] * tint + 0.05, 0, 1)
@@ -109,6 +113,22 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     fps = N_FRAMES / best
 
+    # Accuracy half of the BASELINE metric: median |disparity error| on the
+    # known-truth scene over valid (non-masked) pixels.
+    @jax.jit
+    def disp_err(l, r):
+        out = perception_step(l, r, rig, config)
+        d = out.disparity
+        valid = d > 0
+        err = jnp.abs(d - TRUE_DISP)
+        err_sorted = jnp.sort(jnp.where(valid, err, jnp.inf).reshape(-1))
+        n_valid = jnp.sum(valid)
+        median = err_sorted[jnp.maximum(n_valid // 2, 1)]
+        return median, n_valid / d.size
+
+    med_err, valid_frac = disp_err(left, right)
+    med_err, valid_frac = float(med_err), float(valid_frac)
+
     print(
         json.dumps(
             {
@@ -119,6 +139,8 @@ def main() -> None:
                 "streaming_frames": N_FRAMES,
                 "single_dispatch_latency_ms": round(latency_ms, 1),
                 "rpc_floor_ms": round(rpc_floor_ms, 1),
+                "median_disparity_error_px": round(med_err, 3),
+                "valid_disparity_fraction": round(valid_frac, 3),
             }
         )
     )

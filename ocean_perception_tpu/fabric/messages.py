@@ -49,6 +49,18 @@ class ImageMessage:
         c = 1 if arr.ndim == 2 else arr.shape[2]
         return cls(timestamp, arr.shape[1], arr.shape[0], c, "raw", arr.tobytes())
 
+    @classmethod
+    def from_array_jpg(cls, timestamp: int, image: np.ndarray, quality: int = 90) -> "ImageMessage":
+        """JPEG-compressed payload (mmf_image_t 'jpg' format parity)."""
+        import cv2
+
+        u8 = (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".jpg", u8, [cv2.IMWRITE_JPEG_QUALITY, quality])
+        if not ok:
+            raise ValueError("JPEG encode failed")
+        c = 1 if u8.ndim == 2 else u8.shape[2]
+        return cls(timestamp, u8.shape[1], u8.shape[0], c, "jpg", buf.tobytes())
+
     def to_array(self) -> np.ndarray:
         if self.encoding == "raw":
             arr = np.frombuffer(self.data, np.float32)

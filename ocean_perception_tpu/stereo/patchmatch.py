@@ -58,6 +58,8 @@ class PatchMatchParams:
     # 1 - ZNCC over zncc_patch (the CPU PatchMatch's test functor).
     cost: str = struct.field(pytree_node=False, default="l1g")
     zncc_patch: int = struct.field(pytree_node=False, default=5)
+    # Route the l1g cost volume through the fused Pallas kernel when it fits.
+    use_pallas_cost: bool = struct.field(pytree_node=False, default=False)
 
 
 def unit_noise(shape, seed: int) -> jnp.ndarray:
@@ -315,6 +317,8 @@ def patchmatch_disparity(
         from .cost import cost_volume_zncc
 
         C_l = cost_volume_zncc(iml, imr, params.max_disp, params.zncc_patch)
+    elif params.use_pallas_cost:
+        C_l = cost_volume(iml, imr, params.max_disp, params.alpha, use_pallas=True)
     else:
         gl = gradient_magnitude(iml)
         gr = gradient_magnitude(imr)

@@ -65,8 +65,10 @@ def perception_step(
     d_small = config.max_disp // scale if scale > 1 else config.max_disp
     if config.engine == "patchmatch":
         # Production operating point: wider strip decomposition (shorter
-        # latency-bound scans) and WTA right map for the occlusion check.
-        pm = PatchMatchParams(max_disp=d_small, chunks=32, right_wta=True)
+        # latency-bound scans), WTA right map for the occlusion check, and a
+        # bf16 volume (halves the dominant HBM stream; quality verified
+        # <0.1 px median in tests/bench).
+        pm = PatchMatchParams(max_disp=d_small, chunks=32, right_wta=True, volume_bf16=True)
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
     elif config.engine == "sgm":
         sp = SgmParams(max_disp=d_small)

@@ -56,6 +56,7 @@ def cost_volume(
     gl: jnp.ndarray | None = None,
     gr: jnp.ndarray | None = None,
     use_pallas: bool = False,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """(H, W, D) cost volume, D = max_disp, reference X-stencil cost.
 
@@ -83,8 +84,11 @@ def cost_volume(
         rd = _shift_right_image(imr, d)
         gd = _shift_right_image(gr, d)
         e = alpha * jnp.abs(iml - rd) + (1.0 - alpha) * jnp.abs(gl - gd)
-        return _stencil_sum(e)
+        return _stencil_sum(e).astype(dtype)
 
+    # dtype=bfloat16 halves the volume's HBM traffic (the pipeline's largest
+    # stream); costs are O(1) magnitudes so ~0.4% relative error only flips
+    # already-ambiguous argmin ties.
     return jnp.stack([plane(d) for d in range(max_disp)], axis=-1)
 
 
@@ -180,12 +184,14 @@ def subpixel_refine(C: jnp.ndarray, disp_int: jnp.ndarray) -> jnp.ndarray:
     seed/noise values); pairs with integer-disparity engines.
     """
     D = C.shape[-1]
-    c0 = cost_of_disparity(C, jnp.clip(disp_int - 1, 0, D - 1))
-    c1 = cost_of_disparity(C, disp_int)
-    c2 = cost_of_disparity(C, jnp.clip(disp_int + 1, 0, D - 1))
+    # Parabola arithmetic in f32 even for bf16 volumes (the denominator is a
+    # small difference of costs).
+    c0 = cost_of_disparity(C, jnp.clip(disp_int - 1, 0, D - 1)).astype(jnp.float32)
+    c1 = cost_of_disparity(C, disp_int).astype(jnp.float32)
+    c2 = cost_of_disparity(C, jnp.clip(disp_int + 1, 0, D - 1)).astype(jnp.float32)
     denom = c0 - 2.0 * c1 + c2
     offset = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (c0 - c2) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
     offset = jnp.clip(offset, -0.5, 0.5)
     # Only refine interior disparities.
     interior = (disp_int > 0) & (disp_int < D - 1)
-    return disp_int.astype(C.dtype) + jnp.where(interior, offset, 0.0)
+    return disp_int.astype(jnp.float32) + jnp.where(interior, offset, 0.0)

@@ -60,6 +60,9 @@ class PatchMatchParams:
     zncc_patch: int = struct.field(pytree_node=False, default=5)
     # Route the l1g cost volume through the fused Pallas kernel when it fits.
     use_pallas_cost: bool = struct.field(pytree_node=False, default=False)
+    # Store the volume in bfloat16 (halves its HBM traffic; ~0.4% relative
+    # cost error can flip near-tie argmin picks — off for exact parity).
+    volume_bf16: bool = struct.field(pytree_node=False, default=False)
 
 
 def unit_noise(shape, seed: int) -> jnp.ndarray:
@@ -322,7 +325,8 @@ def patchmatch_disparity(
     else:
         gl = gradient_magnitude(iml)
         gr = gradient_magnitude(imr)
-        C_l = cost_volume(iml, imr, params.max_disp, params.alpha, gl, gr)
+        vdtype = jnp.bfloat16 if params.volume_bf16 else jnp.float32
+        C_l = cost_volume(iml, imr, params.max_disp, params.alpha, gl, gr, dtype=vdtype)
     C_r = right_cost_volume_from_left(C_l)
 
     noise = unit_noise(iml.shape, params.noise_seed)

@@ -37,11 +37,64 @@ class LKParams:
     min_eig_threshold: float = struct.field(pytree_node=False, default=1.5e-9)
     bidirectional: bool = struct.field(pytree_node=False, default=True)
     fwd_bwd_tol: float = struct.field(pytree_node=False, default=2.0)
+    # Large-displacement initialization: exhaustive block match at the
+    # coarsest level seeds the LK guess (captures motions far beyond the
+    # iterative walk's reach on extreme-baseline pairs).
+    coarse_init: bool = struct.field(pytree_node=False, default=False)
+    coarse_search: int = struct.field(pytree_node=False, default=12)
+    coarse_patch: int = struct.field(pytree_node=False, default=9)
 
 
 class FlowResult(NamedTuple):
     points: jnp.ndarray  # (K, 2) tracked positions in the new image
     status: jnp.ndarray  # (K,) bool — tracked successfully
+
+
+def _coarse_block_match(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    points: jnp.ndarray,   # (K, 2) at this level's scale
+    search: int,
+    patch: int,
+) -> jnp.ndarray:
+    """Exhaustive SSD block match around each point at one pyramid level.
+
+    Returns (K, 2) matched positions. A (2s+1)^2 search of a p x p template —
+    per keypoint a (p+2s)^2 window is sliced and all offsets evaluated via
+    static shifts (vmapped; no data-dependent shapes).
+    """
+    H, W = prev_img.shape
+    r = patch // 2
+    win = patch + 2 * search
+    pad = search + r + 1
+    prev_pad = jnp.pad(prev_img, pad, mode="edge")
+    next_pad = jnp.pad(next_img, pad, mode="edge")
+
+    offs = jnp.arange(-search, search + 1)
+
+    def one(pt):
+        x0 = jnp.round(pt[0]).astype(jnp.int32) + pad
+        y0 = jnp.round(pt[1]).astype(jnp.int32) + pad
+        templ = jax.lax.dynamic_slice(prev_pad, (y0 - r, x0 - r), (patch, patch))
+        window = jax.lax.dynamic_slice(
+            next_pad, (y0 - r - search, x0 - r - search), (win, win)
+        )
+        # SSD at every offset via static slices (unrolled (2s+1)^2 at trace
+        # time — s is small; each term is a p x p elementwise op).
+        costs = []
+        for dy in range(2 * search + 1):
+            row = []
+            for dx in range(2 * search + 1):
+                diff = window[dy : dy + patch, dx : dx + patch] - templ
+                row.append(jnp.sum(diff * diff))
+            costs.append(jnp.stack(row))
+        cost = jnp.stack(costs)  # (2s+1, 2s+1)
+        best = jnp.argmin(cost.reshape(-1))
+        by = best // (2 * search + 1) - search
+        bx = best % (2 * search + 1) - search
+        return pt + jnp.stack([bx, by]).astype(pt.dtype)
+
+    return jax.vmap(one)(points)
 
 
 def _lk_level(
@@ -181,7 +234,15 @@ def track_points(
     prev_pyr = image_pyramid(prev_img, levels)
     next_pyr = image_pyramid(next_img, levels)
 
-    fwd = pyramidal_lk(prev_pyr, next_pyr, points, p)
+    initial_flow = None
+    if p.coarse_init:
+        scale = 2.0 ** (levels - 1)
+        coarse = _coarse_block_match(
+            prev_pyr[-1], next_pyr[-1], points / scale, p.coarse_search, p.coarse_patch
+        )
+        initial_flow = coarse * scale
+
+    fwd = pyramidal_lk(prev_pyr, next_pyr, points, p, initial_flow=initial_flow)
     status = fwd.status & valid
     if p.bidirectional:
         bwd = pyramidal_lk(next_pyr, prev_pyr, fwd.points, p)

@@ -183,3 +183,30 @@ def test_tracker_keyframe_trigger(textured):
         kfs.append(bool(out.is_keyframe))
     assert kfs[0]  # forced
     assert kfs[3]  # trigger_keyframe_k = 3
+
+
+def test_lk_coarse_init_large_motion(textured):
+    """Block-match initialization captures motions beyond the iterative
+    walk's reach; failures reject cleanly instead of returning wrong flow."""
+    import cv2 as _cv2
+
+    rng = np.random.default_rng(11)
+    h, w = 240, 320
+    im = rng.random((h, w + 80)).astype(np.float32)
+    im = _cv2.GaussianBlur(im, (5, 5), 1.2) * 0.7 + 0.15
+    prev = im[:, :w]
+    shift = 35.0
+    M = np.float32([[1, 0, shift], [0, 1, 0]])
+    nxt = _cv2.warpAffine(im, M, (im.shape[1], im.shape[0]))[:, :w]
+    pts = np.stack(
+        np.meshgrid(np.arange(80, w - 80, 25), np.arange(40, h - 40, 25)), -1
+    ).reshape(-1, 2).astype(np.float32)
+    res = track_points(
+        jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts),
+        jnp.ones(len(pts), bool), LKParams(max_level=3, coarse_init=True),
+    )
+    ok = np.asarray(res.status)
+    assert ok.sum() >= 20
+    flow = (np.asarray(res.points) - pts)[ok]
+    assert np.median(np.abs(flow[:, 0] - shift)) < 0.5
+    assert np.median(np.abs(flow[:, 1])) < 0.5

@@ -159,6 +159,34 @@ def ekf_update_imu(
     return _joseph_update(state, H, r, R)
 
 
+def ekf_replay_imu(
+    state: EkfState,
+    dts: jnp.ndarray,        # (N,) seconds between consecutive samples
+    gyros: jnp.ndarray,      # (N, 3) body angular rates
+    accels: jnp.ndarray,     # (N, 3) body specific forces
+    mask: jnp.ndarray,       # (N,) bool — padded slots are no-ops
+    n_gravity: jnp.ndarray,  # (3,) world gravity
+    params: EkfParams,
+    q_body_imu: jnp.ndarray | None = None,
+) -> EkfState:
+    """Rewind/ReapplyImu replay (state_ekf.cpp:84-120) as ONE lax.scan.
+
+    The host-loop equivalent costs 2 dispatches per sample — on a remote TPU
+    that is 2N x the ~50-130 ms RPC floor. Padding N to a capacity bucket and
+    scanning keeps replay a single dispatch with a bounded set of compiles.
+    """
+
+    def step(s, inp):
+        dt, w_m, a_m, use = inp
+        s1 = ekf_predict(s, jnp.maximum(dt, 0.0), params)
+        s1 = ekf_update_imu(s1, w_m, a_m, n_gravity, params, q_body_imu)
+        s_out = jax.tree.map(lambda a, b: jnp.where(use, a, b), s1, s)
+        return s_out, None
+
+    out, _ = jax.lax.scan(step, state, (dts, gyros, accels, mask))
+    return out
+
+
 def ekf_update_depth(
     state: EkfState, depth_meas, gravity_unit: jnp.ndarray, params: EkfParams
 ) -> EkfState:

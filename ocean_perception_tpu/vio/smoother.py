@@ -106,7 +106,11 @@ class KeyposeWindow(NamedTuple):
     prior_ba: jnp.ndarray
 
 
-def make_window(config: SmootherConfig, n_imu: int, dtype=jnp.float64) -> KeyposeWindow:
+def make_window(config: SmootherConfig, n_imu: int, dtype=None) -> KeyposeWindow:
+    # Default to f64 under x64 (host/CPU testing), f32 otherwise (TPU has no
+    # f64; the QR-based GN in solve_window is f32-safe — see _qr_step).
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     M, B = config.window, config.max_ranges
     eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (M, 3, 3))
     return KeyposeWindow(
@@ -346,6 +350,20 @@ def solve_window(
     M = win.valid.shape[0]
     dtype = win.p.dtype
 
+    def _qr_step(J, r):
+        """Damped GN step via QR of the stacked system — cond(J) instead of
+        cond(JᵀJ), which keeps the solve healthy in float32 (TPUs have no
+        f64). Damping rows: sqrt(λ·diag(JᵀJ) + floor) (Marquardt + absolute
+        floor so inactive-slot columns stay invertible)."""
+        n = J.shape[1]
+        diag_H = jnp.sum(J * J, axis=0)
+        damp = jnp.sqrt(config.damping * diag_H + (config.damping + 1e-8))
+        A = jnp.concatenate([J, jnp.diag(damp)], axis=0)
+        b = jnp.concatenate([-r, jnp.zeros(n, dtype)])
+        q, r_mat = jnp.linalg.qr(A)
+        delta = jax.scipy.linalg.solve_triangular(r_mat, q.T @ b, lower=False)
+        return jnp.where(jnp.isfinite(delta), delta, 0.0), r_mat
+
     def gn_iter(_, w):
         def res_of(delta_flat):
             return _residuals(
@@ -355,26 +373,24 @@ def solve_window(
         delta0 = jnp.zeros(M * 15, dtype)
         r = res_of(delta0)
         J = jax.jacfwd(res_of)(delta0)
-        H = J.T @ J
-        # Gauge/inactive-state protection: damping keeps H invertible where
-        # slots are invalid (their residual rows are zeroed).
-        H = H + (config.damping + 1e-8) * jnp.eye(M * 15, dtype=dtype)
-        delta = jnp.linalg.solve(H, -(J.T @ r))
-        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        delta, _ = _qr_step(J, r)
         # Freeze invalid slots.
         delta = delta.reshape(M, 15) * w.valid[:, None].astype(dtype)
         return _retract(w, delta)
 
     w = jax.lax.fori_loop(0, config.iterations, gn_iter, win)
 
-    # Final linearization for covariances.
+    # Final linearization for covariances: cov = (RᵀR)^-1 from the damped QR.
     def res_of(delta_flat):
         return _residuals(delta_flat.reshape(M, 15), w, pims, gravity, gravity_unit, config)
 
     r = res_of(jnp.zeros(M * 15, dtype))
     J = jax.jacfwd(res_of)(jnp.zeros(M * 15, dtype))
-    H = J.T @ J + (config.damping + 1e-8) * jnp.eye(M * 15, dtype=dtype)
-    cov = jnp.linalg.inv(H)
+    _, r_mat = _qr_step(J, r)
+    rinv = jax.scipy.linalg.solve_triangular(
+        r_mat, jnp.eye(M * 15, dtype=dtype), lower=False
+    )
+    cov = rinv @ rinv.T
 
     sl = newest_slot
     cov_new = jax.lax.dynamic_slice(cov, (sl * 15, sl * 15), (15, 15))

@@ -45,6 +45,7 @@ from .ekf import (
     EkfState,
     ekf_initialize,
     ekf_predict,
+    ekf_replay_imu,
     ekf_update_depth,
     ekf_update_imu,
     ekf_update_pose,
@@ -157,6 +158,11 @@ class StateEstimator:
                 jnp.asarray(self._gravity_unit),
                 self._smoother_cfg,
                 slot,
+            )
+        )
+        self._replay_jit = jax.jit(
+            lambda s, dts, g, a, m: ekf_replay_imu(
+                s, dts, g, a, m, jnp.asarray(self._gravity), self.ekf_params
             )
         )
 
@@ -450,20 +456,29 @@ class StateEstimator:
         else:
             return  # filter agrees; nothing to do
 
-        # Replay IMU newer than the rewind point.
+        # Replay IMU newer than the rewind point — one lax.scan dispatch over
+        # a power-of-two-padded batch (vs 2 dispatches/sample; see
+        # ekf.ekf_replay_imu). Pow-2 buckets bound the compile count.
         self._ekf_history.discard_after(timestamp)
+        times, items = self._imu_items_after(timestamp)
         t_cur = timestamp
-        for t_m, m in zip(*self._imu_items_after(timestamp)):
-            dt = (t_m - t_cur) * 1e-9
-            state = ekf_predict(state, max(dt, 0.0), self.ekf_params)
-            state = ekf_update_imu(
-                state,
-                jnp.asarray(m.angular_velocity),
-                jnp.asarray(m.linear_acceleration),
-                jnp.asarray(self._gravity),
-                self.ekf_params,
+        if times:
+            n = len(times)
+            cap = 1 << (n - 1).bit_length()
+            dts = np.zeros(cap)
+            gyr = np.zeros((cap, 3))
+            acc = np.zeros((cap, 3))
+            mask = np.zeros(cap, bool)
+            for i, (t_m, m) in enumerate(zip(times, items)):
+                dts[i] = max((t_m - t_cur) * 1e-9, 0.0)
+                gyr[i] = np.asarray(m.angular_velocity)
+                acc[i] = np.asarray(m.linear_acceleration)
+                mask[i] = True
+                t_cur = t_m
+            state = self._replay_jit(
+                state, jnp.asarray(dts), jnp.asarray(gyr), jnp.asarray(acc),
+                jnp.asarray(mask),
             )
-            t_cur = t_m
         self.ekf_state = state
         self._ekf_time = t_cur
 

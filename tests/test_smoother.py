@@ -186,6 +186,33 @@ def test_smoother_jit_compiles(config):
     np.testing.assert_allclose(np.asarray(r1.p), np.asarray(r2.p))
 
 
+def test_smoother_float32(config):
+    """TPU has no float64 — the QR-based damped GN (cond(J), not cond(JᵀJ))
+    must recover the trajectory in pure f32, the on-chip solve path."""
+    states, imu_windows = simulate()
+    win = build_window(states, imu_windows, config, state_noise=0.05)
+    win32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        win,
+    )
+    pims = preintegrate_window(win32)
+    w, result = solve_window(
+        win32, pims,
+        jnp.asarray(GRAVITY, jnp.float32), jnp.asarray(G_UNIT, jnp.float32),
+        config, jnp.asarray(5, jnp.int32),
+    )
+    assert w.p.dtype == jnp.float32
+    for k, (Rk, pk, vk) in enumerate(states):
+        np.testing.assert_allclose(np.asarray(w.p[k]), pk, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(w.v[k]), vk, atol=8e-2)
+        np.testing.assert_allclose(np.asarray(w.R[k]), Rk, atol=3e-2)
+    cov = np.asarray(result.cov_newest)
+    assert np.isfinite(cov).all()
+    assert np.linalg.eigvalsh(0.5 * (cov + cov.T)).min() > 0
+
+
 def test_landmark_projection_factors(config):
     """Structureless landmark factors: noisy poses + exact pixel tracks of
     fixed 3D points must pull the trajectory back (legacy Smoother parity)."""

@@ -207,6 +207,36 @@ class TestEkf:
         np.testing.assert_allclose(S, S.T, atol=1e-12)
         assert np.linalg.eigvalsh(S).min() > 0
 
+    def test_replay_scan_matches_loop(self):
+        """ekf_replay_imu (one lax.scan dispatch) must reproduce the
+        predict/update host loop exactly, with padded slots as no-ops."""
+        from ocean_perception_tpu.vio.ekf import ekf_replay_imu
+
+        rng = np.random.default_rng(3)
+        g = jnp.asarray([0.0, 0, -9.81])
+        p = EkfParams()
+        n, cap = 11, 16
+        dts = np.full(cap, 0.01)
+        gyr = rng.normal(0, 0.1, (cap, 3))
+        acc = rng.normal(0, 0.2, (cap, 3)) - np.asarray(g)
+        mask = np.arange(cap) < n
+
+        s_loop = ekf_initialize(dtype=jnp.float64)
+        for i in range(n):
+            s_loop = ekf_predict(s_loop, dts[i], p)
+            s_loop = ekf_update_imu(
+                s_loop, jnp.asarray(gyr[i]), jnp.asarray(acc[i]), g, p
+            )
+
+        s_scan = ekf_replay_imu(
+            ekf_initialize(dtype=jnp.float64),
+            jnp.asarray(dts), jnp.asarray(gyr), jnp.asarray(acc),
+            jnp.asarray(mask), g, p,
+        )
+        np.testing.assert_allclose(np.asarray(s_scan.t), np.asarray(s_loop.t), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(s_scan.q), np.asarray(s_loop.q), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(s_scan.S), np.asarray(s_loop.S), atol=1e-12)
+
     def test_depth_update_moves_gravity_axis(self):
         s = ekf_initialize(dtype=jnp.float64)
         p = EkfParams()

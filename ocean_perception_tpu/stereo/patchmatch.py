@@ -352,8 +352,12 @@ def patchmatch_disparity(
     if params.subpixel:
         int_l = jnp.clip(jnp.round(disp_l), 0, params.max_disp - 1).astype(jnp.int32)
         disp_l = jnp.where(disp_l > 0, subpixel_refine(C_l, int_l), 0.0)
-        int_r = jnp.clip(jnp.round(disp_r), 0, params.max_disp - 1).astype(jnp.int32)
-        disp_r = jnp.where(disp_r > 0, subpixel_refine(C_r, int_r), 0.0)
+        # In right_wta mode the right map only feeds the 0.7-1.4 occlusion
+        # ratio check — integer precision suffices, and skipping the refine
+        # saves three full one-hot contractions over C_r (pure HBM traffic).
+        if not params.right_wta:
+            int_r = jnp.clip(jnp.round(disp_r), 0, params.max_disp - 1).astype(jnp.int32)
+            disp_r = jnp.where(disp_r > 0, subpixel_refine(C_r, int_r), 0.0)
 
     left_masked = mask_occlusions(disp_l, disp_r, params)
     return PatchMatchResult(left=left_masked, right=disp_r, left_raw=disp_l)

@@ -46,6 +46,10 @@ class SgmParams:
     # Zero out pixels whose aggregated d=0 cost is nearly as good as the best
     # (the PatchMatch MaskBackground analog); None disables.
     background_improve: float | None = struct.field(pytree_node=False, default=None)
+    # lax.scan unroll for the directional passes (0 = full unroll). Same
+    # rationale as PatchMatchParams.scan_unroll: per-step while-loop overhead
+    # dominates short strip scans; semantics are unchanged.
+    scan_unroll: int = struct.field(pytree_node=False, default=1)
 
 
 def _sgm_step(prev, c_row, p1, p2, big):
@@ -58,7 +62,8 @@ def _sgm_step(prev, c_row, p1, p2, big):
 
 
 def _directional_pass(C_sweep: jnp.ndarray, p1: float, p2: float,
-                      chunks: int = 1, halo: int = 0) -> jnp.ndarray:
+                      chunks: int = 1, halo: int = 0,
+                      scan_unroll: int = 1) -> jnp.ndarray:
     """Aggregate along axis 0 of (N, M, D), forward direction.
 
     chunks > 1: the N axis splits into strips processed in lockstep (scan
@@ -67,6 +72,7 @@ def _directional_pass(C_sweep: jnp.ndarray, p1: float, p2: float,
     """
     N, M, D = C_sweep.shape
     big = jnp.asarray(1e9, C_sweep.dtype)
+    unroll = True if scan_unroll <= 0 else scan_unroll
 
     # Largest divisor of N that is <= chunks.
     c = min(chunks, N)
@@ -78,7 +84,7 @@ def _directional_pass(C_sweep: jnp.ndarray, p1: float, p2: float,
             return out, out
 
         init = C_sweep[0]
-        _, rest = jax.lax.scan(step, init, C_sweep[1:])
+        _, rest = jax.lax.scan(step, init, C_sweep[1:], unroll=unroll)
         return jnp.concatenate([init[None], rest], axis=0)
 
     n = N // c
@@ -93,7 +99,7 @@ def _directional_pass(C_sweep: jnp.ndarray, p1: float, p2: float,
         return out, out
 
     init = Cc[0]
-    _, outs = jax.lax.scan(step, init, Cc[1:])       # (w-1, c, M, D)
+    _, outs = jax.lax.scan(step, init, Cc[1:], unroll=unroll)  # (w-1, c, M, D)
     outs = jnp.concatenate([init[None], outs], axis=0)
     interior = jnp.transpose(outs, (1, 0, 2, 3))[:, halo:]   # (c, n, M, D)
     return interior.reshape(N, M, D)
@@ -105,12 +111,12 @@ def sgm_aggregate(C: jnp.ndarray, params: SgmParams) -> jnp.ndarray:
     D stays on the lane axis throughout; the only transpose swaps the two
     spatial (major) axes for the horizontal scans — no re-tiling relayouts."""
     p1, p2 = params.p1, params.p2
-    ck, hl = params.chunks, params.halo
-    down = _directional_pass(C, p1, p2, ck, hl)
-    up = _directional_pass(C[::-1], p1, p2, ck, hl)[::-1]
+    ck, hl, un = params.chunks, params.halo, params.scan_unroll
+    down = _directional_pass(C, p1, p2, ck, hl, un)
+    up = _directional_pass(C[::-1], p1, p2, ck, hl, un)[::-1]
     Ch = jnp.transpose(C, (1, 0, 2))  # (W, H, D): horizontal scans
-    right = _directional_pass(Ch, p1, p2, ck, hl)
-    left = _directional_pass(Ch[::-1], p1, p2, ck, hl)[::-1]
+    right = _directional_pass(Ch, p1, p2, ck, hl, un)
+    left = _directional_pass(Ch[::-1], p1, p2, ck, hl, un)[::-1]
     return down + up + jnp.transpose(right, (1, 0, 2)) + jnp.transpose(left, (1, 0, 2))
 
 

@@ -158,6 +158,24 @@ def test_patchmatch_matches_oracle(scene):
     assert agree > 0.8
 
 
+def test_patchmatch_scan_unroll_identical(scene):
+    """scan_unroll only changes loop fusion, never the sequential math —
+    results must be bit-identical to unroll=1."""
+    left, right, _ = scene
+    base = PatchMatchParams(max_disp=D, chunks=4, iters=2)
+    r1 = patchmatch_disparity(jnp.asarray(left), jnp.asarray(right), base)
+    r5 = patchmatch_disparity(
+        jnp.asarray(left), jnp.asarray(right), base.replace(scan_unroll=5)
+    )
+    np.testing.assert_array_equal(np.asarray(r1.left), np.asarray(r5.left))
+    np.testing.assert_array_equal(np.asarray(r1.right), np.asarray(r5.right))
+    # 0 = full unroll (the production operating point).
+    r0 = patchmatch_disparity(
+        jnp.asarray(left), jnp.asarray(right), base.replace(scan_unroll=0)
+    )
+    np.testing.assert_array_equal(np.asarray(r1.left), np.asarray(r0.left))
+
+
 def test_add_foreground_noise_semantics():
     disp = jnp.asarray(np.array([[0.0, 5.0], [2.0, 0.0]], np.float32))
     noise = jnp.asarray(np.array([[0.5, -0.25], [-10.0, 0.9]], np.float32))

@@ -42,6 +42,10 @@ class PatchMatchParams:
     alpha: float = struct.field(pytree_node=False, default=0.9)
     improve_factor: float = struct.field(pytree_node=False, default=0.8)
     chunks: int = struct.field(pytree_node=False, default=16)
+    # Strip count for the column (scan-along-y) passes; None = `chunks`.
+    # parallel/stereo_sharded.py maps one y-strip per device, so its
+    # single-device equivalent is chunks_y = mesh size.
+    chunks_y: int | None = struct.field(pytree_node=False, default=None)
     halo: int = struct.field(pytree_node=False, default=5)
     patch_radius: int = struct.field(pytree_node=False, default=1)
     noise_seed: int = struct.field(pytree_node=False, default=123)
@@ -157,7 +161,8 @@ def _layout_cols(C: jnp.ndarray, p: PatchMatchParams) -> _StripLayout:
     C is already (H, W, D): direct strip slicing, zero transposes."""
     H, W, D = C.shape
     pr = p.patch_radius
-    rows_clipped, valid_pos, chunk, w = _chunk_columns(H, p.chunks, p.halo, pr)
+    chunks_y = p.chunks if p.chunks_y is None else p.chunks_y
+    rows_clipped, valid_pos, chunk, w = _chunk_columns(H, chunks_y, p.halo, pr)
     Cc = jnp.transpose(C[rows_clipped], (1, 0, 2, 3))  # (w, chunks, W, D)
     x_of = jnp.arange(W, dtype=jnp.float32)[None, :]  # broadcast (1, W)
     lane_ok = (jnp.arange(W) >= pr) & (jnp.arange(W) <= W - pr - 1)
@@ -236,17 +241,28 @@ def _propagate(
     return new_disp, new_cost
 
 
-def mask_background(C: jnp.ndarray, disp: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
+def mask_background(
+    C: jnp.ndarray,
+    disp: jnp.ndarray,
+    p: PatchMatchParams,
+    row_ids: jnp.ndarray | None = None,
+    n_rows: int | None = None,
+) -> jnp.ndarray:
     """Zero disparity unless it improves cost by improve_factor vs d=0
-    (patchmatch_gpu.cu MaskBackground)."""
+    (patchmatch_gpu.cu MaskBackground).
+
+    ``row_ids``/``n_rows`` override the row coordinates when ``disp`` is a
+    strip of a taller image (parallel/stereo_sharded.py) so the interior mask
+    applies at the GLOBAL border, not each strip's."""
     H, W = disp.shape
     pr = p.patch_radius
     x = jnp.arange(W, dtype=disp.dtype)[None, :]
     cost0 = C[..., 0]
     cost_d = _lookup_cost(C, disp, x, pr)
     keep = cost_d < p.improve_factor * cost0
-    yy = jnp.arange(H)[:, None]
-    interior = (yy >= pr) & (yy <= H - pr - 1) & (x >= pr) & (x <= W - pr - 1)
+    yy = (jnp.arange(H) if row_ids is None else row_ids)[:, None]
+    Hg = H if n_rows is None else n_rows
+    interior = (yy >= pr) & (yy <= Hg - pr - 1) & (x >= pr) & (x <= W - pr - 1)
     return jnp.where(keep & interior, disp, 0.0)
 
 

@@ -52,6 +52,53 @@ def test_multi_camera_step_sharded(mesh):
 
 
 @pytest.mark.slow
+def test_sharded_patchmatch_matches_single_device():
+    """One frame strip-sharded across 8 devices (halo exchange over the mesh)
+    must reproduce the single-device engine with chunks_y = n_devices —
+    exactly, away from the 1-row global-border stencil splice."""
+    from jax.sharding import Mesh
+    from ocean_perception_tpu.parallel.stereo_sharded import sharded_patchmatch
+    from ocean_perception_tpu.stereo.patchmatch import (
+        PatchMatchParams,
+        patchmatch_disparity,
+    )
+
+    H, W, D = 160, 128, 24
+    rng = np.random.default_rng(7)
+    canvas = rng.random((H, W + 48)).astype(np.float32)
+    import cv2
+
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 1.1)
+    left = canvas[:, 16 : 16 + W]
+    right = canvas[:, 16 + 6 : 16 + 6 + W]  # true disparity 6
+
+    n = 8
+    mesh8 = Mesh(np.array(jax.devices()[:n]), ("strip",))
+    p = PatchMatchParams(
+        max_disp=D, chunks=4, iters=2, right_wta=True, init_dilate_factor=3
+    )
+    res_sh = sharded_patchmatch(jnp.asarray(left), jnp.asarray(right), mesh8, p)
+
+    res_1 = patchmatch_disparity(
+        jnp.asarray(left), jnp.asarray(right), p.replace(chunks_y=n)
+    )
+
+    a, b = np.asarray(res_sh.left), np.asarray(res_1.left)
+    # Interior: bit-identical.
+    np.testing.assert_array_equal(a[1:-1], b[1:-1])
+    # Border rows may differ only through the stencil-splice path; they must
+    # still agree almost everywhere.
+    assert (a == b).mean() > 0.999
+    np.testing.assert_array_equal(
+        np.asarray(res_sh.right)[1:-1], np.asarray(res_1.right)[1:-1]
+    )
+    # Sanity: the disparity is actually recovered.
+    valid = a > 0
+    assert valid.mean() > 0.3
+    assert abs(np.median(a[valid]) - 6.0) <= 1.0
+
+
+@pytest.mark.slow
 def test_sharded_matches_single_device(mesh):
     """The sharded result must equal the unsharded computation."""
     n_cams = 8

@@ -75,7 +75,7 @@ def perception_step(
         )
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
     elif config.engine == "sgm":
-        sp = SgmParams(max_disp=d_small)
+        sp = SgmParams(max_disp=d_small, scan_unroll=0)
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.SGM, sgm_params=sp)
     else:
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.WTA, max_disp=d_small)

@@ -31,11 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..stereo.cost import (
-    cost_volume,
-    right_cost_volume_from_left,
-    subpixel_refine,
-)
+from ..stereo.cost import cost_volume, subpixel_refine
 from ..stereo.patchmatch import (
     PatchMatchParams,
     PatchMatchResult,
@@ -46,6 +42,7 @@ from ..stereo.patchmatch import (
     add_foreground_noise,
     mask_background,
     mask_occlusions,
+    right_wta_from_left,
     sparse_wta_seed,
     unit_noise,
 )
@@ -238,13 +235,9 @@ def _local_patchmatch(
 
     disp_l = mask_background(C, disp, p, row_ids=g_rows, n_rows=H)
 
-    # Right map (WTA over the derived right volume) + occlusion check — all
-    # row-local. The sharded engine supports the production right_wta mode.
-    C_r = right_cost_volume_from_left(C)
-    wta_r = jnp.argmin(C_r, axis=-1).astype(jnp.float32)
-    disp_r = jnp.where(
-        jnp.min(C_r, axis=-1) < p.improve_factor * C_r[..., 0], wta_r, 0.0
-    )
+    # Right map (running-min WTA straight from C, no C_R materialization) +
+    # occlusion check — all row-local.
+    disp_r = right_wta_from_left(C, p)
 
     if p.subpixel:
         int_l = jnp.clip(jnp.round(disp_l), 0, p.max_disp - 1).astype(jnp.int32)

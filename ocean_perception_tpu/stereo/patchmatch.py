@@ -279,6 +279,29 @@ def mask_occlusions(displ: jnp.ndarray, dispr: jnp.ndarray, p: PatchMatchParams)
     return jnp.where(bad, 0.0, displ)
 
 
+def right_wta_from_left(C: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
+    """WTA right disparity map straight from the LEFT volume — never
+    materializes C_R.
+
+    C_R(y, x, d) = C_L(y, x+d, d), so the right WTA is a running min over D
+    shifted planes (strict `<` keeps the first minimal d, matching argmin's
+    tie-breaking on the materialized volume bit-for-bit). Saves a full
+    (H, W, D) write + re-read vs right_cost_volume_from_left + argmin/min."""
+    H, W, D = C.shape
+    col = jnp.arange(W)[None, :]
+    c0 = C[..., 0]
+    best = c0
+    bestd = jnp.zeros((H, W), jnp.float32)
+    for d in range(1, D):
+        Cd = C[..., d]
+        sh = jnp.roll(Cd, -d, axis=1)
+        sh = jnp.where(col >= W - d, Cd[:, -1:], sh)
+        better = sh < best
+        best = jnp.where(better, sh, best)
+        bestd = jnp.where(better, jnp.float32(d), bestd)
+    return jnp.where(best < p.improve_factor * c0, bestd, 0.0)
+
+
 def sparse_wta_seed(C: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
     """Built-in seeder: confident WTA pixels splatted and max-dilated.
 
@@ -350,19 +373,20 @@ def patchmatch_disparity(
         gr = gradient_magnitude(imr)
         vdtype = jnp.bfloat16 if params.volume_bf16 else jnp.float32
         C_l = cost_volume(iml, imr, params.max_disp, params.alpha, gl, gr, dtype=vdtype)
-    C_r = right_cost_volume_from_left(C_l)
 
     noise = unit_noise(iml.shape, params.noise_seed)
     if seed_left is None:
         seed_left = sparse_wta_seed(C_l, params)
 
     if params.right_wta:
+        # C_R is never materialized on this path: the WTA right map comes
+        # from a running min over shifted C_L planes, and the right-side
+        # subpixel refine is skipped (the map only feeds the occlusion
+        # ratio check).
         disp_l = _match_one_side(C_l, seed_left, noise, params)
-        wta_r = jnp.argmin(C_r, axis=-1).astype(jnp.float32)
-        disp_r = jnp.where(
-            jnp.min(C_r, axis=-1) < params.improve_factor * C_r[..., 0], wta_r, 0.0
-        )
+        disp_r = right_wta_from_left(C_l, params)
     else:
+        C_r = right_cost_volume_from_left(C_l)
         if seed_right is None:
             seed_right = sparse_wta_seed(C_r, params)
         # Both sides propagate in lockstep (vmap doubles slab width per scan

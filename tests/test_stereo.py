@@ -176,6 +176,22 @@ def test_patchmatch_scan_unroll_identical(scene):
     np.testing.assert_array_equal(np.asarray(r1.left), np.asarray(r0.left))
 
 
+def test_right_wta_from_left_matches_materialized(scene):
+    """The fused running-min right WTA must equal argmin over the
+    materialized right volume, including tie-breaking and edge clamps."""
+    from ocean_perception_tpu.stereo.cost import right_cost_volume_from_left
+    from ocean_perception_tpu.stereo.patchmatch import right_wta_from_left
+
+    left, right, _ = scene
+    p = PatchMatchParams(max_disp=D)
+    C = cost_volume(jnp.asarray(left), jnp.asarray(right), D, p.alpha)
+    C_r = right_cost_volume_from_left(C)
+    wta = jnp.argmin(C_r, axis=-1).astype(jnp.float32)
+    ref = jnp.where(jnp.min(C_r, axis=-1) < p.improve_factor * C_r[..., 0], wta, 0.0)
+    fused = right_wta_from_left(C, p)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_add_foreground_noise_semantics():
     disp = jnp.asarray(np.array([[0.0, 5.0], [2.0, 0.0]], np.float32))
     noise = jnp.asarray(np.array([[0.5, -0.25], [-10.0, 0.9]], np.float32))

@@ -49,6 +49,9 @@ class ObjectMesherDeviceParams:
     min_obs_connect_edge: float = struct.field(pytree_node=False, default=7.0)
     min_obs_disconnect_edge: float = struct.field(pytree_node=False, default=4.0)
     edge_samples: int = struct.field(pytree_node=False, default=16)
+    # Sample the foreground gate from a 1/f box-averaged mask with nearest
+    # indexing (1 = exact full-res bilinear, the reference's behavior).
+    fg_downsample: int = struct.field(pytree_node=False, default=4)
     tracker: StereoTrackerParams = struct.field(pytree_node=False, default=StereoTrackerParams())
 
 
@@ -90,14 +93,29 @@ def mesher_device_step(
     depth = fx_baseline / jnp.maximum(obs.disparities, 1e-3)
     depth_ok = jnp.abs(depth[:, None] - depth[None, :]) <= params.edge_max_depth_change
 
-    # Foreground fraction along each segment (S bilinear samples).
+    # Foreground fraction along each segment (S samples per K^2 pair — the
+    # mesher's gather hot spot). fg_downsample > 1 box-averages the mask and
+    # samples nearest-neighbor: 8x fewer gather corners for a gate that is a
+    # heuristic anyway (reference samples the full-res mask; set
+    # fg_downsample=1 for that exact behavior).
     S = params.edge_samples
     ts = jnp.linspace(0.0, 1.0, S)
     seg = pts[:, None, None, :] * (1 - ts)[None, None, :, None] + pts[None, :, None, :] * ts[None, None, :, None]
-    fg_f = fg.astype(jnp.float32)
-    fg_frac = jnp.mean(
-        bilinear_sample(fg_f, seg[..., 1], seg[..., 0]), axis=-1
-    )
+    f = params.fg_downsample
+    if f > 1:
+        Hf, Wf = fg.shape[0] // f, fg.shape[1] // f
+        fg_small = jnp.mean(
+            fg[: Hf * f, : Wf * f].astype(jnp.float32).reshape(Hf, f, Wf, f),
+            axis=(1, 3),
+        )
+        yy = jnp.clip((seg[..., 1] / f).astype(jnp.int32), 0, Hf - 1)
+        xx = jnp.clip((seg[..., 0] / f).astype(jnp.int32), 0, Wf - 1)
+        fg_frac = jnp.mean(fg_small[yy, xx], axis=-1)
+    else:
+        fg_f = fg.astype(jnp.float32)
+        fg_frac = jnp.mean(
+            bilinear_sample(fg_f, seg[..., 1], seg[..., 0]), axis=-1
+        )
     fg_ok = fg_frac >= params.edge_min_foreground_percent
 
     pair_valid = near & alive[:, None] & alive[None, :]

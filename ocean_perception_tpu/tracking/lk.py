@@ -43,6 +43,17 @@ class LKParams:
     coarse_init: bool = struct.field(pytree_node=False, default=False)
     coarse_search: int = struct.field(pytree_node=False, default=12)
     coarse_patch: int = struct.field(pytree_node=False, default=9)
+    # Unroll factor for the per-level iteration loop (0 = FULL unroll).
+    # Measured on TPU: full unroll is SLOWER (61 vs 55 ms for K=200) — the
+    # per-iteration gathers dominate, not loop overhead. Kept for sweeps.
+    iter_unroll: int = struct.field(pytree_node=False, default=1)
+    # search_slack > 0: extract ONE (window + 2*slack)^2 search window per
+    # level and resample within it every iteration (two small matmuls), so
+    # each level costs 1 gather per point instead of max_iters gathers — the
+    # dominant LK cost on TPU. Points whose walk leaves the slack region
+    # freeze at the boundary (coarse-to-fine residuals are ~1-2 px per level,
+    # so slack 4 is generous; 0 = unbounded per-iteration re-extraction).
+    search_slack: int = struct.field(pytree_node=False, default=4)
 
 
 class FlowResult(NamedTuple):
@@ -141,31 +152,72 @@ def _lk_level(
     ok_g = (det > 1e-12) & (min_eig > p.min_eig_threshold)
     inv = jnp.array([[gyy, -gxy], [-gxy, gxx]]) / jnp.where(det > 1e-12, det, 1.0)
 
-    # Each iteration re-extracts a (win+2)^2 window centered on the current
-    # estimate (dynamic_slice is jit-safe with traced starts), so the walk is
-    # unbounded like cv2's — iterations, not window slack, limit motion.
-    ws = win + 2
+    if p.search_slack > 0:
+        # One slack window per level: iterations resample inside it with the
+        # separable matmuls — 1 gather/level/point instead of max_iters.
+        s = p.search_slack
+        ws = win + 2 * (s + 1)
+        sy0 = jnp.clip(jnp.floor(guess[1]) + pad - r - s - 1, 0, H + 2 * pad - ws).astype(jnp.int32)
+        sx0 = jnp.clip(jnp.floor(guess[0]) + pad - r - s - 1, 0, W + 2 * pad - ws).astype(jnp.int32)
+        swin = jax.lax.dynamic_slice(next_img, (sy0, sx0), (ws, ws))
 
-    def body(_, carry):
-        pos, converged = carry
-        y0 = jnp.clip(jnp.floor(pos[1]) + pad - r - 1, 0, H + 2 * pad - ws).astype(jnp.int32)
-        x0 = jnp.clip(jnp.floor(pos[0]) + pad - r - 1, 0, W + 2 * pad - ws).astype(jnp.int32)
-        swin = jax.lax.dynamic_slice(next_img, (y0, x0), (ws, ws))
-        cy = pos[1] + pad - y0.astype(pos.dtype)
-        cx = pos[0] + pad - x0.astype(pos.dtype)
-        patch = sample_patches_bilinear(swin, cy, cx, win, win)
-        diff = patch - tpatch
-        b = jnp.array([jnp.sum(diff * gx), jnp.sum(diff * gy)])
-        delta = -(inv @ b)
-        new_pos = jnp.where(converged, pos, pos + delta)
-        converged = converged | (jnp.sum(delta * delta) < p.eps * p.eps)
-        return (new_pos, converged)
+        def body(_, carry):
+            pos, converged, hit = carry
+            cy = pos[1] + pad - sy0.astype(pos.dtype)
+            cx = pos[0] + pad - sx0.astype(pos.dtype)
+            # Leaving the slack region = level failure (the unbounded walk
+            # would have diverged out of the image; a frozen-at-boundary
+            # guess must NOT be accepted — finer levels can only correct
+            # within their own slack and never recover from it).
+            in_win = (
+                (cy >= r + 1) & (cy <= ws - r - 2) & (cx >= r + 1) & (cx <= ws - r - 2)
+            )
+            hit = hit | ~in_win
+            patch = sample_patches_bilinear(swin, cy, cx, win, win)
+            diff = patch - tpatch
+            b = jnp.array([jnp.sum(diff * gx), jnp.sum(diff * gy)])
+            delta = -(inv @ b)
+            stop = converged | hit
+            new_pos = jnp.where(stop, pos, pos + delta)
+            converged = stop | (jnp.sum(delta * delta) < p.eps * p.eps)
+            return (new_pos, converged, hit)
 
-    pos, _ = jax.lax.fori_loop(0, p.max_iters, body, (guess, jnp.asarray(False)))
+    else:
+        # Each iteration re-extracts a (win+2)^2 window centered on the
+        # current estimate, so the walk is unbounded like cv2's —
+        # iterations, not window slack, limit motion.
+        ws = win + 2
+
+        def body(_, carry):
+            pos, converged = carry
+            y0 = jnp.clip(jnp.floor(pos[1]) + pad - r - 1, 0, H + 2 * pad - ws).astype(jnp.int32)
+            x0 = jnp.clip(jnp.floor(pos[0]) + pad - r - 1, 0, W + 2 * pad - ws).astype(jnp.int32)
+            swin = jax.lax.dynamic_slice(next_img, (y0, x0), (ws, ws))
+            cy = pos[1] + pad - y0.astype(pos.dtype)
+            cx = pos[0] + pad - x0.astype(pos.dtype)
+            patch = sample_patches_bilinear(swin, cy, cx, win, win)
+            diff = patch - tpatch
+            b = jnp.array([jnp.sum(diff * gx), jnp.sum(diff * gy)])
+            delta = -(inv @ b)
+            new_pos = jnp.where(converged, pos, pos + delta)
+            converged = converged | (jnp.sum(delta * delta) < p.eps * p.eps)
+            return (new_pos, converged)
+
+    unroll = True if p.iter_unroll <= 0 else p.iter_unroll
+    if p.search_slack > 0:
+        pos, _, hit = jax.lax.fori_loop(
+            0, p.max_iters, body,
+            (guess, jnp.asarray(False), jnp.asarray(False)), unroll=unroll,
+        )
+    else:
+        pos, _ = jax.lax.fori_loop(
+            0, p.max_iters, body, (guess, jnp.asarray(False)), unroll=unroll
+        )
+        hit = jnp.asarray(False)
 
     in_img = (pos[0] >= 0) & (pos[0] <= W - 1) & (pos[1] >= 0) & (pos[1] <= H - 1)
     finite = jnp.all(jnp.isfinite(pos))
-    return pos, ok_g & in_img & finite
+    return pos, ok_g & in_img & finite & ~hit
 
 
 def pyramidal_lk(

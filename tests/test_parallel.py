@@ -99,6 +99,43 @@ def test_sharded_patchmatch_matches_single_device():
 
 
 @pytest.mark.slow
+def test_sharded_patchmatch_bf16_n4():
+    """Production dtype (bf16 volume) through shard_map on a 4-device mesh:
+    still recovers the scene and matches the single-device engine."""
+    from jax.sharding import Mesh
+    from ocean_perception_tpu.parallel.stereo_sharded import sharded_patchmatch
+    from ocean_perception_tpu.stereo.patchmatch import (
+        PatchMatchParams,
+        patchmatch_disparity,
+    )
+
+    H, W, D = 120, 96, 16
+    rng = np.random.default_rng(9)
+    canvas = rng.random((H, W + 32)).astype(np.float32)
+    import cv2
+
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 1.1)
+    left = canvas[:, 8 : 8 + W]
+    right = canvas[:, 8 + 5 : 8 + 5 + W]
+
+    n = 4
+    mesh4 = Mesh(np.array(jax.devices()[:n]), ("strip",))
+    p = PatchMatchParams(
+        max_disp=D, chunks=4, iters=2, right_wta=True,
+        init_dilate_factor=3, volume_bf16=True,
+    )
+    res_sh = sharded_patchmatch(jnp.asarray(left), jnp.asarray(right), mesh4, p)
+    res_1 = patchmatch_disparity(
+        jnp.asarray(left), jnp.asarray(right), p.replace(chunks_y=n)
+    )
+    a, b = np.asarray(res_sh.left), np.asarray(res_1.left)
+    assert (a == b).mean() > 0.99
+    valid = a > 0
+    assert valid.mean() > 0.3
+    assert abs(np.median(a[valid]) - 5.0) <= 1.0
+
+
+@pytest.mark.slow
 def test_sharded_matches_single_device(mesh):
     """The sharded result must equal the unsharded computation."""
     n_cams = 8

@@ -237,6 +237,23 @@ class TestEkf:
         np.testing.assert_allclose(np.asarray(s_scan.q), np.asarray(s_loop.q), atol=1e-12)
         np.testing.assert_allclose(np.asarray(s_scan.S), np.asarray(s_loop.S), atol=1e-12)
 
+    def test_replay_all_masked_is_identity(self):
+        """A fully-padded replay batch (no real samples) must return the
+        input state unchanged — the estimator hits this when the rewind
+        point is newer than every buffered IMU sample."""
+        from ocean_perception_tpu.vio.ekf import ekf_replay_imu
+
+        g = jnp.asarray([0.0, 0, -9.81])
+        p = EkfParams()
+        s0 = ekf_initialize(dtype=jnp.float64)
+        s0 = s0._replace(v=jnp.asarray([1.0, -2.0, 0.5]))
+        out = ekf_replay_imu(
+            s0, jnp.full(8, 0.01), jnp.ones((8, 3)), jnp.ones((8, 3)),
+            jnp.zeros(8, bool), g, p,
+        )
+        for a, b in zip(out, s0):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_depth_update_moves_gravity_axis(self):
         s = ekf_initialize(dtype=jnp.float64)
         p = EkfParams()

@@ -132,8 +132,11 @@ uint64_t shm_ring_write(void* handle, int64_t timestamp_ns, const uint8_t* data,
   if (!r || n_bytes > r->header->slot_bytes) return 0;
   uint64_t seq = r->header->head.fetch_add(1, std::memory_order_acq_rel);
   SlotHeader* s = slot_at(r, static_cast<uint32_t>(seq % r->header->n_slots));
-  // Seqlock: odd while writing.
-  s->seq.store(2 * seq - 1, std::memory_order_release);
+  // Seqlock: odd while writing. The release fence keeps the payload stores
+  // from being reordered BEFORE the odd marker on weakly-ordered CPUs (the
+  // odd store alone only orders writes preceding it).
+  s->seq.store(2 * seq - 1, std::memory_order_relaxed);
+  std::atomic_thread_fence(std::memory_order_release);
   s->timestamp_ns = timestamp_ns;
   s->payload_bytes = n_bytes;
   s->width = width;
@@ -170,7 +173,10 @@ uint32_t shm_ring_read(void* handle, uint64_t seq, uint8_t* out,
   *channels = s->channels;
   *dtype = s->dtype;
   std::memcpy(out, slot_payload(s), n);
-  uint64_t after = s->seq.load(std::memory_order_acquire);
+  // Acquire fence: the payload loads above must complete before the
+  // validating seq re-load (LoadLoad ordering), or a torn frame could pass.
+  std::atomic_thread_fence(std::memory_order_acquire);
+  uint64_t after = s->seq.load(std::memory_order_relaxed);
   if (after != 2 * seq) return 0;  // torn read: producer lapped us
   return n;
 }

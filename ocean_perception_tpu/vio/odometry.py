@@ -122,7 +122,7 @@ def _lm(P0, p_obs, sigma, mask, rig: StereoCamera, T0, p: OdometryParams):
         return (T, lam, err)
 
     T, _, err = jax.lax.fori_loop(
-        0, p.max_iters, body, (T0, jnp.asarray(p.lambda0, T0.dtype), err0 + 1.0)
+        0, p.max_iters, body, (T0, jnp.asarray(p.lambda0, T0.dtype), err0)
     )
     J, R, err, r_sigma = _linearize(P0, p_obs, sigma, mask, fx, fy, cx, cy, T)
     H = J.T @ J

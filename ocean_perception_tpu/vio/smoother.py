@@ -217,11 +217,18 @@ def _residuals(
         prev(w.R), prev(w.p), prev(w.v), prev(w.bg), prev(w.ba),
         w.R, w.p, w.v,
     )  # (M, 9)
-    # Whiten with the preintegration covariance (diagonal approximation with
-    # a sigma floor for numerical safety).
-    imu_sig = jnp.sqrt(jnp.clip(jax.vmap(jnp.diag)(pims.cov), config.imu_sigma_floor**2, None))
+    # Whiten with the FULL 9x9 preintegration covariance (Cholesky factor,
+    # matching the reference's CombinedImuFactor noise model,
+    # fixed_lag_smoother.cpp:168-229). A sigma floor keeps empty/degenerate
+    # windows positive definite; symmetrize against propagation drift.
+    cov9 = 0.5 * (pims.cov + jnp.swapaxes(pims.cov, -1, -2))
+    cov9 = cov9 + (config.imu_sigma_floor**2) * jnp.eye(9, dtype=dtype)
+    L_imu = jnp.linalg.cholesky(cov9)
+    r_imu_w = jax.vmap(
+        lambda L, rr: jax.scipy.linalg.solve_triangular(L, rr, lower=True)
+    )(L_imu, r_imu)
     imu_ok = (win.imu_valid & pair_ok).astype(dtype)[:, None]
-    res.append((r_imu / imu_sig * imu_ok).reshape(-1))
+    res.append((r_imu_w * imu_ok).reshape(-1))
 
     # -- bias random walk between consecutive keyposes ------------------------
     dt_pair = jnp.clip(w.timestamps - prev(w.timestamps), 1e-3, None)[:, None]
@@ -335,6 +342,9 @@ class SmootherResult(NamedTuple):
     ba: jnp.ndarray
     timestamp: jnp.ndarray
     cov_newest: jnp.ndarray  # (15,15) marginal covariance of newest keypose
+    cov_slot1: jnp.ndarray   # (15,15) marginal of slot 1 — the keypose that
+    #                          becomes the anchor when the window next slides
+    #                          (fixed_lag_smoother.cpp marginals, cpp:430-468)
     error: jnp.ndarray
 
 
@@ -398,6 +408,7 @@ def solve_window(
         R=w.R[sl], p=w.p[sl], v=w.v[sl], bg=w.bg[sl], ba=w.ba[sl],
         timestamp=w.timestamps[sl],
         cov_newest=cov_new,
+        cov_slot1=cov[15:30, 15:30],
         error=jnp.sum(r * r),
     )
     return w, result

@@ -89,6 +89,10 @@ class StateEstimatorParams:
     soft_correction_pos: float = 0.05
     hard_correction_pos: float = 0.5
     ekf_history_sec: float = 10.0
+    # VO-chain alignment gate: the accumulated keyframe-to-keyframe VO is
+    # only usable as a keypose between factor when its chain starts at the
+    # previous keypose (fixed_lag_smoother.cpp:277 uses 0.01 s).
+    vo_align_tolerance: float = 0.01
 
 
 @dataclasses.dataclass
@@ -132,6 +136,18 @@ class StateEstimator:
         self._n_keyposes = 0
         self._last_keypose_t: Optional[int] = None
         self._last_smoother_result: Optional[SmootherResult] = None
+
+        # Running keyframe-to-keyframe VO composition. The tracker
+        # re-snapshots its keyframe table on EVERY keyframe, so a single
+        # vo.T_prev_cur spans only last-keyframe -> current; when the
+        # min_sec_btw_keyposes gate drops a keyframe, the keypose between
+        # factor must span the COMPOSED motion across all skipped keyframes.
+        # _pending_vo_start_t records which keyframe the chain starts at, so
+        # the factor is only used when the chain aligns with the previous
+        # keypose (reference alignment gate, fixed_lag_smoother.cpp:277).
+        self._pending_vo: Optional[np.ndarray] = None
+        self._pending_vo_start_t: Optional[int] = None
+        self._last_kf_t: Optional[int] = None
 
         # EKF + history for rewind/replay.
         self.ekf_params = params.ekf
@@ -216,8 +232,22 @@ class StateEstimator:
         self.mode = (
             SmootherMode.VISION_AVAILABLE if vision_ok else SmootherMode.VISION_UNAVAILABLE
         )
-        if bool(vo.is_keyframe) and vision_ok:
-            self._vision_keypose(m.timestamp, vo)
+        if bool(vo.is_keyframe):
+            if vision_ok:
+                # Compose this keyframe's VO into the running chain so the
+                # next accepted keypose spans the full interval even when
+                # intermediate keyframes are dropped by the cadence gate.
+                if self._pending_vo is None:
+                    self._pending_vo = np.eye(4)
+                    self._pending_vo_start_t = self._last_kf_t
+                self._pending_vo = self._pending_vo @ np.asarray(vo.T_prev_cur, np.float64)
+                self._last_kf_t = m.timestamp
+                self._vision_keypose(m.timestamp, vo)
+            else:
+                # Tracking broke: the chain no longer spans a clean interval.
+                self._pending_vo = None
+                self._pending_vo_start_t = None
+                self._last_kf_t = m.timestamp
 
     # -- keypose creation -----------------------------------------------------
 
@@ -246,20 +276,43 @@ class StateEstimator:
         if self._last_keypose_t is not None:
             dt = (timestamp - self._last_keypose_t) * 1e-9
             if dt < self.params.min_sec_btw_keyposes:
-                return
+                return  # keyframe skipped; _pending_vo keeps accumulating
         imu_rows = (
             self._gather_imu(self._last_keypose_t, timestamp)
             if self._last_keypose_t is not None
             else None
         )
-        # Predicted new state: previous keypose composed with VO.
-        T_rel = np.asarray(vo.T_prev_cur, np.float64)
+        # The keypose between factor uses the ACCUMULATED keyframe chain —
+        # valid only if the chain starts at the previous keypose (an IMU
+        # fallback keypose or a tracking break invalidates alignment).
+        tol_ns = int(self.params.vo_align_tolerance * 1e9)
+        chain_aligned = (
+            self._pending_vo is not None
+            and self._pending_vo_start_t is not None
+            and self._last_keypose_t is not None
+            and abs(self._pending_vo_start_t - self._last_keypose_t) <= tol_ns
+        )
+        T_rel = self._pending_vo if chain_aligned else None
+        # Chain is consumed either way: the next chain starts at this keyframe.
+        self._pending_vo = None
+        self._pending_vo_start_t = None
+
         prev_slot = self._newest_slot()
-        R_prev = np.asarray(self.window.R[prev_slot])
-        p_prev = np.asarray(self.window.p[prev_slot])
-        R = R_prev @ T_rel[:3, :3]
-        p = p_prev + R_prev @ T_rel[:3, 3]
-        v = np.asarray(self.window.v[prev_slot])
+        if T_rel is not None:
+            # Predicted new state: previous keypose composed with VO.
+            R_prev = np.asarray(self.window.R[prev_slot])
+            p_prev = np.asarray(self.window.p[prev_slot])
+            R = R_prev @ T_rel[:3, :3]
+            p = p_prev + R_prev @ T_rel[:3, 3]
+            v = np.asarray(self.window.v[prev_slot])
+        elif self.ekf_state is not None:
+            R = np.asarray(quat_to_matrix(self.ekf_state.q))
+            p = np.asarray(self.ekf_state.t)
+            v = np.asarray(self.ekf_state.v)
+        else:
+            R = np.asarray(self.window.R[prev_slot])
+            p = np.asarray(self.window.p[prev_slot])
+            v = np.asarray(self.window.v[prev_slot])
         self._push_keypose(
             timestamp, R, p, v,
             vo_T=T_rel, imu_rows=imu_rows,
@@ -357,9 +410,11 @@ class StateEstimator:
         cfg = self._smoother_cfg
         win = self.window
         if self._n_keyposes >= cfg.window:
-            # Slide: marginal covariance of slot 1 anchors the new slot 0.
+            # Slide: the marginal covariance of slot 1 — the keypose that
+            # becomes the new slot 0 — anchors the slid window (NOT the
+            # newest slot's marginal, which is the largest in the window).
             cov = (
-                np.asarray(self._last_smoother_result.cov_newest)
+                np.asarray(self._last_smoother_result.cov_slot1)
                 if self._last_smoother_result is not None
                 else np.eye(15) * 1e-2
             )
@@ -446,6 +501,12 @@ class StateEstimator:
             # Hard: re-initialize the filter at the smoother state.
             state = ekf_initialize(t0=p_s, q0=np.asarray(q_s), dtype=jnp.float64)
             state = state._replace(v=jnp.asarray(np.asarray(result.v)))
+        elif rewind is None:
+            # No snapshot before the keypose: the current state has already
+            # integrated IMU past `timestamp`, so a soft correction followed
+            # by replay would double-apply those samples. Skip (a hard reset
+            # above is safe — it discards the state entirely).
+            return
         elif divergence > self.params.soft_correction_pos:
             # Soft: treat the smoother pose as a measurement.
             cov6 = np.asarray(result.cov_newest)[np.ix_([3, 4, 5, 0, 1, 2], [3, 4, 5, 0, 1, 2])]

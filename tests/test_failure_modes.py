@@ -110,6 +110,7 @@ def test_ekf_hard_reset_on_divergence():
         bg=jnp.zeros(3), ba=jnp.zeros(3),
         timestamp=jnp.asarray(1e-7),
         cov_newest=jnp.eye(15) * 1e-4,
+        cov_slot1=jnp.eye(15) * 1e-4,
         error=jnp.asarray(0.0),
     )
     est._sync_filter(100, fake)

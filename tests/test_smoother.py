@@ -252,3 +252,67 @@ def test_landmark_projection_factors(config):
     for k, (Rk, pk, vk) in enumerate(states):
         np.testing.assert_allclose(np.asarray(w.p[k]), pk, atol=6e-2)
         np.testing.assert_allclose(np.asarray(w.R[k]), Rk, atol=3e-2)
+
+
+@pytest.mark.slow
+def test_sliding_matches_batch_solve():
+    """Slide the window across 3x its length and check the final pose against
+    a full batch solve over ALL keyposes. Catches mis-anchored slide priors
+    (the anchor must be the slot-1 marginal, not the newest slot's)."""
+    W = 6
+    n_total = 3 * W
+    cfg_s = SmootherConfig(window=W, iterations=8)
+    cfg_b = SmootherConfig(window=n_total, iterations=10)
+    states, imu_windows = simulate(M_used=n_total)
+
+    # Full batch solve over every keypose = ground truth estimator.
+    full = build_window(states, imu_windows, cfg_b, state_noise=0.02, seed=7)
+    wb, rb = solve_window(
+        full, preintegrate_window(full), jnp.asarray(GRAVITY), jnp.asarray(G_UNIT),
+        cfg_b, jnp.asarray(n_total - 1, jnp.int32),
+    )
+
+    # Sliding solve: stream the same keyposes through a W-slot window,
+    # anchoring each slide with the slot-1 marginal from the previous solve
+    # (exactly what StateEstimator._push_keypose does).
+    win = make_window(cfg_s, N_IMU)
+    n_kp = 0
+    last = None
+    for k in range(n_total):
+        if n_kp >= W:
+            cov = last.cov_slot1 if last is not None else jnp.eye(15) * 1e-2
+            win = slide_window(win, jnp.asarray(cov))
+            n_kp = W - 1
+        slot = n_kp
+        win = win._replace(
+            timestamps=win.timestamps.at[slot].set(full.timestamps[k]),
+            R=win.R.at[slot].set(full.R[k]),
+            p=win.p.at[slot].set(full.p[k]),
+            v=win.v.at[slot].set(full.v[k]),
+            valid=win.valid.at[slot].set(True),
+            vo_T=win.vo_T.at[slot].set(full.vo_T[k]),
+            vo_valid=win.vo_valid.at[slot].set(full.vo_valid[k]),
+            imu_samples=win.imu_samples.at[slot].set(full.imu_samples[k]),
+            imu_mask=win.imu_mask.at[slot].set(full.imu_mask[k]),
+            imu_valid=win.imu_valid.at[slot].set(full.imu_valid[k]),
+            depth=win.depth.at[slot].set(full.depth[k]),
+            depth_valid=win.depth_valid.at[slot].set(full.depth_valid[k]),
+        )
+        if k == 0:
+            win = win._replace(
+                prior_R=full.prior_R, prior_p=full.prior_p, prior_v=full.prior_v,
+                prior_sqrt_info=jnp.eye(15) * 100.0,
+            )
+        n_kp += 1
+        if n_kp >= 2:
+            pims = preintegrate_window(win)
+            win, last = solve_window(
+                win, pims, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), cfg_s,
+                jnp.asarray(n_kp - 1, jnp.int32),
+            )
+
+    assert last is not None
+    # Final keypose agrees with the all-keypose batch solution AND the truth.
+    np.testing.assert_allclose(np.asarray(last.p), np.asarray(rb.p), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(last.p), states[-1][1], atol=5e-2)
+    np.testing.assert_allclose(np.asarray(last.R), states[-1][0], atol=2e-2)

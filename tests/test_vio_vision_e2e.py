@@ -68,7 +68,10 @@ def test_vision_only_trajectory():
         max_sec_btw_keyposes=10.0,  # never fall back to IMU keyposes
     )
     est = StateEstimator(params, rig)
-    est.initialize(0, np.eye(4))
+    # Initialize at the FIRST measurement time (as vio_dataset_player does
+    # from groundtruth): the VO alignment gate (fixed_lag_smoother.cpp:277)
+    # only accepts keyframe chains that start at the previous keypose.
+    est.initialize(int(1e8), np.eye(4))
 
     n_frames = 8
     for i in range(n_frames):
@@ -86,4 +89,63 @@ def test_vision_only_trajectory():
     # Direction dominated by +x, magnitude within 25%.
     assert p[0] > 0.5 * total_true
     assert abs(p[0] - total_true) / total_true < 0.3
+    assert abs(p[1]) < 0.15 and abs(p[2]) < 0.15
+
+
+@pytest.mark.slow
+def test_vo_composes_across_skipped_keyframes():
+    """When min_sec_btw_keyposes drops keyframes, the keypose between factor
+    must span the COMPOSED motion across all skipped keyframes, not just the
+    last keyframe interval (vo.T_prev_cur is last-keyframe->current because
+    the tracker re-snapshots on every keyframe)."""
+    rng = np.random.default_rng(4)
+    canvas = rng.random((H, W + 260)).astype(np.float32)
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 1.0) * 0.8 + 0.1
+
+    def render(i):
+        px_shift = i * 4
+        left = canvas[:, 40 + px_shift : 40 + px_shift + W]
+        right = canvas[:, 40 + px_shift + int(DISP) : 40 + px_shift + int(DISP) + W]
+        return left, right
+
+    dx_per_frame = 4 * DEPTH / FX  # 0.1 m
+
+    cam = PinholeCamera.create(FX, FX, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, BASELINE)
+    params = StateEstimatorParams(
+        n_gravity=np.array([0.0, 0.0, -9.81]),
+        frontend=FrontendParams(
+            tracker=StereoTrackerParams(
+                capacity=96,
+                detector=DetectorParams(max_features=96, min_distance=10, border=10),
+                lk=LKParams(max_level=2),
+                matcher=StripeMatcherParams(
+                    max_disp=32, templ_cols=15, templ_rows=11, max_matching_cost=0.3
+                ),
+                trigger_keyframe_k=2,  # keyframe every 2 frames = 0.2 s
+            ),
+            odometry=OdometryParams(),
+            pixel_sigma=1.0,
+        ),
+        smoother=SmootherConfig(window=8, iterations=5),
+        min_sec_btw_keyposes=0.25,  # drops every other keyframe
+        max_sec_btw_keyposes=10.0,
+    )
+    est = StateEstimator(params, rig)
+    est.initialize(int(1e8), np.eye(4))
+
+    n_frames = 10
+    for i in range(n_frames):
+        t_ns = int((i + 1) * 1e8)
+        l, r = render(i)
+        est.receive_stereo(StereoImage(t_ns, 0, l, r))
+
+    ss = est.smoother_state()
+    assert ss is not None
+    newest_i = int(float(ss.timestamp) * 1e-9 * 10 + 0.5) - 1  # frame index
+    total_true = newest_i * dx_per_frame
+    p = ss.world_T_body[:3, 3]
+    # Without composition, each keypose misses one full keyframe interval and
+    # the trajectory comes out ~half-length.
+    assert abs(p[0] - total_true) / total_true < 0.3, (p[0], total_true)
     assert abs(p[1]) < 0.15 and abs(p[2]) < 0.15

@@ -57,6 +57,53 @@ def make_inputs():
     return jnp.asarray(left_rgb), jnp.asarray(right_rgb)
 
 
+def oracle_parity():
+    """Median |TPU disparity - numpy CUDA-semantics oracle| on a real bundled
+    fixture at the reference benchmark operating point. Returns (px, name)."""
+    import os
+
+    import cv2
+
+    from ocean_perception_tpu.stereo import PatchMatchParams, patchmatch_disparity
+    from ocean_perception_tpu.stereo import oracle
+    from ocean_perception_tpu.stereo.cost import cost_volume
+    from ocean_perception_tpu.stereo.patchmatch import (
+        gradient_magnitude,
+        sparse_wta_seed,
+        unit_noise,
+    )
+
+    ref_dir = os.environ.get("OCEAN_REFERENCE_DIR", "/root/reference")
+    lp = os.path.join(ref_dir, "test/resources/images/fsl1.png")
+    rp = os.path.join(ref_dir, "test/resources/images/fsr1.png")
+    if not os.path.isfile(lp):
+        raise FileNotFoundError(lp)
+    l = cv2.imread(lp, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+    r = cv2.imread(rp, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+    l = cv2.resize(l, (l.shape[1] // 2, l.shape[0] // 2))
+    r = cv2.resize(r, (r.shape[1] // 2, r.shape[0] // 2))
+
+    p = PatchMatchParams(
+        max_disp=64, chunks=16, iters=3,
+        right_wta=True, volume_bf16=True, subpixel=True, scan_unroll=0,
+    )
+    gl = gradient_magnitude(jnp.asarray(l))
+    gr = gradient_magnitude(jnp.asarray(r))
+    C = cost_volume(jnp.asarray(l), jnp.asarray(r), 64, p.alpha, gl, gr, dtype=jnp.bfloat16)
+    seed = np.asarray(sparse_wta_seed(C, p), np.float32)
+    noise = np.asarray(unit_noise(l.shape, p.noise_seed))
+
+    fn = jax.jit(lambda a, b, s: patchmatch_disparity(a, b, p, seed_left=s).left_raw)
+    ours = np.asarray(fn(jnp.asarray(l), jnp.asarray(r), jnp.asarray(seed)))
+    ref = oracle.patchmatch_oracle(
+        l, r, seed, iters=3, alpha=p.alpha, improve_factor=p.improve_factor, noise=noise
+    )
+    both = (ours > 0) & (ref > 0)
+    if both.mean() <= 0.1:
+        raise RuntimeError(f"oracle overlap too small: {both.mean():.3f}")
+    return float(np.median(np.abs(ours - ref)[both])), "fsl1@/2,D=64,3it"
+
+
 def main() -> None:
     from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
     from ocean_perception_tpu.models.perception import (
@@ -161,6 +208,18 @@ def main() -> None:
     med_err, valid_frac = disp_err(left, right)
     med_err, valid_frac = float(med_err), float(valid_frac)
 
+    # BASELINE row 2 as written: median |disparity - CUDA-reference-oracle|
+    # on a bundled REAL fixture at the reference benchmark operating point
+    # (/2 downsample, max_disp 64 internal = 128 full-scale, 3 iters,
+    # patchmatch_gpu_test.cpp:63-93) with the shipped production config
+    # (bf16 volume + right_wta + subpixel + full unroll).
+    oracle_diff_px = oracle_fixture = None
+    if ENGINE == "patchmatch":
+        try:
+            oracle_diff_px, oracle_fixture = oracle_parity()
+        except Exception as e:  # fixture mount or host-CPU issue: report null
+            print(f"oracle parity check skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -175,6 +234,10 @@ def main() -> None:
                 "rpc_floor_ms": round(rpc_floor_ms, 1),
                 "median_disparity_error_px": round(med_err, 3),
                 "valid_disparity_fraction": round(valid_frac, 3),
+                "median_abs_diff_vs_oracle_px": (
+                    round(oracle_diff_px, 3) if oracle_diff_px is not None else None
+                ),
+                "oracle_fixture": oracle_fixture,
             }
         )
     )

@@ -140,8 +140,13 @@ def estimate_beta(
 def correct_attenuation(
     image: jnp.ndarray, range_img: jnp.ndarray, X: jnp.ndarray
 ) -> jnp.ndarray:
-    """J = D · exp(beta_D(z)·z); zero ranges → per-image max range."""
+    """J = D · exp(beta_D(z)·z); zero ranges → per-image max range.
+
+    The exponent is clamped at 60: a diverged beta fit (large a,c with b,d
+    near 0) can otherwise push beta·z past ~88 where exp() overflows f32 to
+    inf and poisons downstream stats. e^60 ≈ 1e26 keeps failure visible
+    (absurdly bright) without producing non-finite pixels."""
     zmax = jnp.max(range_img)
     z = jnp.where(range_img > 0.0, range_img, zmax)
-    E = jnp.exp(beta_d_of_z(X, z) * z[..., None])
+    E = jnp.exp(jnp.minimum(beta_d_of_z(X, z) * z[..., None], 60.0))
     return image * E

@@ -23,6 +23,7 @@ from ...core.cameras import PinholeCamera, StereoCamera
 from ...core.measurements import (
     DepthMeasurement,
     ImuMeasurement,
+    MagMeasurement,
     RangeMeasurement,
     StereoImage,
 )
@@ -31,6 +32,7 @@ from ...vio.state_estimator import StateEstimator, StateEstimatorParams
 from ..messages import (
     DepthMessage,
     ImuMessage,
+    MagMessage,
     PoseStampedMessage,
     RangeMessage,
     ShmImageHeader,
@@ -38,6 +40,19 @@ from ..messages import (
 )
 from ..pubsub import PubSub, UdpMulticastBus
 from ..shm_ring import ShmRingReader
+
+# Default channel names; overridden by config/nodes/StateEstimatorNode.yaml
+# (reference: StateEstimatorLcm.yaml channel_* keys).
+DEFAULT_CHANNELS = {
+    "channel_initial_pose": "vio/init_pose",
+    "channel_input_imu": "sensors/imu",
+    "channel_input_depth": "sensors/depth",
+    "channel_input_range": "sensors/range",
+    "channel_input_mag": "sensors/mag",
+    "channel_input_stereo": "sensors/stereo",
+    "channel_output_filter_pose": "vio/pose/filter",
+    "channel_output_smoother_pose": "vio/pose/smoother",
+}
 
 
 class StateEstimatorNode:
@@ -48,6 +63,7 @@ class StateEstimatorNode:
         params: Optional[StateEstimatorParams] = None,
         filter_pose_hz: float = 20.0,
         channel_prefix: str = "",
+        channels: Optional[dict] = None,
     ):
         self.bus = bus
         self.est = StateEstimator(params or StateEstimatorParams(), rig)
@@ -55,18 +71,50 @@ class StateEstimatorNode:
         self._subsampler = DataSubsampler(filter_pose_hz)
         self._shm_readers = {}
         p = channel_prefix
+        ch = dict(DEFAULT_CHANNELS)
+        ch.update(channels or {})
+        self._channels = ch
 
-        bus.subscribe(p + "vio/init_pose", self._on_init)
-        bus.subscribe(p + "sensors/imu", self._on_imu)
-        bus.subscribe(p + "sensors/depth", self._on_depth)
-        bus.subscribe(p + "sensors/range", self._on_range)
-        bus.subscribe(p + "sensors/stereo", self._on_stereo)
-        bus.subscribe(p + "sensors/stereo_shm_left", self._on_shm("left"))
-        bus.subscribe(p + "sensors/stereo_shm_right", self._on_shm("right"))
+        bus.subscribe(p + ch["channel_initial_pose"], self._on_init)
+        bus.subscribe(p + ch["channel_input_imu"], self._on_imu)
+        bus.subscribe(p + ch["channel_input_depth"], self._on_depth)
+        bus.subscribe(p + ch["channel_input_range"], self._on_range)
+        bus.subscribe(p + ch["channel_input_mag"], self._on_mag)
+        bus.subscribe(p + ch["channel_input_stereo"], self._on_stereo)
+        bus.subscribe(p + ch["channel_input_stereo"] + "_shm_left", self._on_shm("left"))
+        bus.subscribe(p + ch["channel_input_stereo"] + "_shm_right", self._on_shm("right"))
         self._pending_shm = {}
         self._out_prefix = p
 
         self.est.smoother_callbacks.append(self._publish_smoother)
+
+    @classmethod
+    def from_config(
+        cls,
+        bus: PubSub,
+        node_config_path: str,
+        shared_config_path: str,
+        channel_prefix: str = "",
+    ) -> "StateEstimatorNode":
+        """Build the COMPLETE node from the two-file YAML model — rig,
+        estimator params, channels, publish rate — with zero Python-side
+        parameter literals (reference: state_estimator_lcm.cpp params
+        cascade + StateEstimatorLcm.yaml)."""
+        from ...config.bindings import load_rig, load_state_estimator_params
+        from ...config.yaml_parser import YamlParser
+
+        parser = YamlParser(node_path=node_config_path, shared_path=shared_config_path)
+        rig = load_rig(parser)
+        params = load_state_estimator_params(parser)
+        channels = {k: parser.get(k, v) for k, v in DEFAULT_CHANNELS.items()}
+        return cls(
+            bus,
+            rig,
+            params=params,
+            filter_pose_hz=float(parser.get("filter_publish_hz", 20.0)),
+            channel_prefix=channel_prefix,
+            channels=channels,
+        )
 
     # -- handlers -------------------------------------------------------------
 
@@ -99,6 +147,10 @@ class StateEstimatorNode:
             self.est.receive_range(
                 RangeMeasurement(m.timestamp, m.range, m.point, m.beacon_id)
             )
+
+    def _on_mag(self, _ch, m: MagMessage):
+        if self._init.is_set():
+            self.est.receive_mag(MagMeasurement(m.timestamp, m.field))
 
     def _on_stereo(self, _ch, m: StereoImageMessage):
         if not self._init.is_set():
@@ -153,16 +205,21 @@ class StateEstimatorNode:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None, help="node YAML (StateEstimatorNode.yaml)")
+    ap.add_argument("--shared", default=None, help="shared rig YAML (config/shared/*.yaml)")
     ap.add_argument("--fx", type=float, default=336.0)
     ap.add_argument("--baseline", type=float, default=0.2)
     ap.add_argument("--width", type=int, default=672)
     ap.add_argument("--height", type=int, default=376)
     args = ap.parse_args(argv)
 
-    cam = PinholeCamera.create(args.fx, args.fx, args.width / 2, args.height / 2, args.height, args.width)
-    rig = StereoCamera.create(cam, cam, args.baseline)
     bus = UdpMulticastBus()
-    node = StateEstimatorNode(bus, rig)
+    if args.config and args.shared:
+        node = StateEstimatorNode.from_config(bus, args.config, args.shared)
+    else:
+        cam = PinholeCamera.create(args.fx, args.fx, args.width / 2, args.height / 2, args.height, args.width)
+        rig = StereoCamera.create(cam, cam, args.baseline)
+        node = StateEstimatorNode(bus, rig)
     print("state_estimator_node listening (waiting for vio/init_pose)...")
     try:
         threading.Event().wait()

@@ -40,3 +40,95 @@ def test_repo_config_files_load():
 def test_paths_helpers():
     assert shared_config_path("Farmsim").endswith(os.path.join("config", "shared", "Farmsim.yaml"))
     assert os.path.exists(shared_config_path("Farmsim"))
+
+
+EST_NODE = os.path.join(os.path.dirname(__file__), "..", "config", "nodes", "StateEstimatorNode.yaml")
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "config", "shared")
+
+
+def test_all_shared_rig_files_load():
+    """Every per-rig calibration ships and parses into a working StereoCamera
+    (reference config/shared/{Farmsim,HIMB,ACFR,ZEDMini}.yaml)."""
+    expect = {
+        "Farmsim.yaml": (376, 672, 336.135986),
+        "HIMB.yaml": (515, 645, 952.58),
+        "ACFR.yaml": (1024, 1360, 1736.49233331),
+        "ZEDMini.yaml": (376, 672, 336.135986),
+    }
+    for fname, (h, w, fx) in expect.items():
+        p = YamlParser(node_path=EST_NODE, shared_path=os.path.join(CONFIG_DIR, fname))
+        rig = load_rig(p)
+        assert rig.left.height == h and rig.left.width == w, fname
+        np.testing.assert_allclose(float(rig.left.fx), fx, rtol=1e-6)  # f32 storage
+        assert float(rig.baseline) > 0.0, fname
+        g = p.get("/shared/n_gravity")
+        assert abs(np.linalg.norm(np.asarray(g, float)) - 9.81) < 1e-6
+
+
+def test_state_estimator_from_yaml_alone():
+    """The FULL StateEstimator builds from config files with zero Python-side
+    parameter literals (VERDICT item 6; StateEstimatorLcm.yaml:33-60)."""
+    from ocean_perception_tpu.config.bindings import load_state_estimator_params
+    from ocean_perception_tpu.vio.state_estimator import StateEstimator
+
+    p = YamlParser(node_path=EST_NODE, shared_path=os.path.join(CONFIG_DIR, "ZEDMini.yaml"))
+    params = load_state_estimator_params(p)
+
+    # Node-level keys.
+    assert params.min_sec_btw_keyposes == 0.5
+    assert params.depth_tolerance == 0.05
+    assert params.range_tolerance == 0.15
+    assert params.soft_correction_pos == 0.1
+    # EKF block (sigma_Q_uq is the reference's name for sigma_Q_theta).
+    assert params.ekf.sigma_Q_t == 0.1
+    assert params.ekf.sigma_Q_theta == 0.05
+    assert params.ekf.sigma_R_imu_a == 0.0005
+    # Smoother block.
+    assert params.smoother.vo_trans_sigma == 0.4
+    assert params.smoother.depth_sigma == 0.2
+    assert params.smoother.bias_rw_gyro_sigma == 0.0001
+    # Frontend cascade down to the matcher.
+    assert params.frontend.odometry.max_iters == 20
+    assert params.frontend.pixel_sigma == 5.0
+    assert params.frontend.tracker.trigger_keyframe_k == 5
+    assert params.frontend.tracker.matcher.max_disp == 128
+    assert params.frontend.tracker.lk.max_level == 4
+    # Shared rig file feeds gravity + IMU noise (ZEDMini noise model).
+    np.testing.assert_allclose(params.n_gravity, [0, 9.81, 0])
+    np.testing.assert_allclose(params.imu_calib.accel_noise_sigma, 0.0003924)
+
+    rig = load_rig(p)
+    est = StateEstimator(params, rig)
+    est.initialize(0, np.eye(4))
+    assert est.ekf_state is not None
+
+
+def test_state_estimator_node_from_config():
+    """StateEstimatorNode.from_config wires channels + rig + params from the
+    YAML pair and processes bus traffic end to end."""
+    from ocean_perception_tpu.fabric.nodes.state_estimator_node import StateEstimatorNode
+    from ocean_perception_tpu.fabric.pubsub import InProcessBus
+    from ocean_perception_tpu.fabric.messages import ImuMessage, PoseStampedMessage
+
+    bus = InProcessBus()
+    node = StateEstimatorNode.from_config(
+        bus, EST_NODE, os.path.join(CONFIG_DIR, "ZEDMini.yaml")
+    )
+    assert node._channels["channel_input_imu"] == "sensors/imu"
+    poses = []
+    bus.subscribe("vio/pose/filter", lambda _c, m: poses.append(m))
+    bus.publish(
+        "vio/init_pose",
+        PoseStampedMessage(timestamp=0, pose=np.array([1.0, 0, 0, 0, 0, 0, 0])),
+    )
+    for k in range(5):
+        bus.publish(
+            "sensors/imu",
+            ImuMessage(
+                timestamp=int((k + 1) * 1e7),
+                angular_velocity=np.zeros(3),
+                linear_acceleration=np.array([0.0, -9.81, 0.0]),
+            ),
+        )
+    assert node.est.ekf_state is not None
+    assert len(poses) >= 1  # rate-limited filter pose published

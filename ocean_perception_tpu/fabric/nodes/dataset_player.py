@@ -104,17 +104,102 @@ def run(
     return trajectory
 
 
+def publish_sensors(
+    dataset_name: str,
+    path: str,
+    bus: PubSub,
+    speed: float = 1.0,
+    channel_prefix: str = "",
+    publish_init_pose: bool = True,
+    max_steps: Optional[int] = None,
+) -> int:
+    """Replay the dataset as raw SENSOR messages on the bus (no estimator in
+    this process) — the multi-process half of the reference's
+    vio_dataset_player → LCM → state_estimator_lcm wiring. Channels match
+    StateEstimatorNode defaults. Returns the number of steps published."""
+    from ...core.quaternion import matrix_to_quat
+    import jax.numpy as jnp
+
+    from ..messages import DepthMessage, ImuMessage, RangeMessage, StereoImageMessage
+    from ..messages import ImageMessage, PoseStampedMessage
+
+    dataset = get_dataset_by_name(dataset_name, path)
+    p = channel_prefix
+    n = [0]
+
+    if publish_init_pose:
+        T0 = dataset.pose_data[0].world_T_body if dataset.pose_data else np.eye(4)
+        q = np.asarray(matrix_to_quat(jnp.asarray(T0[:3, :3])))
+        t0 = dataset.next_timestamp() or 0
+        bus.publish(
+            p + "vio/init_pose",
+            PoseStampedMessage(timestamp=t0, pose=np.concatenate([q, T0[:3, 3]])),
+        )
+
+    def on_stereo(img: StereoImage):
+        bus.publish(
+            p + "sensors/stereo",
+            StereoImageMessage(
+                timestamp=img.timestamp, camera_id=img.camera_id,
+                left=ImageMessage.from_array(img.timestamp, np.asarray(img.left)),
+                right=ImageMessage.from_array(img.timestamp, np.asarray(img.right)),
+            ),
+        )
+        n[0] += 1
+
+    dataset.register_stereo_callback(on_stereo)
+    dataset.register_imu_callback(
+        lambda m: bus.publish(
+            p + "sensors/imu",
+            ImuMessage(m.timestamp, np.asarray(m.angular_velocity), np.asarray(m.linear_acceleration)),
+        )
+    )
+    dataset.register_depth_callback(
+        lambda m: bus.publish(p + "sensors/depth", DepthMessage(m.timestamp, m.depth))
+    )
+    dataset.register_range_callback(
+        lambda m: bus.publish(
+            p + "sensors/range",
+            RangeMessage(m.timestamp, m.range, np.asarray(m.point), m.beacon_id),
+        )
+    )
+
+    if speed > 0:
+        dataset.playback(speed, block=True)
+    else:
+        k = 0
+        while dataset.step():
+            k += 1
+            if max_steps is not None and k >= max_steps:
+                break
+    return n[0]
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", default="euroc")
     ap.add_argument("--path", required=True)
     ap.add_argument("--speed", type=float, default=0.0, help="0 = as fast as possible")
     ap.add_argument("--udp", action="store_true", help="publish on UDP multicast")
+    ap.add_argument("--port", type=int, default=None, help="UDP multicast port")
     ap.add_argument("--out-trajectory", default=None)
     ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument(
+        "--publish-sensors", action="store_true",
+        help="publish raw sensor messages instead of running the estimator inline",
+    )
     args = ap.parse_args(argv)
 
-    bus = UdpMulticastBus() if args.udp else InProcessBus()
+    if args.udp:
+        bus = UdpMulticastBus(port=args.port) if args.port else UdpMulticastBus()
+    else:
+        bus = InProcessBus()
+    if args.publish_sensors:
+        n = publish_sensors(
+            args.dataset, args.path, bus, speed=args.speed, max_steps=args.max_steps
+        )
+        print(f"published dataset; {n} stereo frames")
+        return 0
     traj = run(
         args.dataset, args.path, speed=args.speed, bus=bus,
         out_trajectory=args.out_trajectory, max_steps=args.max_steps,

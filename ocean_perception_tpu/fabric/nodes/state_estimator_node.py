@@ -207,13 +207,14 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None, help="node YAML (StateEstimatorNode.yaml)")
     ap.add_argument("--shared", default=None, help="shared rig YAML (config/shared/*.yaml)")
+    ap.add_argument("--port", type=int, default=None, help="UDP multicast port")
     ap.add_argument("--fx", type=float, default=336.0)
     ap.add_argument("--baseline", type=float, default=0.2)
     ap.add_argument("--width", type=int, default=672)
     ap.add_argument("--height", type=int, default=376)
     args = ap.parse_args(argv)
 
-    bus = UdpMulticastBus()
+    bus = UdpMulticastBus(port=args.port) if args.port else UdpMulticastBus()
     if args.config and args.shared:
         node = StateEstimatorNode.from_config(bus, args.config, args.shared)
     else:

@@ -1,0 +1,146 @@
+"""Synthetic EuRoC-format VIO dataset: a textured plane at known depth with
+the camera accelerating from rest along +x, plus physically-consistent IMU.
+
+Shared by the end-to-end estimator tests and the process-level fabric smoke.
+The reference's vio_dataset_player drives exactly this dataset shape
+(tools/vio_dataset_player/main.cpp:65-168)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+H, W = 160, 240
+FX = 200.0
+BASELINE = 0.3
+DEPTH = 5.0
+DISP = FX * BASELINE / DEPTH  # 12 px
+ACC = 2.0                     # m/s^2 along +x, from rest at T0
+T0 = 0.1                      # first frame time [s]
+GRAVITY = np.array([0.0, 0.0, -9.81])
+
+
+def x_of(t: float) -> float:
+    """Ground-truth world x position at time t."""
+    return 0.5 * ACC * max(t - T0, 0.0) ** 2
+
+
+def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed: int = 3):
+    """Write the dataset under `root` (EuRoC mav0 layout). Returns x_of."""
+    import cv2
+
+    from ocean_perception_tpu.core.measurements import ImuMeasurement
+    from ocean_perception_tpu.datasets.euroc import EurocDataWriter
+
+    rng = np.random.default_rng(seed)
+    canvas = cv2.GaussianBlur(
+        rng.random((H + 8, W + 320)).astype(np.float32), (5, 5), 1.0
+    ) * 0.8 + 0.1
+
+    def frame(t: float):
+        px = FX * x_of(t) / DEPTH
+        cl = cv2.getRectSubPix(canvas, (W, H), (40 + px + W / 2 - 0.5, 4 + H / 2 - 0.5))
+        cr = cv2.getRectSubPix(
+            canvas, (W, H), (40 + px + DISP + W / 2 - 0.5, 4 + H / 2 - 0.5)
+        )
+        return cl, cr
+
+    wtr = EurocDataWriter(root)
+    for i in range(n_frames):
+        t = (i + 1) * 0.1
+        cl, cr = frame(t)
+        wtr.write_stereo(int(t * 1e9), cl, cr)
+    dt = 1.0 / imu_hz
+    for k in range(n_frames * int(0.1 * imu_hz)):
+        t = T0 + k * dt
+        a_world = np.array([ACC, 0.0, 0.0])
+        wtr.write_imu(ImuMeasurement(int(t * 1e9), np.zeros(3), a_world - GRAVITY))
+    wtr.finish()
+    return x_of
+
+
+SHARED_YAML = f"""
+n_gravity: [0, 0, -9.81]
+
+imu0:
+  frame_id: imu0
+  body_T_imu:
+    rows: 4
+    cols: 4
+    data: [1, 0, 0, 0,  0, 1, 0, 0,  0, 0, 1, 0,  0, 0, 0, 1]
+  noise_model:
+    accel_noise_sigma: 0.001
+    gyro_noise_sigma: 0.0004
+    accel_bias_rw_sigma: 0.0001
+    gyro_bias_rw_sigma: 0.00004
+
+stereo_forward:
+  camera_left:
+    frame_id: camera_left
+    body_T_cam:
+      rows: 4
+      cols: 4
+      data: [1, 0, 0, 0,  0, 1, 0, 0,  0, 0, 1, 0,  0, 0, 0, 1]
+    image_height: {H}
+    image_width: {W}
+    camera_model: pinhole
+    intrinsics: [{FX}, {FX}, {W / 2}, {H / 2}]
+    distortion_model: radial-tangential
+    distortion_coefficients: [0.0, 0.0, 0.0, 0.0]
+  camera_right:
+    frame_id: camera_right
+    body_T_cam:
+      rows: 4
+      cols: 4
+      data: [1, 0, 0, {BASELINE},  0, 1, 0, 0,  0, 0, 1, 0,  0, 0, 0, 1]
+    image_height: {H}
+    image_width: {W}
+    camera_model: pinhole
+    intrinsics: [{FX}, {FX}, {W / 2}, {H / 2}]
+    distortion_model: radial-tangential
+    distortion_coefficients: [0.0, 0.0, 0.0, 0.0]
+"""
+
+NODE_YAML = """
+filter_publish_hz: 50
+
+StateEstimator:
+  min_sec_btw_keyposes: 0.15
+  max_sec_btw_keyposes: 10.0
+  allowed_misalignment_depth: 0.05
+  allowed_misalignment_range: 0.15
+  soft_correction_pos: 0.05
+  hard_correction_pos: 0.5
+
+  FixedLagSmoother:
+    window: 8
+    iterations: 5
+
+  StereoFrontend:
+    sigma_tracked_point: 1.0
+    lm_max_iters: 20
+    lm_max_error_stdevs: 3.0
+
+    StereoTracker:
+      stereo_max_depth: 20.0
+      stereo_min_depth: 0.2
+      trigger_keyframe_min_lmks: 10
+      trigger_keyframe_k: 2
+
+      FeatureDetector:
+        max_features_per_frame: 96
+        min_distance_btw_tracked_and_detected_features: 10
+        gftt_quality_level: 0.01
+        gftt_block_size: 9
+
+      FeatureTracker:
+        klt_maxiters: 30
+        klt_epsilon: 0.01
+        klt_winsize: 21
+        klt_max_level: 3
+
+      StereoMatcher:
+        templ_cols: 15
+        templ_rows: 11
+        max_disp: 32
+        max_matching_cost: 0.3
+"""

@@ -24,6 +24,7 @@ def load_detector_params(p: YamlParser):
         use_harris=bool(p.get("gftt_use_harris_corner_detector", 0)),
         harris_k=float(p.get("gftt_k", 0.04)),
         min_distance=float(p.get("min_distance_btw_tracked_and_detected_features", 20.0)),
+        subpixel=bool(p.get("subpixel_corners", 0)),
     )
 
 

@@ -14,12 +14,13 @@ every read is a static in-bounds VMEM slice.
 Falls back to interpret mode off-TPU (tests run on CPU); callers should gate
 on `pallas_supported` for the VMEM plan.
 
-KNOWN LIMITATION (jax 0.9.0 / Mosaic): compiling the per-plane
-``out_ref[:, :, d] = acc`` store on real TPU trips an internal Mosaic error
-(tpu.reshape (8,640)->(8,640,1) with offset layout, "please report a bug");
-interpret mode and the parity tests pass. The kernel stays opt-in
-(cost_volume(use_pallas=True)) until a Mosaic fix or a layout workaround —
-the XLA path already sustains the 64 fps headline.
+MOSAIC WORKAROUND (jax 0.9.0): the per-plane ``out_ref[:, :, d] = acc``
+store trips an internal Mosaic error when ``acc`` carries an OFFSET vector
+layout from the strided stencil slices (tpu.reshape (8,640)->(8,640,1),
+in_layout vpad {2,66}). Round-tripping ``acc`` through a VMEM scratch
+normalizes the layout to {0,0}, after which the 2D->3D store reshape
+compiles and runs on hardware (verified; parity + timing in
+tests/test_pallas.py and PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -59,7 +60,7 @@ def _sobel(slab: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(gx * gx + gy * gy)
 
 
-def _cost_kernel(l_ref, r_ref, out_ref, *, D: int, W: int, alpha: float):
+def _cost_kernel(l_ref, r_ref, out_ref, scratch, *, D: int, W: int, alpha: float):
     # Refs are edge-padded by PAD rows and (D+PAD, PAD) columns; block i's
     # image rows live at padded rows y0+PAD .. y0+PAD+R-1.
     i = pl.program_id(0)
@@ -85,8 +86,11 @@ def _cost_kernel(l_ref, r_ref, out_ref, *, D: int, W: int, alpha: float):
         for dy, dx in STENCIL_OFFSETS:
             acc = acc + e[1 + dy : 1 + dy + R, 1 + dx : 1 + dx + W]
         # Store per plane: keeping all D planes live for a final stack blows
-        # the register allocator (observed 132 MB of spill slots).
-        out_ref[:, :, d] = acc
+        # the register allocator (observed 132 MB of spill slots). The
+        # scratch round-trip strips acc's offset layout (from the strided
+        # stencil slices) — storing it directly trips a Mosaic reshape bug.
+        scratch[:, :] = acc
+        out_ref[:, :, d] = scratch[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("max_disp", "alpha", "interpret"))
@@ -120,5 +124,6 @@ def pallas_cost_volume(
             (ROWS_PER_STEP, W, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((H, W, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ROWS_PER_STEP, W), jnp.float32)],
         interpret=interpret,
     )(prep(iml), prep(imr))

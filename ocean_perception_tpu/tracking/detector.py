@@ -32,6 +32,10 @@ class DetectorParams:
     harris_k: float = struct.field(pytree_node=False, default=0.04)
     min_distance: float = struct.field(pytree_node=False, default=20.0)
     border: int = struct.field(pytree_node=False, default=8)
+    # Subpixel corner refinement (reference cornerSubPix option,
+    # feature_detector.cpp:88-123): quadratic peak fit on the corner-score
+    # map around each selected corner.
+    subpixel: bool = struct.field(pytree_node=False, default=False)
 
 
 class Detections(NamedTuple):
@@ -119,8 +123,30 @@ def detect_features(
 
     k_eff = min(K, Hc * Wc)
     top_scores, top_idx = jax.lax.top_k(cell_best, k_eff)
-    pts = jnp.stack([cx[top_idx].astype(jnp.float32), cy[top_idx].astype(jnp.float32)], axis=-1)
+    iy = cy[top_idx]
+    ix = cx[top_idx]
+    pts = jnp.stack([ix.astype(jnp.float32), iy.astype(jnp.float32)], axis=-1)
     valid = top_scores > 0.0
+
+    if params.subpixel:
+        # Quadratic (parabola) peak fit per axis on the raw score map — the
+        # reference's optional cornerSubPix pass. Offsets are clamped to
+        # +-0.5 (a true local peak never needs more).
+        raw = corner_score(image, params)
+        ge = jnp.pad(raw, 1, mode="edge")
+
+        def refine(y, x):
+            c = ge[y + 1, x + 1]
+            sx0, sx1 = ge[y + 1, x], ge[y + 1, x + 2]
+            sy0, sy1 = ge[y, x + 1], ge[y + 2, x + 1]
+            denx = sx0 + sx1 - 2.0 * c
+            deny = sy0 + sy1 - 2.0 * c
+            dx = jnp.where(jnp.abs(denx) > 1e-12, 0.5 * (sx0 - sx1) / denx, 0.0)
+            dy = jnp.where(jnp.abs(deny) > 1e-12, 0.5 * (sy0 - sy1) / deny, 0.0)
+            return jnp.stack([jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)])
+
+        offs = jax.vmap(refine)(iy, ix)
+        pts = pts + jnp.where(valid[:, None], offs, 0.0)
 
     if k_eff < K:
         pts = jnp.pad(pts, ((0, K - k_eff), (0, 0)))

@@ -61,6 +61,17 @@ class FlowResult(NamedTuple):
     status: jnp.ndarray  # (K,) bool — tracked successfully
 
 
+def _dslice(img: jnp.ndarray, src, y0, x0, h: int, w: int) -> jnp.ndarray:
+    """Dynamic (h, w) window from a 2-D image or, when ``img`` is a 3-D ring
+    of images, from ring entry ``src`` (k-ago re-tracking: each point's
+    template may come from a different past frame)."""
+    if img.ndim == 2:
+        return jax.lax.dynamic_slice(img, (y0, x0), (h, w))
+    return jax.lax.dynamic_slice(
+        img, (jnp.asarray(src, jnp.int32), y0, x0), (1, h, w)
+    )[0]
+
+
 def _coarse_block_match(
     prev_img: jnp.ndarray,
     next_img: jnp.ndarray,
@@ -116,23 +127,27 @@ def _lk_level(
     p: LKParams,
     win: int | None = None,
     pad: int = 0,
+    src_prev=0,
+    src_next=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One pyramid level of LK for one keypoint. Returns (new_guess, ok).
 
     ``prev_img``/``next_img`` must be replicate-padded by ``pad`` pixels on
     every side (cv2 pads its pyramid the same way); coordinates are in the
     UNPADDED frame, offset internally. This keeps border keypoints trackable
-    without off-center window clamps.
+    without off-center window clamps. Either image may be a 3-D ring of
+    frames, selected per point by ``src_prev``/``src_next`` (k-ago
+    re-tracking, stereo_tracker.cpp:33-88 parity).
     """
     win = p.window if win is None else win
     r = win // 2
 
-    H, W = prev_img.shape[0] - 2 * pad, prev_img.shape[1] - 2 * pad
+    H, W = prev_img.shape[-2] - 2 * pad, prev_img.shape[-1] - 2 * pad
 
     # Template window from prev (win+2 for central-difference gradients).
     t0y = jnp.clip(jnp.floor(pt_prev[1]) + pad - r - 1, 0, H + 2 * pad - (win + 3)).astype(jnp.int32)
     t0x = jnp.clip(jnp.floor(pt_prev[0]) + pad - r - 1, 0, W + 2 * pad - (win + 3)).astype(jnp.int32)
-    twin = jax.lax.dynamic_slice(prev_img, (t0y, t0x), (win + 3, win + 3))
+    twin = _dslice(prev_img, src_prev, t0y, t0x, win + 3, win + 3)
     # Bilinear-center the template on the true subpixel location.
     fy = pt_prev[1] + pad - t0y.astype(prev_img.dtype)
     fx = pt_prev[0] + pad - t0x.astype(prev_img.dtype)
@@ -159,7 +174,7 @@ def _lk_level(
         ws = win + 2 * (s + 1)
         sy0 = jnp.clip(jnp.floor(guess[1]) + pad - r - s - 1, 0, H + 2 * pad - ws).astype(jnp.int32)
         sx0 = jnp.clip(jnp.floor(guess[0]) + pad - r - s - 1, 0, W + 2 * pad - ws).astype(jnp.int32)
-        swin = jax.lax.dynamic_slice(next_img, (sy0, sx0), (ws, ws))
+        swin = _dslice(next_img, src_next, sy0, sx0, ws, ws)
 
         def body(_, carry):
             pos, converged, hit = carry
@@ -192,7 +207,7 @@ def _lk_level(
             pos, converged = carry
             y0 = jnp.clip(jnp.floor(pos[1]) + pad - r - 1, 0, H + 2 * pad - ws).astype(jnp.int32)
             x0 = jnp.clip(jnp.floor(pos[0]) + pad - r - 1, 0, W + 2 * pad - ws).astype(jnp.int32)
-            swin = jax.lax.dynamic_slice(next_img, (y0, x0), (ws, ws))
+            swin = _dslice(next_img, src_next, y0, x0, ws, ws)
             cy = pos[1] + pad - y0.astype(pos.dtype)
             cx = pos[0] + pad - x0.astype(pos.dtype)
             patch = sample_patches_bilinear(swin, cy, cx, win, win)
@@ -220,14 +235,27 @@ def _lk_level(
     return pos, ok_g & in_img & finite & ~hit
 
 
+def _pad_level(im: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Replicate-pad the spatial dims of a level (2-D) or ring level (3-D)."""
+    if im.ndim == 2:
+        return jnp.pad(im, pad, mode="edge")
+    return jnp.pad(im, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+
+
 def pyramidal_lk(
     prev_pyr,
     next_pyr,
     points: jnp.ndarray,   # (K, 2)
     p: LKParams,
     initial_flow: jnp.ndarray | None = None,
+    src_prev: jnp.ndarray | None = None,   # (K,) ring index when prev_pyr is a ring
+    src_next: jnp.ndarray | None = None,   # (K,) ring index when next_pyr is a ring
 ) -> FlowResult:
-    """Coarse-to-fine LK over prebuilt pyramids, vmapped over K points."""
+    """Coarse-to-fine LK over prebuilt pyramids, vmapped over K points.
+
+    Either pyramid may be a RING: levels shaped (Rk, Hl, Wl) with a per-point
+    source index — each landmark's template (or search image) then comes from
+    its own past frame (k-ago re-tracking)."""
     levels = len(prev_pyr)
     scale0 = 2.0 ** (levels - 1)
 
@@ -235,16 +263,21 @@ def pyramidal_lk(
     # tiny coarse levels stay usable with the full window. Levels smaller
     # than a 7px window are skipped (static check on traced shapes).
     pad = p.window // 2 + 2
-    prev_pad = [jnp.pad(im, pad, mode="edge") for im in prev_pyr]
-    next_pad = [jnp.pad(im, pad, mode="edge") for im in next_pyr]
+    prev_pad = [_pad_level(im, pad) for im in prev_pyr]
+    next_pad = [_pad_level(im, pad) for im in next_pyr]
 
     def level_window(lvl: int):
-        avail = min(min(prev_pyr[lvl].shape), min(next_pyr[lvl].shape))
+        avail = min(min(prev_pyr[lvl].shape[-2:]), min(next_pyr[lvl].shape[-2:]))
         win = min(p.window, avail)
         win -= (win + 1) % 2  # odd
         return win if win >= 7 else None
 
-    def one_point(pt, init):
+    K = points.shape[0]
+    zeros_k = jnp.zeros(K, jnp.int32)
+    sp = zeros_k if src_prev is None else jnp.asarray(src_prev, jnp.int32)
+    sn = zeros_k if src_next is None else jnp.asarray(src_next, jnp.int32)
+
+    def one_point(pt, init, s_p, s_n):
         guess = init / scale0
         ok = jnp.asarray(False)
         for lvl in range(levels - 1, -1, -1):
@@ -253,7 +286,8 @@ def pyramidal_lk(
                 s = 2.0**lvl
                 pt_l = pt / s
                 new_guess, ok_l = _lk_level(
-                    prev_pad[lvl], next_pad[lvl], pt_l, guess, p, win=win, pad=pad
+                    prev_pad[lvl], next_pad[lvl], pt_l, guess, p, win=win, pad=pad,
+                    src_prev=s_p, src_next=s_n,
                 )
                 guess = jnp.where(ok_l, new_guess, guess)
                 if lvl == 0:
@@ -265,7 +299,7 @@ def pyramidal_lk(
         return guess, ok
 
     init = points if initial_flow is None else initial_flow
-    pts, status = jax.vmap(one_point)(points, init)
+    pts, status = jax.vmap(one_point)(points, init, sp, sn)
     return FlowResult(points=pts, status=status)
 
 
@@ -301,3 +335,78 @@ def track_points(
         dist2 = jnp.sum((bwd.points - points) ** 2, axis=-1)
         status = status & bwd.status & (dist2 <= p.fwd_bwd_tol**2)
     return FlowResult(points=fwd.points, status=status)
+
+
+def track_points_ring(
+    ring_pyr,                # tuple of (Rk, Hl, Wl) level arrays, slot 0 = newest past frame
+    next_pyr,                # tuple of (Hl, Wl) level arrays (current frame)
+    points: jnp.ndarray,     # (K, 2) last-seen pixel of each landmark
+    valid: jnp.ndarray,      # (K,)
+    src_idx: jnp.ndarray,    # (K,) ring slot of each landmark's last-seen frame
+    p: LKParams = LKParams(),
+) -> FlowResult:
+    """k-ago re-tracking (reference stereo_tracker.cpp:33-88): each landmark
+    is tracked from the frame it was LAST SEEN in (its true template) into
+    the current frame. The bidirectional check tracks back into the same
+    source frame. One LK pass total — the ring only changes which image each
+    point's template window is sliced from."""
+    src_idx = jnp.clip(jnp.asarray(src_idx, jnp.int32), 0, ring_pyr[0].shape[0] - 1)
+
+    initial_flow = None
+    if p.coarse_init:
+        levels = len(next_pyr)
+        scale = 2.0 ** (levels - 1)
+        coarse = _coarse_block_match_ring(
+            ring_pyr[-1], next_pyr[-1], points / scale, src_idx,
+            p.coarse_search, p.coarse_patch,
+        )
+        initial_flow = coarse * scale
+
+    fwd = pyramidal_lk(
+        ring_pyr, next_pyr, points, p, initial_flow=initial_flow, src_prev=src_idx
+    )
+    status = fwd.status & valid
+    if p.bidirectional:
+        bwd = pyramidal_lk(next_pyr, ring_pyr, fwd.points, p, src_next=src_idx)
+        dist2 = jnp.sum((bwd.points - points) ** 2, axis=-1)
+        status = status & bwd.status & (dist2 <= p.fwd_bwd_tol**2)
+    return FlowResult(points=fwd.points, status=status)
+
+
+def _coarse_block_match_ring(
+    prev_ring: jnp.ndarray,   # (Rk, H, W) coarsest ring level
+    next_img: jnp.ndarray,
+    points: jnp.ndarray,
+    src_idx: jnp.ndarray,
+    search: int,
+    patch: int,
+) -> jnp.ndarray:
+    """Ring variant of the coarse block-match init: the template comes from
+    each point's own source frame."""
+    r = patch // 2
+    win = patch + 2 * search
+    pad = search + r + 1
+    prev_pad = jnp.pad(prev_ring, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    next_pad = jnp.pad(next_img, pad, mode="edge")
+
+    def one(pt, src):
+        x0 = jnp.round(pt[0]).astype(jnp.int32) + pad
+        y0 = jnp.round(pt[1]).astype(jnp.int32) + pad
+        templ = _dslice(prev_pad, src, y0 - r, x0 - r, patch, patch)
+        window = jax.lax.dynamic_slice(
+            next_pad, (y0 - r - search, x0 - r - search), (win, win)
+        )
+        costs = []
+        for dy in range(2 * search + 1):
+            row = []
+            for dx in range(2 * search + 1):
+                diff = window[dy : dy + patch, dx : dx + patch] - templ
+                row.append(jnp.sum(diff * diff))
+            costs.append(jnp.stack(row))
+        cost = jnp.stack(costs)
+        best = jnp.argmin(cost.reshape(-1))
+        by = best // (2 * search + 1) - search
+        bx = best % (2 * search + 1) - search
+        return pt + jnp.stack([bx, by]).astype(pt.dtype)
+
+    return jax.vmap(one)(points, src_idx)

@@ -12,11 +12,14 @@ Reference parity: ft/StereoTracker::TrackAndTriangulate
 
 TPU design: the whole step is one jit-compiled function over a fixed-slot
 TrackTable; detection/matching always execute (static graph) and their
-results are masked in on keyframes. Divergence from the reference: lost
-landmarks are re-tracked from their last seen pixel against the current
-frame for up to retrack_frames_k frames (the reference replays KLT against
-the k-ago image from its ring buffer; same recovery intent, single-image
-dependency keeps the device step stateless in images).
+results are masked in on keyframes.
+
+k-ago re-tracking: when the state carries a pyramid RING (create with
+``image_shape``), each lost landmark is re-tracked from the frame it was
+LAST SEEN in — its true template — exactly like the reference's image ring
+buffer (stereo_tracker.cpp:33-88), at the cost of one per-point ring index
+in the LK template slice. Without a ring, the fallback re-tracks from the
+last-seen pixel against the current frame only (weaker under fast motion).
 """
 
 from __future__ import annotations
@@ -27,8 +30,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..ops.image import image_pyramid
 from .detector import DetectorParams, detect_features
-from .lk import LKParams, track_points
+from .lk import LKParams, track_points, track_points_ring
 from .stripe_match import StripeMatcherParams, match_rectified
 from .tracks import LandmarkObservation, TrackTable
 
@@ -52,14 +56,34 @@ class StereoTrackerState:
     frame_idx: jnp.ndarray      # int32 scalar
     last_kf_frame: jnp.ndarray  # int32 scalar
     next_lmk_id: jnp.ndarray    # int32 scalar
+    # Past-frame pyramid ring for k-ago re-tracking: tuple of
+    # (retrack_frames_k+1, Hl, Wl) level arrays, slot 0 = newest past frame.
+    # None = legacy single-prev-image tracking.
+    ring: Optional[Tuple[jnp.ndarray, ...]] = None
 
     @classmethod
-    def create(cls, params: StereoTrackerParams) -> "StereoTrackerState":
+    def create(
+        cls,
+        params: StereoTrackerParams,
+        image_shape: Optional[Tuple[int, int]] = None,
+    ) -> "StereoTrackerState":
+        ring = None
+        if image_shape is not None:
+            Rk = params.retrack_frames_k + 1
+            levels = params.lk.max_level + 1
+            H, W = image_shape
+            shapes = []
+            h, w = H, W
+            for _ in range(levels):
+                shapes.append((h, w))
+                h, w = (h + 1) // 2, (w + 1) // 2
+            ring = tuple(jnp.zeros((Rk, hl, wl), jnp.float32) for hl, wl in shapes)
         return cls(
             table=TrackTable.create(params.capacity),
             frame_idx=jnp.asarray(0, jnp.int32),
             last_kf_frame=jnp.asarray(-(10**6), jnp.int32),
             next_lmk_id=jnp.asarray(0, jnp.int32),
+            ring=ring,
         )
 
 
@@ -110,8 +134,16 @@ def track_and_triangulate(
     table = state.table
     alive = table.alive
 
-    # 1. Re-track live landmarks (stale ones from their last seen pixel).
-    flow = track_points(prev_left, cur_left, table.pixels, alive, params.lk)
+    # 1. Re-track live landmarks. With a ring, each landmark's template
+    # comes from its LAST-SEEN frame (ring slot = missed count); without,
+    # from the previous frame only.
+    if state.ring is not None:
+        cur_pyr = tuple(image_pyramid(cur_left, params.lk.max_level + 1))
+        flow = track_points_ring(
+            state.ring, cur_pyr, table.pixels, alive, table.missed, params.lk
+        )
+    else:
+        flow = track_points(prev_left, cur_left, table.pixels, alive, params.lk)
     tracked = flow.status & alive
     pixels = jnp.where(tracked[:, None], flow.points, table.pixels)
     missed = jnp.where(tracked, 0, table.missed + 1)
@@ -158,11 +190,20 @@ def track_and_triangulate(
     kf_disp = jnp.where(is_kf, disparities, table.kf_disparities)
     table = table.replace(kf_pixels=kf_pixels, kf_disparities=kf_disp)
 
+    # Advance the ring: current frame becomes slot 0 for the next step.
+    new_ring = state.ring
+    if state.ring is not None:
+        new_ring = tuple(
+            jnp.concatenate([cur[None], lvl[:-1]], axis=0)
+            for cur, lvl in zip(cur_pyr, state.ring)
+        )
+
     new_state = StereoTrackerState(
         table=table,
         frame_idx=state.frame_idx + 1,
         last_kf_frame=jnp.where(is_kf, state.frame_idx, state.last_kf_frame),
         next_lmk_id=next_id,
+        ring=new_ring,
     )
     out = TrackerOutput(
         observations=LandmarkObservation(

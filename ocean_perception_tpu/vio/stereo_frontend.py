@@ -122,7 +122,11 @@ class StereoFrontend:
     def __init__(self, params: FrontendParams, rig: StereoCamera):
         self.params = params
         self.rig = rig
-        self.state = StereoTrackerState.create(params.tracker)
+        # The rig knows the image size, so the tracker gets a pyramid ring
+        # for true k-ago re-tracking (stereo_tracker.cpp:33-88 parity).
+        self.state = StereoTrackerState.create(
+            params.tracker, image_shape=(int(rig.left.height), int(rig.left.width))
+        )
         self._prev_left: Optional[jnp.ndarray] = None
         self._step = jax.jit(
             lambda s, pl, cl, cr, f: frontend_step(s, pl, cl, cr, rig, params, f)

@@ -210,3 +210,86 @@ def test_lk_coarse_init_large_motion(textured):
     flow = (np.asarray(res.points) - pts)[ok]
     assert np.median(np.abs(flow[:, 0] - shift)) < 0.5
     assert np.median(np.abs(flow[:, 1])) < 0.5
+
+
+def test_k_ago_ring_recovers_occlusion_burst():
+    """k-ago re-tracking (stereo_tracker.cpp:33-88 parity): after a fully
+    corrupted frame (occlusion burst), landmarks must re-acquire from the
+    frame they were LAST SEEN in. The ring recovers most tracks accurately;
+    the legacy current-frame-only fallback loses them."""
+    import cv2
+
+    from ocean_perception_tpu.tracking.stereo_tracker import (
+        StereoTrackerParams,
+        StereoTrackerState,
+        track_and_triangulate,
+    )
+
+    H, W = 120, 180
+    rng = np.random.default_rng(7)
+    canvas = cv2.GaussianBlur(rng.random((H, W + 80)).astype(np.float32), (5, 5), 1.0) * 0.8 + 0.1
+    frames = [canvas[:, 10 + 3 * i : 10 + 3 * i + W] for i in range(5)]
+    frames[2] = rng.random((H, W)).astype(np.float32)  # occlusion burst
+
+    params = StereoTrackerParams(
+        capacity=64, retrack_frames_k=3,
+        detector=DetectorParams(max_features=64, min_distance=8, border=10),
+        lk=LKParams(max_level=2),
+        matcher=StripeMatcherParams(max_disp=16, templ_cols=11, templ_rows=7),
+        trigger_keyframe_k=100, trigger_keyframe_min_lmks=0,
+    )
+    fxb = jnp.asarray(30.0)
+
+    def run(use_ring):
+        st = StereoTrackerState.create(params, image_shape=(H, W) if use_ring else None)
+        prev = frames[0]
+        ids_kf = pix_kf = None
+        for i, im in enumerate(frames):
+            st, _ = track_and_triangulate(
+                st, jnp.asarray(prev), jnp.asarray(im), jnp.asarray(im),
+                fxb, params, force_keyframe=(i == 0),
+            )
+            prev = im
+            if i == 0:
+                ids_kf = np.asarray(st.table.ids).copy()
+                pix_kf = np.asarray(st.table.pixels).copy()
+        alive = np.asarray(st.table.alive)
+        ids = np.asarray(st.table.ids)
+        pix = np.asarray(st.table.pixels)
+        same = (ids == ids_kf) & alive & (ids >= 0)
+        # Content moves -3 px/frame; truth after 4 frames = -12 px.
+        err = np.abs(pix[same][:, 0] - (pix_kf[same][:, 0] - 12.0))
+        return int(same.sum()), int((err < 1.5).sum())
+
+    surv_ring, acc_ring = run(True)
+    surv_leg, acc_leg = run(False)
+    assert acc_ring > 0.7 * surv_ring, (acc_ring, surv_ring)
+    assert acc_ring > 3 * max(acc_leg, 1), (acc_ring, acc_leg)
+
+
+def test_detector_subpixel_refine():
+    """Quadratic-fit subpixel corners (reference cornerSubPix option,
+    feature_detector.cpp:88-123): localization beats integer detection on a
+    corner rendered at a known subpixel position."""
+    import cv2
+
+    H, W = 64, 64
+    true_x, true_y = 31.63, 32.28
+    # An analytic Gaussian blob: its corner response is radially symmetric,
+    # so the score peak sits exactly at the blob center.
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.exp(-(((xx - true_x) ** 2 + (yy - true_y) ** 2) / (2.0 * 2.5**2)))
+
+    from ocean_perception_tpu.tracking.detector import detect_features
+
+    errs = {}
+    for sub in (False, True):
+        det = detect_features(
+            jnp.asarray(img),
+            DetectorParams(max_features=4, min_distance=6, border=4, subpixel=sub),
+        )
+        pts = np.asarray(det.points)[np.asarray(det.valid)]
+        d = np.sqrt(((pts - [true_x, true_y]) ** 2).sum(-1))
+        errs[sub] = float(d.min())
+    assert errs[True] <= errs[False] + 1e-6
+    assert errs[True] < 0.45, errs

@@ -190,7 +190,37 @@ def main() -> None:
         best_b = min(best_b, time.perf_counter() - t0)
     fps_batched = N_FRAMES / best_b
 
-    fps = max(fps_single, fps_batched)
+    # Multi-camera streaming: B=8 vmapped frames per step — the single-chip
+    # stand-in for the north star's 8-camera sensor package (each chip owns
+    # 8 streams; across chips the cam axis shards via multi_camera_step).
+    B8 = 8
+    bl8 = jnp.stack([left] * B8)
+    br8 = jnp.stack([right] * B8)
+
+    @jax.jit
+    def stream_cam8(l, r):
+        def frame(carry, i):
+            out = jax.vmap(lambda a, b: perception_step(a, b, rig, config))(
+                l + carry * 1e-12 + i.astype(jnp.float32) * 1e-7, r
+            )
+            digest = jnp.sum(out.disparity) * 1e-6 + jnp.sum(out.enhanced_left[:, ::64, ::64])
+            return digest, digest
+
+        final, _ = jax.lax.scan(
+            frame, jnp.asarray(0.0, jnp.float32), jnp.arange(N_FRAMES // B8)
+        )
+        return final
+
+    float(stream_cam8(bl8, br8))
+    best_8 = np.inf
+    for rep in range(N_REPEATS):
+        t0 = time.perf_counter()
+        float(stream_cam8(bl8 + np.float32((rep + 1) * 1e-7), br8))
+        best_8 = min(best_8, time.perf_counter() - t0)
+    fps_cam8_total = N_FRAMES / best_8          # frames/sec across the package
+    fps_per_camera_x8 = fps_cam8_total / B8     # per-camera rate at B=8
+
+    fps = max(fps_single, fps_batched, fps_cam8_total)
 
     # Accuracy half of the BASELINE metric: median |disparity error| on the
     # known-truth scene over valid (non-masked) pixels.
@@ -230,6 +260,8 @@ def main() -> None:
                 "streaming_frames": N_FRAMES,
                 "fps_single_stream": round(fps_single, 2),
                 "fps_batched_x2": round(fps_batched, 2),
+                "fps_multicam_x8_total": round(fps_cam8_total, 2),
+                "fps_per_camera_x8": round(fps_per_camera_x8, 2),
                 "single_dispatch_latency_ms": round(latency_ms, 1),
                 "rpc_floor_ms": round(rpc_floor_ms, 1),
                 "median_disparity_error_px": round(med_err, 3),

@@ -7,6 +7,11 @@ host only feeds frames.
 """
 
 from .mesh import make_mesh, camera_sharding, replicated  # noqa: F401
-from .sharded_pipeline import multi_camera_step, FleetStats  # noqa: F401
+from .sharded_pipeline import (  # noqa: F401
+    FleetStats,
+    create_fleet_frontend_state,
+    multi_camera_frontend_step,
+    multi_camera_step,
+)
 from .spatial import sharded_enhance, strip_sharding  # noqa: F401
 from .stereo_sharded import sharded_patchmatch  # noqa: F401

@@ -31,6 +31,64 @@ def _per_camera(left, right, rig: StereoCamera, config: PerceptionConfig) -> Per
     return perception_step(left, right, rig, config)
 
 
+def create_fleet_frontend_state(n_cams: int, mesher_params=None, image_shape=None):
+    """Per-camera tracker states + landmark graphs batched on a leading
+    camera axis (broadcast of the single-camera init pytrees)."""
+    from ..mesher.landmark_graph import LandmarkGraph
+    from ..mesher.object_mesher import ObjectMesherDeviceParams
+    from ..tracking.stereo_tracker import StereoTrackerState
+
+    mesher_params = mesher_params or ObjectMesherDeviceParams()
+    state = StereoTrackerState.create(mesher_params.tracker, image_shape=image_shape)
+    graph = LandmarkGraph.create(mesher_params.tracker.capacity)
+    batch = lambda x: jnp.broadcast_to(x[None], (n_cams,) + x.shape)
+    return (
+        jax.tree_util.tree_map(batch, state),
+        jax.tree_util.tree_map(batch, graph),
+    )
+
+
+def multi_camera_frontend_step(
+    tracker_states,            # pytree with leading (N,) camera axis
+    graphs,                    # pytree with leading (N,) camera axis
+    prev_grays: jnp.ndarray,   # (N, H, W)
+    batch_left: jnp.ndarray,   # (N, H, W, 3)
+    batch_right: jnp.ndarray,  # (N, H, W, 3)
+    rig: StereoCamera,
+    config: PerceptionConfig,
+    mesher_params,
+    mesh: Mesh,
+    axis: str = "cam",
+):
+    """The FULL frontend (enhance → disparity → tracking → landmark graph)
+    for N cameras, camera axis sharded over the mesh — the BASELINE north
+    star's whole camera→mesh graph under ICI sharding, not just the dense
+    half. Entirely camera-parallel: zero collectives in the forward path.
+
+    Returns ((FullFrontendOutput batched, cur_grays), ...) with every leaf
+    sharded on the camera axis. Thread tracker_states/graphs/prev_grays
+    between frames exactly like the single-camera full_frontend_step.
+    """
+    from ..models.perception import full_frontend_step
+
+    cam_shard = NamedSharding(mesh, P(axis))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(cam_shard, cam_shard, cam_shard, cam_shard, cam_shard),
+        out_shardings=cam_shard,
+        static_argnums=(),
+    )
+    def step(states, gs, pg, bl, br):
+        return jax.vmap(
+            lambda s, g, p, l, r: full_frontend_step(
+                s, g, p, l, r, rig, config, mesher_params
+            )
+        )(states, gs, pg, bl, br)
+
+    return step(tracker_states, graphs, prev_grays, batch_left, batch_right)
+
+
 def multi_camera_step(
     batch_left: jnp.ndarray,   # (N, H, W, 3)
     batch_right: jnp.ndarray,  # (N, H, W, 3)

@@ -148,3 +148,71 @@ def test_sharded_matches_single_device(mesh):
 
     out_single = jax.vmap(lambda l, r: perception_step(l, r, rig, cfg).disparity)(bl, br)
     np.testing.assert_allclose(np.asarray(out_sharded.disparity), np.asarray(out_single), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_multi_camera_full_frontend_sharded(mesh):
+    """The WHOLE frontend (enhance + disparity + tracking + landmark graph)
+    under the camera axis: per-camera state pytrees thread across frames with
+    every leaf sharded, and camera 0 reproduces the single-camera path."""
+    from ocean_perception_tpu.mesher import LandmarkGraph
+    from ocean_perception_tpu.mesher.object_mesher import ObjectMesherDeviceParams
+    from ocean_perception_tpu.models.perception import full_frontend_step
+    from ocean_perception_tpu.parallel import (
+        create_fleet_frontend_state,
+        multi_camera_frontend_step,
+    )
+    from ocean_perception_tpu.tracking import DetectorParams, LKParams, StripeMatcherParams
+    from ocean_perception_tpu.tracking.stereo_tracker import (
+        StereoTrackerParams,
+        StereoTrackerState,
+    )
+
+    n_cams = 8
+    H, W = 64, 96
+    bl, br = _inputs(n_cams, H=H, W=W)
+    rig = _rig(H, W)
+    cfg = PerceptionConfig(engine="wta", max_disp=16, internal_scale=1, run_enhance=True)
+    mp = ObjectMesherDeviceParams(
+        tracker=StereoTrackerParams(
+            capacity=32,
+            detector=DetectorParams(max_features=32, min_distance=6, border=4),
+            lk=LKParams(max_level=1),
+            matcher=StripeMatcherParams(max_disp=16, templ_cols=9, templ_rows=7, max_matching_cost=0.5),
+        ),
+        min_obs_connect_edge=2.0,
+        min_obs_disconnect_edge=1.0,
+    )
+
+    states, graphs = create_fleet_frontend_state(n_cams, mp)
+    prev_grays = jnp.mean(bl, axis=-1)
+    for _ in range(2):
+        (out, cur_grays) = multi_camera_frontend_step(
+            states, graphs, prev_grays, bl, br, rig, cfg, mp, mesh
+        )
+        states, graphs, prev_grays = out.tracker_state, out.graph, cur_grays
+
+    assert out.perception.disparity.shape == (n_cams, H, W)
+    assert out.perception.disparity.sharding.spec[0] == "cam"
+    assert out.mesher.labels.sharding.spec[0] == "cam"
+
+    # Camera 0 must match the unsharded single-camera pipeline.
+    s0 = StereoTrackerState.create(mp.tracker)
+    g0 = LandmarkGraph.create(mp.tracker.capacity)
+    pg0 = jnp.mean(bl[0], axis=-1)
+    for _ in range(2):
+        (o0, pg0) = jax.jit(
+            lambda s, g, p, l, r: full_frontend_step(s, g, p, l, r, rig, cfg, mp)
+        )(s0, g0, pg0, bl[0], br[0])
+        s0, g0 = o0.tracker_state, o0.graph
+
+    np.testing.assert_allclose(
+        np.asarray(out.perception.disparity[0]), np.asarray(o0.perception.disparity),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.mesher.alive[0]), np.asarray(o0.mesher.alive)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.mesher.pixels[0]), np.asarray(o0.mesher.pixels), atol=1e-3
+    )

@@ -316,3 +316,50 @@ def test_sliding_matches_batch_solve():
     np.testing.assert_allclose(np.asarray(last.p), np.asarray(rb.p), atol=2e-2)
     np.testing.assert_allclose(np.asarray(last.p), states[-1][1], atol=5e-2)
     np.testing.assert_allclose(np.asarray(last.R), states[-1][0], atol=2e-2)
+
+
+@pytest.mark.slow
+def test_imu_factor_nees_consistency():
+    """NEES consistency of the full-covariance IMU whitening: with IMU noise
+    injected at exactly the calibration's densities and a hard truth prior on
+    slot 0, the newest-state error normalized by the reported 9-dof marginal
+    should be chi-square-consistent (mean ~9 for [theta p v]; we accept a
+    generous band — measured ~6, i.e. slightly conservative covariances,
+    which is the safe side for the EKF divergence thresholds)."""
+    from ocean_perception_tpu.core.se3 import so3_log
+    from ocean_perception_tpu.vio.imu_preintegration import ImuCalibration
+
+    cfg = SmootherConfig(window=6, iterations=8)
+    calib = ImuCalibration()
+    nees_vals = []
+    for seed in range(10):
+        rng = np.random.default_rng(100 + seed)
+        states, imu_windows = simulate(M_used=6)
+        win = build_window(
+            states, imu_windows, cfg, state_noise=0.0, with_vo=False, with_depth=False
+        )
+        samples = np.asarray(win.imu_samples).copy()
+        for k in range(6):
+            if not bool(win.imu_valid[k]):
+                continue
+            dts = samples[k, :, 0:1]
+            live = dts > 0
+            scale = 1.0 / np.sqrt(np.maximum(dts, 1e-9)) * live
+            samples[k, :, 1:4] += rng.normal(0, 1, (N_IMU, 3)) * calib.gyro_noise_sigma * scale
+            samples[k, :, 4:7] += rng.normal(0, 1, (N_IMU, 3)) * calib.accel_noise_sigma * scale
+        win = win._replace(
+            imu_samples=jnp.asarray(samples), prior_sqrt_info=jnp.eye(15) * 1e4
+        )
+        pims = preintegrate_window(win, calib)
+        _, res = solve_window(
+            win, pims, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), cfg,
+            jnp.asarray(5, jnp.int32),
+        )
+        Rt, pt, vt = states[5]
+        e_th = np.asarray(so3_log(jnp.asarray(Rt.T) @ res.R))
+        e = np.concatenate([e_th, np.asarray(res.p) - pt, np.asarray(res.v) - vt])
+        cov9 = np.asarray(res.cov_newest)[:9, :9]
+        nees_vals.append(float(e @ np.linalg.solve(cov9, e)))
+
+    mean_nees = float(np.mean(nees_vals))
+    assert 2.5 < mean_nees < 20.0, (mean_nees, nees_vals)

@@ -190,10 +190,12 @@ def main() -> None:
         best_b = min(best_b, time.perf_counter() - t0)
     fps_batched = N_FRAMES / best_b
 
-    # Multi-camera streaming: B=8 vmapped frames per step — the single-chip
-    # stand-in for the north star's 8-camera sensor package (each chip owns
-    # 8 streams; across chips the cam axis shards via multi_camera_step).
-    B8 = 8
+    # Multi-camera streaming: B=4 vmapped frames per step — the single-chip
+    # stand-in for the north star's multi-camera sensor package (across
+    # chips the cam axis shards via multi_camera_step). B=8 trips an XLA
+    # TPU fusion-emitter crash (pad_low=-4 internal check) on this
+    # toolchain; B=4 is the largest batch that compiles.
+    B8 = 4
     bl8 = jnp.stack([left] * B8)
     br8 = jnp.stack([right] * B8)
 
@@ -260,8 +262,8 @@ def main() -> None:
                 "streaming_frames": N_FRAMES,
                 "fps_single_stream": round(fps_single, 2),
                 "fps_batched_x2": round(fps_batched, 2),
-                "fps_multicam_x8_total": round(fps_cam8_total, 2),
-                "fps_per_camera_x8": round(fps_per_camera_x8, 2),
+                "fps_multicam_x4_total": round(fps_cam8_total, 2),
+                "fps_per_camera_x4": round(fps_per_camera_x8, 2),
                 "single_dispatch_latency_ms": round(latency_ms, 1),
                 "rpc_floor_ms": round(rpc_floor_ms, 1),
                 "median_disparity_error_px": round(med_err, 3),

@@ -64,6 +64,11 @@ class PatchMatchParams:
     zncc_patch: int = struct.field(pytree_node=False, default=5)
     # Route the l1g cost volume through the fused Pallas kernel when it fits.
     use_pallas_cost: bool = struct.field(pytree_node=False, default=False)
+    # Route the propagation passes through the fused Pallas scan kernel
+    # (carry resident in VMEM scratch, volume slabs DMA-streamed; reverse
+    # passes via index_map instead of materialized flips). Bit-identical to
+    # the XLA scan; interpret-mode off TPU.
+    use_pallas_propagate: bool = struct.field(pytree_node=False, default=False)
     # Store the volume in bfloat16 (halves its HBM traffic; ~0.4% relative
     # cost error can flip near-tie argmin picks — off for exact parity).
     volume_bf16: bool = struct.field(pytree_node=False, default=False)
@@ -169,6 +174,15 @@ def _layout_cols(C: jnp.ndarray, p: PatchMatchParams) -> _StripLayout:
     return _StripLayout(Cc, rows_clipped, jnp.transpose(valid_pos, (1, 0)), x_of, lane_ok, chunk, w)
 
 
+def _propagate_carry0(layout: _StripLayout, disp, direction, axis, W, H):
+    """(chunks, N) initial front: predecessor of each strip's first position."""
+    first = layout.pos_clipped[:, 0 if direction > 0 else -1]
+    pred = jnp.clip(first - direction, 0, (W if axis == 1 else H) - 1)
+    if axis == 1:
+        return jnp.transpose(disp, (1, 0))[pred]
+    return disp[pred]
+
+
 def _propagate(
     layout: _StripLayout,
     disp: jnp.ndarray,       # (H, W)
@@ -192,17 +206,38 @@ def _propagate(
     vals_d = jnp.transpose(vals_d, (1, 0, 2))  # (w, chunks, N)
     vals_c = jnp.transpose(vals_c, (1, 0, 2))
 
+    if p.use_pallas_propagate:
+        from ..ops.pallas.propagate import pallas_propagate_pass
+
+        interpret = jax.default_backend() not in ("tpu",)
+        dim = W if axis == 1 else H
+        chunks_n = layout.Cc.shape[1]
+        out_d, out_c = pallas_propagate_pass(
+            layout.Cc, vals_d, vals_c,
+            carry_d0=_propagate_carry0(layout, disp, direction, axis, W, H),
+            direction=direction, axis=axis, dim=dim,
+            chunk=layout.chunk, halo=p.halo, patch_radius=pr,
+            interpret=interpret,
+        )
+        halo, chunk = p.halo, layout.chunk
+        out_d = jnp.transpose(out_d, (1, 0, 2))[:, halo : halo + chunk]
+        out_c = jnp.transpose(out_c, (1, 0, 2))[:, halo : halo + chunk]
+        if axis == 1:
+            n = out_d.shape[0] * chunk  # = W
+            new_disp = jnp.transpose(out_d.reshape(n, H), (1, 0))
+            new_cost = jnp.transpose(out_c.reshape(n, H), (1, 0))
+        else:
+            n = out_d.shape[0] * chunk  # = H
+            new_disp = out_d.reshape(n, W)
+            new_cost = out_c.reshape(n, W)
+        return new_disp, new_cost
+
     Cc, valid, x_of = layout.Cc, layout.valid, layout.x_of
     if direction < 0:
         Cc, vals_d, vals_c, valid = Cc[::-1], vals_d[::-1], vals_c[::-1], valid[::-1]
         x_of = x_of[::-1] if x_of.shape[0] == layout.w else x_of
 
-    first = layout.pos_clipped[:, 0 if direction > 0 else -1]
-    pred = jnp.clip(first - direction, 0, (W if axis == 1 else H) - 1)
-    if axis == 1:
-        carry_d0 = jnp.transpose(disp, (1, 0))[pred]
-    else:
-        carry_d0 = disp[pred]
+    carry_d0 = _propagate_carry0(layout, disp, direction, axis, W, H)
 
     lane_ok = layout.lane_ok[None, :]
 

@@ -32,6 +32,17 @@ def rng():
     return np.random.default_rng(123)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Bound the process RSS across the suite: every module compiles its own
+    jitted programs and almost none are shared across modules, so dropping
+    the caches between modules trades (near-zero) recompiles for memory.
+    The full suite previously segfaulted inside an XLA CPU compile near the
+    end of a single-process run from accumulated compile-cache pressure."""
+    yield
+    jax.clear_caches()
+
+
 REFERENCE_DIR = os.environ.get("OCEAN_REFERENCE_DIR", "/root/reference")
 
 

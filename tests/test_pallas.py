@@ -27,3 +27,28 @@ def test_pallas_cost_volume_matches_jnp(rng):
 def test_pallas_supported_budget():
     assert pallas_supported(360, 640, 64)
     assert not pallas_supported(2160, 3840, 256)
+
+
+def test_pallas_propagate_bit_identical(rng):
+    """The fused Pallas propagation pass must be BIT-IDENTICAL to the XLA
+    scan path (same one-hot lookup, clamps, and masks), f32 and bf16
+    volumes, across the full multi-iteration pipeline."""
+    from ocean_perception_tpu.stereo import PatchMatchParams, patchmatch_disparity
+
+    H, W = 96, 160
+    canvas = rng.random((H, W + 32)).astype(np.float32)
+    l = jnp.asarray(canvas[:, 16 : 16 + W])
+    r = jnp.asarray(canvas[:, 12 : 12 + W])
+    for extra in (
+        dict(subpixel=False),
+        dict(subpixel=True, volume_bf16=True, right_wta=True),
+    ):
+        base = dict(max_disp=32, chunks=4, iters=2, **extra)
+        a = np.asarray(patchmatch_disparity(l, r, PatchMatchParams(**base)).left_raw)
+        b = np.asarray(
+            patchmatch_disparity(
+                l, r, PatchMatchParams(use_pallas_propagate=True, **base)
+            ).left_raw
+        )
+        np.testing.assert_array_equal(a, b)
+        assert (a > 0).mean() > 0.3

@@ -103,3 +103,9 @@ def test_vio_over_udp_two_processes():
     finally:
         proc.kill()
         proc.wait()
+        # Leaving the rx thread running under later tests' big XLA compiles
+        # adds noise/memory pressure to the rest of the suite.
+        try:
+            bus.close()
+        except Exception:
+            pass

@@ -27,9 +27,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(123)
+@pytest.fixture()
+def rng(request):
+    """Per-test deterministic generator, seeded from the test id.
+
+    A session-scoped shared generator made every test's data depend on how
+    many draws EARLIER tests consumed — adding a test anywhere reshuffled
+    the data of every test after it (observed: a borderline odometry case
+    appearing only in full-suite runs). Order-independent by construction."""
+    import zlib
+
+    seed = zlib.adler32(request.node.nodeid.encode()) & 0xFFFFFFFF
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture(scope="module", autouse=True)

@@ -208,6 +208,12 @@ def main(argv=None) -> int:
     ap.add_argument("--config", default=None, help="node YAML (StateEstimatorNode.yaml)")
     ap.add_argument("--shared", default=None, help="shared rig YAML (config/shared/*.yaml)")
     ap.add_argument("--port", type=int, default=None, help="UDP multicast port")
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="checkpoint .npz path: resumed from at startup if it exists, "
+             "written on every smoother update (mid-mission restart support; "
+             "the reference has no checkpointing — SURVEY §5.4)",
+    )
     ap.add_argument("--fx", type=float, default=336.0)
     ap.add_argument("--baseline", type=float, default=0.2)
     ap.add_argument("--width", type=int, default=672)
@@ -221,6 +227,18 @@ def main(argv=None) -> int:
         cam = PinholeCamera.create(args.fx, args.fx, args.width / 2, args.height / 2, args.height, args.width)
         rig = StereoCamera.create(cam, cam, args.baseline)
         node = StateEstimatorNode(bus, rig)
+    if args.checkpoint:
+        import os
+
+        from ...vio.checkpoint import load_estimator, save_estimator
+
+        if os.path.isfile(args.checkpoint):
+            load_estimator(node.est, args.checkpoint)
+            node._init.set()  # resumed state replaces the init-pose wait
+            print(f"resumed estimator from {args.checkpoint}")
+        node.est.smoother_callbacks.append(
+            lambda _result: save_estimator(node.est, args.checkpoint)
+        )
     print("state_estimator_node listening (waiting for vio/init_pose)...")
     try:
         threading.Event().wait()

@@ -44,3 +44,51 @@ def test_checkpoint_roundtrip(tmp_path):
         est2.receive_imu(ImuMeasurement(int(i * 1e7), np.zeros(3), -GRAVITY))
     fs = est2.filter_state()
     assert np.isfinite(fs.world_T_body).all()
+
+
+def test_node_resume_from_checkpoint(tmp_path):
+    """Node-level mid-mission restart: a fresh node restored from a
+    checkpoint continues filtering WITHOUT waiting for an init pose
+    (fabric/nodes/state_estimator_node.py --checkpoint)."""
+    import os
+
+    from ocean_perception_tpu.fabric.messages import ImuMessage, PoseStampedMessage
+    from ocean_perception_tpu.fabric.nodes.state_estimator_node import StateEstimatorNode
+    from ocean_perception_tpu.fabric.pubsub import InProcessBus
+    from ocean_perception_tpu.vio.checkpoint import load_estimator, save_estimator
+
+    node_yaml = os.path.join(
+        os.path.dirname(__file__), "..", "config", "nodes", "StateEstimatorNode.yaml"
+    )
+    shared_yaml = os.path.join(
+        os.path.dirname(__file__), "..", "config", "shared", "ZEDMini.yaml"
+    )
+    ckpt = str(tmp_path / "est.npz")
+
+    bus1 = InProcessBus()
+    node1 = StateEstimatorNode.from_config(bus1, node_yaml, shared_yaml)
+    bus1.publish(
+        "vio/init_pose", PoseStampedMessage(timestamp=0, pose=np.array([1.0, 0, 0, 0, 0, 0, 0]))
+    )
+    for k in range(5):
+        bus1.publish(
+            "sensors/imu",
+            ImuMessage(int((k + 1) * 1e7), np.zeros(3), np.array([0.0, -9.81, 0.0])),
+        )
+    save_estimator(node1.est, ckpt)
+
+    # Restart: new node, restore, skip the init wait, keep filtering.
+    bus2 = InProcessBus()
+    node2 = StateEstimatorNode.from_config(bus2, node_yaml, shared_yaml)
+    load_estimator(node2.est, ckpt)
+    node2._init.set()
+    poses = []
+    bus2.subscribe("vio/pose/filter", lambda _c, m: poses.append(m))
+    for k in range(5, 10):
+        bus2.publish(
+            "sensors/imu",
+            ImuMessage(int((k + 1) * 1e7), np.zeros(3), np.array([0.0, -9.81, 0.0])),
+        )
+    assert node2.est.ekf_state is not None
+    assert node2.est._ekf_time == int(1e8)
+    assert len(poses) >= 1

@@ -278,6 +278,11 @@ def test_sliding_matches_batch_solve():
     win = make_window(cfg_s, N_IMU)
     n_kp = 0
     last = None
+    solve_s = jax.jit(
+        lambda w, pm, slot: solve_window(
+            w, pm, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), cfg_s, slot
+        )
+    )  # one compile for all 17 incremental solves (same static shapes)
     for k in range(n_total):
         if n_kp >= W:
             cov = last.cov_slot1 if last is not None else jnp.eye(15) * 1e-2
@@ -306,10 +311,7 @@ def test_sliding_matches_batch_solve():
         n_kp += 1
         if n_kp >= 2:
             pims = preintegrate_window(win)
-            win, last = solve_window(
-                win, pims, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), cfg_s,
-                jnp.asarray(n_kp - 1, jnp.int32),
-            )
+            win, last = solve_s(win, pims, jnp.asarray(n_kp - 1, jnp.int32))
 
     assert last is not None
     # Final keypose agrees with the all-keypose batch solution AND the truth.
@@ -331,6 +333,12 @@ def test_imu_factor_nees_consistency():
 
     cfg = SmootherConfig(window=6, iterations=8)
     calib = ImuCalibration()
+    solve_j = jax.jit(
+        lambda w, pm: solve_window(
+            w, pm, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), cfg,
+            jnp.asarray(5, jnp.int32),
+        )
+    )  # one compile for all 10 seeds
     nees_vals = []
     for seed in range(10):
         rng = np.random.default_rng(100 + seed)
@@ -351,10 +359,7 @@ def test_imu_factor_nees_consistency():
             imu_samples=jnp.asarray(samples), prior_sqrt_info=jnp.eye(15) * 1e4
         )
         pims = preintegrate_window(win, calib)
-        _, res = solve_window(
-            win, pims, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), cfg,
-            jnp.asarray(5, jnp.int32),
-        )
+        _, res = solve_j(win, pims)
         Rt, pt, vt = states[5]
         e_th = np.asarray(so3_log(jnp.asarray(Rt.T) @ res.R))
         e = np.concatenate([e_th, np.asarray(res.p) - pt, np.asarray(res.v) - vt])

@@ -12,6 +12,7 @@ from .sharded_pipeline import (  # noqa: F401
     create_fleet_frontend_state,
     multi_camera_frontend_step,
     multi_camera_step,
+    sharded_perception_step,
 )
 from .spatial import sharded_enhance, strip_sharding  # noqa: F401
 from .stereo_sharded import sharded_patchmatch  # noqa: F401

@@ -123,3 +123,77 @@ def multi_camera_step(
         return out, FleetStats(mean_depth, valid_fraction, global_mean)
 
     return step(batch_left, batch_right)
+
+
+def sharded_perception_step(
+    left_rgb: jnp.ndarray,
+    right_rgb: jnp.ndarray,
+    rig: StereoCamera,
+    config: PerceptionConfig,
+    mesh: Mesh,
+    axis: str = "strip",
+):
+    """ONE frame's FULL perception (gray → pyramid → PatchMatch → depth →
+    enhancement) solved cooperatively by every device on the mesh: image
+    rows shard over `axis`. The latency-axis complement of the camera-
+    parallel path — N chips cut single-frame latency instead of adding
+    throughput.
+
+    The dense stereo core runs under shard_map with explicit ppermute halo
+    exchanges (parallel/stereo_sharded.py); everything around it is jit with
+    sharding constraints, so XLA inserts the conv halos and turns the
+    enhancement fits' global reductions into ICI collectives automatically.
+
+    Requires engine='patchmatch' and internal heights divisible by the mesh
+    axis size. Semantics: the stereo core equals the single-device engine
+    with ``chunks_y = n_devices`` (each device is one y-strip).
+    """
+    from ..imaging.enhance import enhance_underwater
+    from ..ops.image import pyr_down, resize, to_grayscale
+    from ..stereo.patchmatch import PatchMatchParams
+    from .stereo_sharded import sharded_patchmatch
+
+    if config.engine != "patchmatch":
+        raise ValueError("sharded_perception_step supports the patchmatch engine")
+    n = mesh.shape[axis]
+    H, W = int(left_rgb.shape[0]), int(left_rgb.shape[1])
+    scale = config.internal_scale
+    if (H // max(scale, 1)) % n != 0:
+        raise ValueError(f"internal height {H // max(scale, 1)} must divide over {n} devices")
+
+    d_small = config.max_disp // scale if scale > 1 else config.max_disp
+    pm = PatchMatchParams(
+        max_disp=d_small, chunks=16, right_wta=True, volume_bf16=True, scan_unroll=0
+    )
+    rows = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def run(l, r):
+        l = jax.lax.with_sharding_constraint(jnp.asarray(l, jnp.float32), rows)
+        r = jax.lax.with_sharding_constraint(jnp.asarray(r, jnp.float32), rows)
+        gray_l = to_grayscale(l)
+        gray_r = to_grayscale(r)
+        for _ in range(max(0, scale // 2)):
+            gray_l = pyr_down(gray_l)
+            gray_r = pyr_down(gray_r)
+        gray_l = jax.lax.with_sharding_constraint(gray_l, rows)
+        gray_r = jax.lax.with_sharding_constraint(gray_r, rows)
+
+        res = sharded_patchmatch(gray_l, gray_r, mesh, pm, axis=axis)
+        disp = res.left
+        if scale > 1:
+            disp = resize(disp, (H, W), method="nearest") * float(scale)
+        disp = jax.lax.with_sharding_constraint(disp, rows)
+
+        depth = rig.disp_to_depth(disp)
+        depth = jnp.where(jnp.isfinite(depth) & (depth <= config.max_depth), depth, 0.0)
+
+        if config.run_enhance:
+            enhanced, _ = enhance_underwater(l, depth, config.enhance)
+        else:
+            enhanced = l
+        from ..models.perception import PerceptionOutput
+
+        return PerceptionOutput(disparity=disp, depth=depth, enhanced_left=enhanced)
+
+    return run(left_rgb, right_rgb)

@@ -327,13 +327,23 @@ class StateEstimator:
         items = [m for m in self.imu_manager.pop_until(t1) if m.timestamp > t0]
         if not items:
             return None
-        rows = np.zeros((len(items), 7))
+        # Boundary-dt padding (imu_manager.cpp:57-135): the preintegration
+        # interval must span exactly [t0, t1] — the first row's dt covers the
+        # gap from the keypose to the first sample, and a final padding row
+        # (re-using the last measurement) covers last-sample -> t1.
+        pad_ns = t1 - items[-1].timestamp
+        n = len(items) + (1 if pad_ns > 0 else 0)
+        rows = np.zeros((n, 7))
         t_prev = t0
         for i, m in enumerate(items):
             rows[i, 0] = (m.timestamp - t_prev) * 1e-9
             rows[i, 1:4] = m.angular_velocity
             rows[i, 4:7] = m.linear_acceleration
             t_prev = m.timestamp
+        if pad_ns > 0:
+            rows[-1, 0] = pad_ns * 1e-9
+            rows[-1, 1:4] = items[-1].angular_velocity
+            rows[-1, 4:7] = items[-1].linear_acceleration
         return rows
 
     def _gather_depth(self, t: int) -> Optional[float]:

@@ -216,3 +216,44 @@ def test_multi_camera_full_frontend_sharded(mesh):
     np.testing.assert_allclose(
         np.asarray(out.mesher.pixels[0]), np.asarray(o0.mesher.pixels), atol=1e-3
     )
+
+
+@pytest.mark.slow
+def test_sharded_perception_step_single_frame(mesh):
+    """ONE frame's whole perception pipeline cooperatively over 8 devices
+    (rows strip-sharded): equals the single-device pipeline with
+    chunks_y = n_devices away from the global border rows."""
+    from ocean_perception_tpu.parallel import sharded_perception_step
+    from ocean_perception_tpu.stereo.patchmatch import PatchMatchParams, patchmatch_disparity
+    from ocean_perception_tpu.ops.image import to_grayscale
+    from ocean_perception_tpu.imaging.enhance import enhance_underwater
+    from jax.sharding import Mesh
+
+    n = 8
+    strip_mesh = Mesh(np.array(jax.devices()[:n]), ("strip",))
+    H, W = 192, 96  # 24 rows/strip >= the seed-dilation halo reach (19)
+    bl, br = _inputs(1, H=H, W=W)
+    left, right = bl[0], br[0]
+    rig = _rig(H, W)
+    cfg = PerceptionConfig(engine="patchmatch", max_disp=16, internal_scale=1)
+
+    out = sharded_perception_step(left, right, rig, cfg, strip_mesh)
+    assert out.disparity.shape == (H, W)
+
+    # Single-device equivalent: same production params with chunks_y = n.
+    pm = PatchMatchParams(
+        max_disp=16, chunks=16, chunks_y=n, right_wta=True,
+        volume_bf16=True, scan_unroll=0,
+    )
+    gl, gr = to_grayscale(left), to_grayscale(right)
+    ref = patchmatch_disparity(gl, gr, pm)
+    d_ref = np.asarray(ref.left)
+    d_shard = np.asarray(out.disparity)
+    np.testing.assert_allclose(d_shard[1:-1], d_ref[1:-1], atol=1e-5)
+
+    depth_ref = np.asarray(rig.disp_to_depth(jnp.asarray(d_ref)))
+    depth_ref = np.where(np.isfinite(depth_ref) & (depth_ref <= cfg.max_depth), depth_ref, 0.0)
+    enh_ref, _ = enhance_underwater(left, jnp.asarray(depth_ref))
+    np.testing.assert_allclose(
+        np.asarray(out.enhanced_left)[1:-1], np.asarray(enh_ref)[1:-1], atol=5e-2
+    )

@@ -48,6 +48,30 @@ def create_fleet_frontend_state(n_cams: int, mesher_params=None, image_shape=Non
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _frontend_step_fn(config: PerceptionConfig, mesher_params, mesh: Mesh, axis: str):
+    """Cached jitted closure: a fresh closure per call would RETRACE every
+    frame in streaming use (config/params/mesh are hashable statics; the rig
+    pytree is a runtime argument)."""
+    from ..models.perception import full_frontend_step
+
+    cam_shard = NamedSharding(mesh, P(axis))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(None, cam_shard, cam_shard, cam_shard, cam_shard, cam_shard),
+        out_shardings=cam_shard,
+    )
+    def step(rig, states, gs, pg, bl, br):
+        return jax.vmap(
+            lambda s, g, p, l, r: full_frontend_step(
+                s, g, p, l, r, rig, config, mesher_params
+            )
+        )(states, gs, pg, bl, br)
+
+    return step
+
+
 def multi_camera_frontend_step(
     tracker_states,            # pytree with leading (N,) camera axis
     graphs,                    # pytree with leading (N,) camera axis
@@ -69,24 +93,8 @@ def multi_camera_frontend_step(
     sharded on the camera axis. Thread tracker_states/graphs/prev_grays
     between frames exactly like the single-camera full_frontend_step.
     """
-    from ..models.perception import full_frontend_step
-
-    cam_shard = NamedSharding(mesh, P(axis))
-
-    @functools.partial(
-        jax.jit,
-        in_shardings=(cam_shard, cam_shard, cam_shard, cam_shard, cam_shard),
-        out_shardings=cam_shard,
-        static_argnums=(),
-    )
-    def step(states, gs, pg, bl, br):
-        return jax.vmap(
-            lambda s, g, p, l, r: full_frontend_step(
-                s, g, p, l, r, rig, config, mesher_params
-            )
-        )(states, gs, pg, bl, br)
-
-    return step(tracker_states, graphs, prev_grays, batch_left, batch_right)
+    step = _frontend_step_fn(config, mesher_params, mesh, axis)
+    return step(rig, tracker_states, graphs, prev_grays, batch_left, batch_right)
 
 
 def multi_camera_step(
@@ -102,18 +110,24 @@ def multi_camera_step(
     Outputs keep the camera axis sharded; only FleetStats.global_mean_depth
     crosses devices (one all-reduce over ICI).
     """
+    step = _multi_camera_step_fn(config, mesh, axis)
+    return step(rig, batch_left, batch_right)
+
+
+@functools.lru_cache(maxsize=32)
+def _multi_camera_step_fn(config: PerceptionConfig, mesh: Mesh, axis: str):
     cam_shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
     @functools.partial(
         jax.jit,
-        in_shardings=(cam_shard, cam_shard),
+        in_shardings=(None, cam_shard, cam_shard),
         out_shardings=(
             PerceptionOutput(cam_shard, cam_shard, cam_shard),
             FleetStats(cam_shard, cam_shard, repl),
         ),
     )
-    def step(bl, br):
+    def step(rig, bl, br):
         out = jax.vmap(lambda l, r: _per_camera(l, r, rig, config))(bl, br)
         valid = out.depth > 0
         denom = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1)
@@ -122,7 +136,7 @@ def multi_camera_step(
         global_mean = jnp.mean(mean_depth)
         return out, FleetStats(mean_depth, valid_fraction, global_mean)
 
-    return step(batch_left, batch_right)
+    return step
 
 
 def sharded_perception_step(
@@ -148,19 +162,27 @@ def sharded_perception_step(
     axis size. Semantics: the stereo core equals the single-device engine
     with ``chunks_y = n_devices`` (each device is one y-strip).
     """
-    from ..imaging.enhance import enhance_underwater
-    from ..ops.image import pyr_down, resize, to_grayscale
-    from ..stereo.patchmatch import PatchMatchParams
-    from .stereo_sharded import sharded_patchmatch
-
     if config.engine != "patchmatch":
         raise ValueError("sharded_perception_step supports the patchmatch engine")
     n = mesh.shape[axis]
-    H, W = int(left_rgb.shape[0]), int(left_rgb.shape[1])
+    H = int(left_rgb.shape[0])
     scale = config.internal_scale
     if (H // max(scale, 1)) % n != 0:
         raise ValueError(f"internal height {H // max(scale, 1)} must divide over {n} devices")
 
+    run = _sharded_perception_fn(config, mesh, axis)
+    return run(rig, left_rgb, right_rgb)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_perception_fn(config: PerceptionConfig, mesh: Mesh, axis: str):
+    from ..imaging.enhance import enhance_underwater
+    from ..models.perception import PerceptionOutput
+    from ..ops.image import pyr_down, resize, to_grayscale
+    from ..stereo.patchmatch import PatchMatchParams
+    from .stereo_sharded import sharded_patchmatch
+
+    scale = config.internal_scale
     d_small = config.max_disp // scale if scale > 1 else config.max_disp
     pm = PatchMatchParams(
         max_disp=d_small, chunks=16, right_wta=True, volume_bf16=True, scan_unroll=0
@@ -168,7 +190,8 @@ def sharded_perception_step(
     rows = NamedSharding(mesh, P(axis))
 
     @jax.jit
-    def run(l, r):
+    def run(rig, l, r):
+        H, W = l.shape[0], l.shape[1]
         l = jax.lax.with_sharding_constraint(jnp.asarray(l, jnp.float32), rows)
         r = jax.lax.with_sharding_constraint(jnp.asarray(r, jnp.float32), rows)
         gray_l = to_grayscale(l)
@@ -192,8 +215,6 @@ def sharded_perception_step(
             enhanced, _ = enhance_underwater(l, depth, config.enhance)
         else:
             enhanced = l
-        from ..models.perception import PerceptionOutput
-
         return PerceptionOutput(disparity=disp, depth=depth, enhanced_left=enhanced)
 
-    return run(left_rgb, right_rgb)
+    return run

@@ -27,6 +27,20 @@ def strip_sharding(mesh: Mesh, axis: str = "strip", batch_axis: str | None = Non
     return NamedSharding(mesh, P(batch_axis, axis))
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_enhance_fn(mesh: Mesh, params: EnhanceParams, axis: str):
+    """Cached jitted closure (a fresh closure per call would retrace)."""
+    img_s = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def run(img, rng):
+        img = jax.lax.with_sharding_constraint(img, img_s)
+        rng = jax.lax.with_sharding_constraint(rng, img_s)
+        return enhance_underwater(img, rng, params)
+
+    return run
+
+
 def sharded_enhance(
     image: jnp.ndarray,
     range_img: jnp.ndarray,
@@ -36,12 +50,4 @@ def sharded_enhance(
 ):
     """Enhancement with rows sharded over `axis`; semantics identical to the
     unsharded call (reductions become psums)."""
-    img_s = NamedSharding(mesh, P(axis))
-
-    @functools.partial(jax.jit, out_shardings=None)
-    def run(img, rng):
-        img = jax.lax.with_sharding_constraint(img, img_s)
-        rng = jax.lax.with_sharding_constraint(rng, img_s)
-        return enhance_underwater(img, rng, params)
-
-    return run(image, range_img)
+    return _sharded_enhance_fn(mesh, params, axis)(image, range_img)

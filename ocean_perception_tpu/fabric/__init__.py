@@ -27,4 +27,5 @@ from .messages import (  # noqa: F401
     decode_message,
 )
 from .pubsub import PubSub, InProcessBus, UdpMulticastBus  # noqa: F401
+from .native_bus import NativeUdpBus  # noqa: F401
 from .shm_ring import ShmRingWriter, ShmRingReader, native_available  # noqa: F401

@@ -1,0 +1,198 @@
+// Native UDP-multicast transport for the fabric bus.
+//
+// TPU-native equivalent of the reference's LCM core (lcm_util; LCM itself is
+// a C library doing exactly this: UDP multicast + fragmentation). The wire
+// format is BYTE-COMPATIBLE with ocean_perception_tpu.fabric.pubsub
+// UdpMulticastBus so native and Python peers interoperate on one bus:
+//
+//   unfragmented: [u16le 0][u16le ch_len][channel][payload]
+//   fragment:     [u16le 0xF4A6][u32le seq][u16le idx][u16le total][chunk]
+//     where the chunks concatenate to [u16le ch_len][channel][payload]
+//     and every chunk is <= 60000 bytes.
+//
+// API is poll-based (ctypes-friendly): the Python wrapper runs the receive
+// loop thread and dispatches callbacks; reassembly happens here.
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <vector>
+
+namespace {
+
+constexpr uint16_t kFragMagic = 0xF4A6;
+constexpr size_t kMaxDgram = 60000;
+constexpr size_t kMaxPacket = 65535;
+
+struct Fragments {
+  std::vector<std::vector<uint8_t>> chunks;
+  uint16_t received = 0;
+  uint16_t total = 0;
+};
+
+struct Bus {
+  int tx = -1;
+  int rx = -1;
+  sockaddr_in dest{};
+  uint32_t seq = 0;
+  std::map<uint32_t, Fragments> frags;
+  std::vector<uint8_t> pkt = std::vector<uint8_t>(kMaxPacket);
+};
+
+// Assembled [ch_len][channel][payload] -> split out channel + payload.
+int64_t deliver(const uint8_t* data, size_t n, uint8_t* out, uint32_t cap,
+                char* out_channel, uint32_t ch_cap) {
+  if (n < 2) return -1;
+  uint16_t ch_len;
+  std::memcpy(&ch_len, data, 2);
+  if (n < 2u + ch_len) return -1;
+  if (ch_len + 1u > ch_cap) return -1;
+  std::memcpy(out_channel, data + 2, ch_len);
+  out_channel[ch_len] = '\0';
+  size_t payload = n - 2 - ch_len;
+  if (payload > cap) return -2;
+  std::memcpy(out, data + 2 + ch_len, payload);
+  return static_cast<int64_t>(payload);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* udp_bus_create(const char* group, uint16_t port, int ttl) {
+  Bus* b = new Bus();
+  b->tx = ::socket(AF_INET, SOCK_DGRAM, 0);
+  b->rx = ::socket(AF_INET, SOCK_DGRAM, 0);
+  if (b->tx < 0 || b->rx < 0) {
+    delete b;
+    return nullptr;
+  }
+  ::setsockopt(b->tx, IPPROTO_IP, IP_MULTICAST_TTL, &ttl, sizeof(ttl));
+  int loop = 1;
+  ::setsockopt(b->tx, IPPROTO_IP, IP_MULTICAST_LOOP, &loop, sizeof(loop));
+
+  int reuse = 1;
+  ::setsockopt(b->rx, SOL_SOCKET, SO_REUSEADDR, &reuse, sizeof(reuse));
+  int rcvbuf = 8 << 20;  // fragment bursts (images) overflow the default
+  ::setsockopt(b->rx, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  addr.sin_port = htons(port);
+  if (::bind(b->rx, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
+    ::close(b->tx);
+    ::close(b->rx);
+    delete b;
+    return nullptr;
+  }
+  ip_mreq mreq{};
+  mreq.imr_multiaddr.s_addr = ::inet_addr(group);
+  mreq.imr_interface.s_addr = htonl(INADDR_ANY);
+  ::setsockopt(b->rx, IPPROTO_IP, IP_ADD_MEMBERSHIP, &mreq, sizeof(mreq));
+
+  b->dest.sin_family = AF_INET;
+  b->dest.sin_addr.s_addr = ::inet_addr(group);
+  b->dest.sin_port = htons(port);
+  return b;
+}
+
+void udp_bus_close(void* handle) {
+  Bus* b = static_cast<Bus*>(handle);
+  if (!b) return;
+  ::close(b->tx);
+  ::close(b->rx);
+  delete b;
+}
+
+// Publish one message; fragments transparently. Returns 0 ok, -1 error.
+int udp_bus_send(void* handle, const char* channel, const uint8_t* payload,
+                 uint32_t n) {
+  Bus* b = static_cast<Bus*>(handle);
+  if (!b) return -1;
+  const uint16_t ch_len = static_cast<uint16_t>(std::strlen(channel));
+  std::vector<uint8_t> data(2 + ch_len + n);
+  std::memcpy(data.data(), &ch_len, 2);
+  std::memcpy(data.data() + 2, channel, ch_len);
+  std::memcpy(data.data() + 2 + ch_len, payload, n);
+
+  if (data.size() <= kMaxDgram) {
+    std::vector<uint8_t> pkt(2 + data.size());
+    pkt[0] = pkt[1] = 0;
+    std::memcpy(pkt.data() + 2, data.data(), data.size());
+    ssize_t s = ::sendto(b->tx, pkt.data(), pkt.size(), 0,
+                         reinterpret_cast<sockaddr*>(&b->dest), sizeof(b->dest));
+    return s == static_cast<ssize_t>(pkt.size()) ? 0 : -1;
+  }
+  b->seq++;
+  const size_t n_frags = (data.size() + kMaxDgram - 1) / kMaxDgram;
+  for (size_t i = 0; i < n_frags; ++i) {
+    const size_t off = i * kMaxDgram;
+    const size_t len = std::min(kMaxDgram, data.size() - off);
+    std::vector<uint8_t> pkt(10 + len);
+    std::memcpy(pkt.data(), &kFragMagic, 2);
+    std::memcpy(pkt.data() + 2, &b->seq, 4);
+    const uint16_t idx = static_cast<uint16_t>(i);
+    const uint16_t total = static_cast<uint16_t>(n_frags);
+    std::memcpy(pkt.data() + 6, &idx, 2);
+    std::memcpy(pkt.data() + 8, &total, 2);
+    std::memcpy(pkt.data() + 10, data.data() + off, len);
+    ssize_t s = ::sendto(b->tx, pkt.data(), pkt.size(), 0,
+                         reinterpret_cast<sockaddr*>(&b->dest), sizeof(b->dest));
+    if (s != static_cast<ssize_t>(pkt.size())) return -1;
+  }
+  return 0;
+}
+
+// Receive the next fully-assembled message (handles reassembly internally).
+// Returns payload bytes (>= 0), 0-with-empty-channel on timeout, -1 on
+// error, -2 if `out` is too small.
+int64_t udp_bus_poll(void* handle, uint8_t* out, uint32_t cap,
+                     char* out_channel, uint32_t ch_cap, int timeout_ms) {
+  Bus* b = static_cast<Bus*>(handle);
+  if (!b) return -1;
+  out_channel[0] = '\0';
+
+  for (;;) {
+    pollfd pfd{b->rx, POLLIN, 0};
+    int pr = ::poll(&pfd, 1, timeout_ms);
+    if (pr == 0) return 0;    // timeout
+    if (pr < 0) return -1;
+    ssize_t n = ::recv(b->rx, b->pkt.data(), b->pkt.size(), 0);
+    if (n < 2) continue;
+    uint16_t tag;
+    std::memcpy(&tag, b->pkt.data(), 2);
+    if (tag == 0) {
+      return deliver(b->pkt.data() + 2, static_cast<size_t>(n) - 2, out, cap,
+                     out_channel, ch_cap);
+    }
+    if (tag != kFragMagic || n < 10) continue;
+    uint32_t seq;
+    uint16_t idx, total;
+    std::memcpy(&seq, b->pkt.data() + 2, 4);
+    std::memcpy(&idx, b->pkt.data() + 6, 2);
+    std::memcpy(&total, b->pkt.data() + 8, 2);
+    Fragments& f = b->frags[seq];
+    if (f.total == 0) {
+      f.total = total;
+      f.chunks.resize(total);
+    }
+    if (idx >= f.total || !f.chunks[idx].empty()) continue;
+    f.chunks[idx].assign(b->pkt.data() + 10, b->pkt.data() + n);
+    if (++f.received == f.total) {
+      std::vector<uint8_t> data;
+      for (auto& c : f.chunks) data.insert(data.end(), c.begin(), c.end());
+      b->frags.erase(seq);
+      if (b->frags.size() > 64) b->frags.clear();  // drop stale partials
+      return deliver(data.data(), data.size(), out, cap, out_channel, ch_cap);
+    }
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,120 @@
+"""Native UDP-multicast bus: the C++ transport behind the PubSub interface.
+
+The reference's fabric is LCM — a C library doing UDP multicast with
+fragmentation (SURVEY §5.8). `fabric/native/udp_bus.cpp` is this framework's
+native equivalent; the wire format is byte-compatible with the pure-Python
+`UdpMulticastBus`, so native and Python peers interoperate on the same bus
+(locked by tests/test_datasets_fabric.py interop tests). Reassembly and the
+socket hot path live in C++; this wrapper only runs the receive thread and
+dispatches decoded messages to subscribers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional
+
+from .messages import decode_message, encode_message
+from .pubsub import DEFAULT_GROUP, DEFAULT_PORT, PubSub
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libocean_fabric.so")
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_native():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        try:
+            # make is dependency-checked: a fresh checkout builds, an
+            # up-to-date lib is a no-op, a stale lib (new sources) rebuilds.
+            subprocess.run(["make", "-s", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.udp_bus_create.restype = ctypes.c_void_p
+        lib.udp_bus_create.argtypes = [ctypes.c_char_p, ctypes.c_uint16, ctypes.c_int]
+        lib.udp_bus_close.argtypes = [ctypes.c_void_p]
+        lib.udp_bus_send.restype = ctypes.c_int
+        lib.udp_bus_send.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32,
+        ]
+        lib.udp_bus_poll.restype = ctypes.c_int64
+        lib.udp_bus_poll.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+class NativeUdpBus(PubSub):
+    """PubSub over the C++ transport. Drop-in for UdpMulticastBus."""
+
+    def __init__(self, group: str = DEFAULT_GROUP, port: int = DEFAULT_PORT, ttl: int = 0):
+        lib = _load_native()
+        if lib is None:
+            raise RuntimeError("native fabric library unavailable (g++/make missing?)")
+        self._lib = lib
+        self._h = lib.udp_bus_create(group.encode(), port, ttl)
+        if not self._h:
+            raise OSError(f"udp_bus_create failed for {group}:{port}")
+        self._subs: Dict[str, List[Callable]] = defaultdict(list)
+        self._buf = ctypes.create_string_buffer(32 << 20)
+        self._ch = ctypes.create_string_buffer(512)
+        self._running = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._send_lock = threading.Lock()
+
+    def publish(self, channel: str, message) -> None:
+        payload = encode_message(message)
+        with self._send_lock:
+            rc = self._lib.udp_bus_send(self._h, channel.encode(), payload, len(payload))
+        if rc != 0:
+            raise OSError(f"udp_bus_send failed on {channel}")
+
+    def subscribe(self, channel: str, callback: Callable) -> None:
+        self._subs[channel].append(callback)
+        if self._thread is None:
+            self._running.set()
+            self._thread = threading.Thread(target=self._rx_loop, daemon=True)
+            self._thread.start()
+
+    def _rx_loop(self) -> None:
+        while self._running.is_set():
+            n = self._lib.udp_bus_poll(
+                self._h, self._buf, len(self._buf), self._ch, len(self._ch), 200
+            )
+            if n <= 0:
+                continue  # timeout or non-fatal error
+            channel = self._ch.value.decode()
+            cbs = self._subs.get(channel)
+            if not cbs:
+                continue
+            msg = decode_message(self._buf.raw[:n])
+            for cb in cbs:
+                cb(channel, msg)
+
+    def close(self) -> None:
+        self._running.clear()
+        if self._thread is not None:
+            self._thread.join(timeout=1)
+            self._thread = None
+        if self._h:
+            self._lib.udp_bus_close(self._h)
+            self._h = None

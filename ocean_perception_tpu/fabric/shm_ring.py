@@ -31,12 +31,14 @@ def _load_native():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-s", "-C", _NATIVE_DIR], check=True, capture_output=True
-                )
-            except Exception:
+        try:
+            # Dependency-checked: no-op when up to date, rebuilds stale libs
+            # (e.g. after new native sources were added to the Makefile).
+            subprocess.run(
+                ["make", "-s", "-C", _NATIVE_DIR], check=True, capture_output=True
+            )
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

@@ -236,3 +236,50 @@ def test_shm_ring(tmp_path):
     assert r.read(seqs[0]) is None
     w.close()
     r.close()
+
+
+def test_native_udp_bus_interop(rng):
+    """The C++ transport (fabric/native/udp_bus.cpp) is byte-compatible with
+    the Python UdpMulticastBus: native->python and python->native round
+    trips, including a fragmented (image-sized) payload."""
+    from ocean_perception_tpu.fabric.messages import ImageMessage, ImuMessage
+    from ocean_perception_tpu.fabric.native_bus import NativeUdpBus, native_available
+    from ocean_perception_tpu.fabric.pubsub import UdpMulticastBus
+
+    if not native_available():
+        pytest.skip("native fabric library unavailable")
+    port = 7913
+    native = NativeUdpBus(port=port)
+    py = UdpMulticastBus(port=port)
+    try:
+        got_py, got_native = [], []
+        py.subscribe("chan/a", lambda _c, m: got_py.append(m))
+        native.subscribe("chan/b", lambda _c, m: got_native.append(m))
+        time.sleep(0.3)  # both rx threads up
+
+        # native -> python (small message)
+        native.publish("chan/a", ImuMessage(7, np.zeros(3), np.array([1.0, 2.0, 3.0])))
+        # python -> native (fragmented: 160x200 f32 image = ~128 KB > 60 KB)
+        img = rng.random((160, 200)).astype(np.float32)
+        py.publish("chan/b", ImageMessage.from_array(5, img))
+
+        deadline = time.time() + 5
+        while time.time() < deadline and not (got_py and got_native):
+            time.sleep(0.05)
+        assert got_py, "python peer never received the native message"
+        assert got_native, "native peer never received the fragmented message"
+        np.testing.assert_allclose(got_py[0].linear_acceleration, [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(got_native[0].to_array(), img)
+
+        # native -> native fragmented round trip
+        got2 = []
+        native.subscribe("chan/c", lambda _c, m: got2.append(m))
+        time.sleep(0.1)
+        native.publish("chan/c", ImageMessage.from_array(9, img))
+        deadline = time.time() + 5
+        while time.time() < deadline and not got2:
+            time.sleep(0.05)
+        assert got2 and np.allclose(got2[0].to_array(), img)
+    finally:
+        native.close()
+        py.close()

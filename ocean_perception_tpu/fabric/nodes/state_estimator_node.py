@@ -209,6 +209,10 @@ def main(argv=None) -> int:
     ap.add_argument("--shared", default=None, help="shared rig YAML (config/shared/*.yaml)")
     ap.add_argument("--port", type=int, default=None, help="UDP multicast port")
     ap.add_argument(
+        "--native-bus", action="store_true",
+        help="use the C++ UDP transport (fabric/native/udp_bus.cpp)",
+    )
+    ap.add_argument(
         "--checkpoint", default=None,
         help="checkpoint .npz path: resumed from at startup if it exists, "
              "written on every smoother update (mid-mission restart support; "
@@ -220,7 +224,10 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=376)
     args = ap.parse_args(argv)
 
-    bus = UdpMulticastBus(port=args.port) if args.port else UdpMulticastBus()
+    bus_cls = UdpMulticastBus
+    if args.native_bus:
+        from ..native_bus import NativeUdpBus as bus_cls
+    bus = bus_cls(port=args.port) if args.port else bus_cls()
     if args.config and args.shared:
         node = StateEstimatorNode.from_config(bus, args.config, args.shared)
     else:

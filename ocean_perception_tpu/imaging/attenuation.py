@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.lm import LMConfig, lm_solve
@@ -135,6 +136,28 @@ def estimate_beta(
         error_fn=error_fn,
     )
     return BetaFit(result.x, result.error)
+
+
+def estimate_beta_multi_start(
+    range_img: jnp.ndarray,
+    illuminant: jnp.ndarray,
+    guesses: jnp.ndarray,   # (G, 12) initial guesses
+    num_px: int = 256,
+    iters: int = 20,
+) -> BetaFit:
+    """Run the LM fit from several initial guesses and keep the best.
+
+    The 2-exponential model's convergence depends strongly on the per-site
+    initial guess (attenuation.hpp:12-29: BetaInitialGuess1 for D1-D3,
+    BetaInitialGuess2 for D5 — the reference requires choosing manually).
+    The fit is a tiny 12-parameter problem, so running every guess vmapped
+    and keeping the lowest-error result costs almost nothing and removes
+    the manual site selection."""
+    fits = jax.vmap(
+        lambda g: estimate_beta(range_img, illuminant, num_px=num_px, iters=iters, X0=g)
+    )(jnp.asarray(guesses, jnp.float32))
+    best = jnp.argmin(fits.error)
+    return BetaFit(fits.X[best], fits.error[best])
 
 
 def correct_attenuation(

@@ -80,9 +80,22 @@ def enhance_underwater(
         D, range_img, radius, params.guided_eps, params.guided_subsample
     )
 
-    beta_fit = estimate_beta(
-        range_img, il, num_px=params.beta_num_px, iters=params.beta_opt_iters, X0=beta_D_guess
-    )
+    if beta_D_guess is None:
+        # No per-site guess given: multi-start from BOTH reference guesses
+        # (attenuation.hpp:12-29 — the reference requires picking manually
+        # per Sea-thru site; the vmapped 12-param fits cost almost nothing).
+        from .attenuation import estimate_beta_multi_start
+        from .formation import BETA_GUESS_1, BETA_GUESS_2
+
+        beta_fit = estimate_beta_multi_start(
+            range_img, il, jnp.stack([jnp.asarray(BETA_GUESS_1), jnp.asarray(BETA_GUESS_2)]),
+            num_px=params.beta_num_px, iters=params.beta_opt_iters,
+        )
+    else:
+        beta_fit = estimate_beta(
+            range_img, il, num_px=params.beta_num_px, iters=params.beta_opt_iters,
+            X0=beta_D_guess,
+        )
 
     out = correct_attenuation(D, range_img, beta_fit.X)
 

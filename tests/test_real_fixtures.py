@@ -252,3 +252,21 @@ def test_enhance_seathru_d5_sequence():
         assert float(info.error_attenuation) < 50.0, name
         m = float(np.clip(o, 0, 1).mean())
         assert 0.2 < m < 0.9, (name, m)
+
+
+@requires_reference
+@pytest.mark.slow
+def test_enhance_multi_start_removes_site_selection():
+    """With NO beta guess, enhance multi-starts from both reference site
+    guesses and keeps the better fit — D5 converges (G1 alone stalls at
+    ~80 error) and D3 stays under the success threshold. Removes the
+    manual per-site guess the reference requires (attenuation.hpp:12-29)."""
+    from ocean_perception_tpu.imaging.enhance import enhance_underwater
+
+    rgb, z = _load_enhance_fixture("3374_bluegreen.png", "depth_3374.exr")
+    _, info_d5 = enhance_underwater(jnp.asarray(rgb), jnp.asarray(z))
+    assert float(info_d5.error_attenuation) < 5.0  # G2-quality, not G1's ~80
+
+    rgb, z = _load_enhance_fixture("4856_bluegreen.png", "depth_4856.exr")
+    _, info_d3 = enhance_underwater(jnp.asarray(rgb), jnp.asarray(z))
+    assert bool(info_d3.success_attenuation)

@@ -129,6 +129,7 @@ class StateEstimator:
             smoother_cfg = smoother_cfg.replace(
                 cam_fx=float(rig.left.fx), cam_fy=float(rig.left.fy),
                 cam_cx=float(rig.left.cx), cam_cy=float(rig.left.cy),
+                cam_baseline=float(rig.baseline),  # stereo disparity rows
             )
         self._smoother_cfg = smoother_cfg
         self.window = make_window(smoother_cfg, params.max_imu_per_keypose)

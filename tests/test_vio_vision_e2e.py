@@ -149,3 +149,68 @@ def test_vo_composes_across_skipped_keyframes():
     # the trajectory comes out ~half-length.
     assert abs(p[0] - total_true) / total_true < 0.3, (p[0], total_true)
     assert abs(p[1]) < 0.15 and abs(p[2]) < 0.15
+
+
+@pytest.mark.slow
+def test_vision_trajectory_with_landmark_factors():
+    """The estimator-level landmark path (host id->column assignment,
+    recycling, window writes, structureless stereo projection factors) driven
+    end to end: with max_landmarks > 0 the recovered trajectory must stay
+    accurate. Also locks the rig baseline reaching the smoother's disparity
+    rows (it was silently left at the 0.2 default)."""
+    rng = np.random.default_rng(4)
+    canvas = rng.random((H, W + 200)).astype(np.float32)
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 1.0) * 0.8 + 0.1
+
+    def render(i):
+        px_shift = i * 4
+        left = canvas[:, 40 + px_shift : 40 + px_shift + W]
+        right = canvas[:, 40 + px_shift + int(DISP) : 40 + px_shift + int(DISP) + W]
+        return left, right
+
+    dx_per_frame = 4 * DEPTH / FX
+
+    cam = PinholeCamera.create(FX, FX, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, BASELINE)
+    params = StateEstimatorParams(
+        n_gravity=np.array([0.0, 0.0, -9.81]),
+        frontend=FrontendParams(
+            tracker=StereoTrackerParams(
+                capacity=96,
+                detector=DetectorParams(max_features=96, min_distance=10, border=10),
+                lk=LKParams(max_level=2),
+                matcher=StripeMatcherParams(
+                    max_disp=32, templ_cols=15, templ_rows=11, max_matching_cost=0.3
+                ),
+                trigger_keyframe_k=2,
+            ),
+            odometry=OdometryParams(),
+            pixel_sigma=1.0,
+        ),
+        smoother=SmootherConfig(
+            window=8, iterations=5, max_landmarks=24, lmk_sigma_px=2.0
+        ),
+        min_sec_btw_keyposes=0.05,
+        max_sec_btw_keyposes=10.0,
+    )
+    est = StateEstimator(params, rig)
+    # The rig baseline must reach the smoother's stereo disparity rows.
+    assert est._smoother_cfg.cam_baseline == pytest.approx(BASELINE)
+    est.initialize(int(1e8), np.eye(4))
+
+    n_frames = 8
+    for i in range(n_frames):
+        t_ns = int((i + 1) * 1e8)
+        l, r = render(i)
+        est.receive_stereo(StereoImage(t_ns, 0, l, r))
+
+    # Landmarks actually attached: some window columns valid.
+    assert int(np.asarray(est.window.lmk_valid).sum()) > 10
+    assert len(est._lmk_columns) > 0
+
+    ss = est.smoother_state()
+    assert ss is not None
+    p = ss.world_T_body[:3, 3]
+    total_true = (n_frames - 1) * dx_per_frame
+    assert abs(p[0] - total_true) / total_true < 0.3, (p[0], total_true)
+    assert abs(p[1]) < 0.15 and abs(p[2]) < 0.15

@@ -35,8 +35,17 @@ class ObjectMesherNode:
         self.rig = rig
         self.input_height = mesher_input_height
         self.channel_output = channel_output
+        # Downscaled processing (object_mesher_lcm.cpp mesher_input_height
+        # path): the mesher's camera must be RESCALED to the processing
+        # resolution — pixels, disparities, AND the depth gates then stay
+        # mutually consistent (scaling only the disparity would backproject
+        # reduced-scale pixels through full-scale intrinsics).
         self._scale = 1.0
-        self.mesher = ObjectMesher(params or ObjectMesherParams(), rig)
+        mesher_rig = rig
+        if mesher_input_height is not None and int(rig.left.height) > mesher_input_height:
+            self._scale = mesher_input_height / float(rig.left.height)
+            mesher_rig = rig.rescale(self._scale)
+        self.mesher = ObjectMesher(params or ObjectMesherParams(), mesher_rig)
         self._shm_readers = {}
         bus.subscribe(channel_input, self._on_stereo)
         bus.subscribe(channel_input + "_shm_left", self._on_shm("left"))
@@ -45,17 +54,11 @@ class ObjectMesherNode:
 
     def _maybe_downscale(self, img: np.ndarray) -> np.ndarray:
         if self.input_height is None or img.shape[0] <= self.input_height:
-            self._scale = 1.0
             return img
         import cv2
 
-        self._scale = img.shape[0] / self.input_height
-        w = int(round(img.shape[1] / self._scale))
-        out = cv2.resize(img, (w, self.input_height))
-        # Disparities measured at the reduced scale must be re-scaled when
-        # back-projecting (object_mesher_lcm.cpp mesher_input_height path).
-        self.mesher.params.disparity_scale = self._scale
-        return out
+        w = int(round(img.shape[1] * self.input_height / img.shape[0]))
+        return cv2.resize(img, (w, self.input_height))
 
     def _process(self, timestamp: int, left: np.ndarray, right: np.ndarray) -> None:
         left = self._maybe_downscale(left)

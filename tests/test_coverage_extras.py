@@ -321,3 +321,71 @@ def test_sharded_enhance_matches_single_device(rng):
         float(info_s.error_backscatter), float(info_1.error_backscatter), atol=5e-3
     )
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_1), atol=0.05)
+
+
+@pytest.mark.slow
+def test_object_mesher_node_downscaled_geometry(rng):
+    """mesher_input_height path: the node rescales the mesher's RIG so
+    reduced-scale pixels/disparities backproject to the same world geometry
+    as full-res processing (scaling only the disparity would be wrong in
+    x/y by the scale factor)."""
+    import cv2
+
+    from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
+    from ocean_perception_tpu.fabric.messages import ImageMessage, StereoImageMessage
+    from ocean_perception_tpu.fabric.nodes.object_mesher_node import ObjectMesherNode
+    from ocean_perception_tpu.fabric.pubsub import InProcessBus
+    from ocean_perception_tpu.mesher.object_mesher import (
+        ObjectMesherDeviceParams,
+        ObjectMesherParams,
+    )
+    from ocean_perception_tpu.tracking import (
+        DetectorParams,
+        LKParams,
+        StripeMatcherParams,
+    )
+    from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerParams
+
+    H, W, disp = 240, 320, 16  # full-res disparity 16 -> 8 at half scale
+    canvas = cv2.GaussianBlur(rng.random((H, W + 60)).astype(np.float32), (7, 7), 1.5)
+    left = canvas[:, 30 : 30 + W]
+    right = canvas[:, 30 + disp : 30 + disp + W]
+
+    cam = PinholeCamera.create(150.0, 150.0, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, 0.2)
+    params = ObjectMesherParams(
+        device=ObjectMesherDeviceParams(
+            tracker=StereoTrackerParams(
+                capacity=48,
+                detector=DetectorParams(max_features=48, min_distance=8, border=6),
+                lk=LKParams(max_level=1),
+                matcher=StripeMatcherParams(
+                    max_disp=16, templ_cols=11, templ_rows=9, max_matching_cost=0.5
+                ),
+            ),
+            foreground_min_gradient=0.0,
+            edge_max_depth_change=10.0,
+            min_obs_connect_edge=1.0,
+            min_obs_disconnect_edge=0.0,
+        ),
+        vertex_min_obs=1,
+    )
+    bus = InProcessBus()
+    meshes = []
+    bus.subscribe("object_mesher/mesh", lambda _c, m: meshes.append(m))
+    node = ObjectMesherNode(bus, rig, params=params, mesher_input_height=H // 2)
+    assert node.mesher.rig.left.height == H // 2  # rig rescaled, not disparity
+    for k in range(3):
+        t = int((k + 1) * 1e8)
+        bus.publish(
+            "sensors/stereo",
+            StereoImageMessage(
+                timestamp=t,
+                left=ImageMessage.from_array(t, left),
+                right=ImageMessage.from_array(t, right),
+            ),
+        )
+    assert meshes, "downscaled mesher node published no mesh"
+    z = meshes[-1].vertices[:, 2]
+    # Truth: z = fx*b/disp = 150*0.2/16 = 1.875 m, unchanged by downscaling.
+    assert 1.2 < np.median(z) < 2.8, np.median(z)

@@ -92,8 +92,29 @@ class ObjectMesherNode:
         return handler
 
 
+def from_config(bus: PubSub, node_config_path: str, shared_config_path: str) -> "ObjectMesherNode":
+    """Build the complete node from the two-file YAML model (reference:
+    object_mesher_lcm.cpp params + config/auv/lcm_nodes/ObjectMesherLcm.yaml)."""
+    from ...config.bindings import load_mesher_params, load_rig
+    from ...config.yaml_parser import YamlParser
+
+    parser = YamlParser(node_path=node_config_path, shared_path=shared_config_path)
+    rig = load_rig(parser)
+    params = load_mesher_params(parser)
+    h = parser.get("mesher_input_height", None)
+    return ObjectMesherNode(
+        bus, rig, params=params,
+        mesher_input_height=int(h) if h is not None else None,
+        channel_input=parser.get("channel_input_stereo", "sensors/stereo"),
+        channel_output=parser.get("channel_output_mesh", "object_mesher/mesh"),
+    )
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None, help="node YAML (ObjectMesherNode.yaml)")
+    ap.add_argument("--shared", default=None, help="shared rig YAML (config/shared/*.yaml)")
+    ap.add_argument("--port", type=int, default=None, help="UDP multicast port")
     ap.add_argument("--fx", type=float, default=336.0)
     ap.add_argument("--baseline", type=float, default=0.2)
     ap.add_argument("--width", type=int, default=672)
@@ -101,10 +122,13 @@ def main(argv=None) -> int:
     ap.add_argument("--mesher-input-height", type=int, default=None)
     args = ap.parse_args(argv)
 
-    cam = PinholeCamera.create(args.fx, args.fx, args.width / 2, args.height / 2, args.height, args.width)
-    rig = StereoCamera.create(cam, cam, args.baseline)
-    bus = UdpMulticastBus()
-    node = ObjectMesherNode(bus, rig, mesher_input_height=args.mesher_input_height)
+    bus = UdpMulticastBus(port=args.port) if args.port else UdpMulticastBus()
+    if args.config and args.shared:
+        node = from_config(bus, args.config, args.shared)
+    else:
+        cam = PinholeCamera.create(args.fx, args.fx, args.width / 2, args.height / 2, args.height, args.width)
+        rig = StereoCamera.create(cam, cam, args.baseline)
+        node = ObjectMesherNode(bus, rig, mesher_input_height=args.mesher_input_height)
     print("object_mesher_node listening...")
     try:
         threading.Event().wait()

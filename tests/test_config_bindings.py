@@ -132,3 +132,18 @@ def test_state_estimator_node_from_config():
         )
     assert node.est.ekf_state is not None
     assert len(poses) >= 1  # rate-limited filter pose published
+
+
+def test_object_mesher_node_from_config():
+    """ObjectMesher node builds fully from the shipped YAML pair, including
+    mesher_input_height rig rescaling and channel names."""
+    from ocean_perception_tpu.fabric.nodes.object_mesher_node import from_config
+    from ocean_perception_tpu.fabric.pubsub import InProcessBus
+
+    node = from_config(
+        InProcessBus(), NODE, os.path.join(CONFIG_DIR, "Farmsim.yaml")
+    )
+    assert node.channel_output == "object_mesher/mesh"
+    # Farmsim rig is 376 tall; mesher_input_height 376 -> no rescale.
+    assert node.mesher.rig.left.height == 376
+    assert node.mesher.params.device.foreground_ksize == 15

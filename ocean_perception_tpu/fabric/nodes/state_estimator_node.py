@@ -195,12 +195,18 @@ class StateEstimatorNode:
         )
 
     def _publish_filter(self, fs) -> None:
-        self.bus.publish(self._out_prefix + "vio/pose/filter", self._pose_message(fs))
+        self.bus.publish(
+            self._out_prefix + self._channels["channel_output_filter_pose"],
+            self._pose_message(fs),
+        )
 
     def _publish_smoother(self, _result) -> None:
         s = self.est.smoother_state()
         if s is not None:
-            self.bus.publish(self._out_prefix + "vio/pose/smoother", self._pose_message(s))
+            self.bus.publish(
+                self._out_prefix + self._channels["channel_output_smoother_pose"],
+                self._pose_message(s),
+            )
 
 
 def main(argv=None) -> int:

@@ -213,6 +213,8 @@ def load_state_estimator_params(p: YamlParser):
         hard_correction_pos=float(sub.get("hard_correction_pos", 0.5)),
         ekf_history_sec=float(sub.get("ekf_history_sec", 10.0)),
         vo_align_tolerance=float(sub.get("vo_align_tolerance", 0.01)),
+        filter_use_depth=bool(sub.get("filter_use_depth", 1)),
+        filter_use_range=bool(sub.get("filter_use_range", 1)),
     )
     if sub.has("FixedLagSmoother"):
         kwargs["smoother"] = load_smoother_config(sub.subtree("FixedLagSmoother"))

@@ -93,6 +93,10 @@ class StateEstimatorParams:
     # only usable as a keypose between factor when its chain starts at the
     # previous keypose (fixed_lag_smoother.cpp:277 uses 0.01 s).
     vo_align_tolerance: float = 0.01
+    # Feed depth/range measurements to the EKF (they always reach the
+    # smoother); StateEstimatorLcm.yaml filter_use_depth / filter_use_range.
+    filter_use_depth: bool = True
+    filter_use_range: bool = True
 
 
 @dataclasses.dataclass
@@ -209,14 +213,14 @@ class StateEstimator:
 
     def receive_depth(self, m: DepthMeasurement) -> None:
         self.depth_manager.push(m)
-        if self.ekf_state is not None:
+        if self.ekf_state is not None and self.params.filter_use_depth:
             self.ekf_state = ekf_update_depth(
                 self.ekf_state, m.depth, jnp.asarray(self._gravity_unit), self.ekf_params
             )
 
     def receive_range(self, m: RangeMeasurement) -> None:
         self.range_manager.push(m)
-        if self.ekf_state is not None:
+        if self.ekf_state is not None and self.params.filter_use_range:
             self.ekf_state = ekf_update_range(
                 self.ekf_state, m.range, jnp.asarray(m.point, jnp.float64), self.ekf_params
             )

@@ -140,6 +140,7 @@ def load_frontend_params(p: YamlParser):
         odometry=load_odometry_params(p),
         pixel_sigma=float(p.get("sigma_tracked_point", 2.0)),
         min_features=int(p.get("min_features", 8)),
+        max_avg_reprojection_error=float(p.get("max_avg_reprojection_error", 5.0)),
     )
 
 

@@ -41,6 +41,9 @@ class FrontendParams:
     odometry: OdometryParams = struct.field(pytree_node=False, default=OdometryParams())
     pixel_sigma: float = struct.field(pytree_node=False, default=2.0)
     min_features: int = struct.field(pytree_node=False, default=8)
+    # Odometry acceptance gate on mean whitened reprojection residual
+    # (stereo_frontend.cpp:149, default 5.0 sigmas).
+    max_avg_reprojection_error: float = struct.field(pytree_node=False, default=5.0)
 
 
 class VoResult(NamedTuple):
@@ -93,7 +96,8 @@ def frontend_step(
     n_corr = jnp.sum(has_kf_3d.astype(jnp.int32))
     status = jnp.zeros((), jnp.int32)
     status = status | jnp.where(out.n_tracked < params.min_features, FrontendStatus.FEW_DETECTED_FEATURES.value, 0)
-    status = status | jnp.where(~odo.success, FrontendStatus.ODOM_ESTIMATION_FAILED.value, 0)
+    odom_failed = ~odo.success | (odo.error > params.max_avg_reprojection_error)
+    status = status | jnp.where(odom_failed, FrontendStatus.ODOM_ESTIMATION_FAILED.value, 0)
     status = status | jnp.where(n_corr == 0, FrontendStatus.NO_FEATURES_FROM_LAST_KF.value, 0)
 
     # T_prev_cur = inverse of the estimated T_10 (frame0 = prev KF in cam

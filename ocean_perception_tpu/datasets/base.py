@@ -185,13 +185,18 @@ class DataProvider:
 
     # -- real-time playback ---------------------------------------------------
 
-    def playback(self, speed: float = 1.0, block: bool = True) -> None:
+    def playback(
+        self, speed: float = 1.0, block: bool = True, max_steps: Optional[int] = None
+    ) -> None:
         """Play measurements with real-time pacing (cpp:166-181)."""
         assert speed > 0
 
         def worker():
             last_t: Optional[int] = None
+            n = 0
             while not self._shutdown.is_set():
+                if max_steps is not None and n >= max_steps:
+                    break
                 t = self.next_timestamp()
                 if t is None:
                     break
@@ -200,6 +205,7 @@ class DataProvider:
                 if not self.step():
                     break
                 last_t = t
+                n += 1
 
         if block:
             worker()

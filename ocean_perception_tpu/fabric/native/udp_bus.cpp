@@ -34,14 +34,21 @@ struct Fragments {
   std::vector<std::vector<uint8_t>> chunks;
   uint16_t received = 0;
   uint16_t total = 0;
+  uint64_t birth = 0;  // insertion counter, for stale-partial eviction
 };
+
+// Reassembly key: (sender ip, sender port, seq). Every publisher's seq
+// counter starts at 1, so seq alone collides the moment two processes send
+// fragmented messages concurrently — LCM keys reassembly per sender too.
+using FragKey = std::pair<uint64_t, uint32_t>;  // {ip<<16|port, seq}
 
 struct Bus {
   int tx = -1;
   int rx = -1;
   sockaddr_in dest{};
   uint32_t seq = 0;
-  std::map<uint32_t, Fragments> frags;
+  uint64_t rx_count = 0;
+  std::map<FragKey, Fragments> frags;
   std::vector<uint8_t> pkt = std::vector<uint8_t>(kMaxPacket);
 };
 
@@ -164,7 +171,10 @@ int64_t udp_bus_poll(void* handle, uint8_t* out, uint32_t cap,
     int pr = ::poll(&pfd, 1, timeout_ms);
     if (pr == 0) return 0;    // timeout
     if (pr < 0) return -1;
-    ssize_t n = ::recv(b->rx, b->pkt.data(), b->pkt.size(), 0);
+    sockaddr_in from{};
+    socklen_t from_len = sizeof(from);
+    ssize_t n = ::recvfrom(b->rx, b->pkt.data(), b->pkt.size(), 0,
+                           reinterpret_cast<sockaddr*>(&from), &from_len);
     if (n < 2) continue;
     uint16_t tag;
     std::memcpy(&tag, b->pkt.data(), 2);
@@ -178,18 +188,30 @@ int64_t udp_bus_poll(void* handle, uint8_t* out, uint32_t cap,
     std::memcpy(&seq, b->pkt.data() + 2, 4);
     std::memcpy(&idx, b->pkt.data() + 6, 2);
     std::memcpy(&total, b->pkt.data() + 8, 2);
-    Fragments& f = b->frags[seq];
+    const uint64_t sender =
+        (static_cast<uint64_t>(from.sin_addr.s_addr) << 16) | from.sin_port;
+    const FragKey key{sender, seq};
+    // Evict the OLDEST partial when the map is full — checked on insertion
+    // (sustained fragment loss with no completions must not grow unbounded,
+    // and live reassemblies from other senders must survive).
+    if (b->frags.find(key) == b->frags.end() && b->frags.size() >= 64) {
+      auto oldest = b->frags.begin();
+      for (auto it = b->frags.begin(); it != b->frags.end(); ++it)
+        if (it->second.birth < oldest->second.birth) oldest = it;
+      b->frags.erase(oldest);
+    }
+    Fragments& f = b->frags[key];
     if (f.total == 0) {
       f.total = total;
       f.chunks.resize(total);
+      f.birth = ++b->rx_count;
     }
     if (idx >= f.total || !f.chunks[idx].empty()) continue;
     f.chunks[idx].assign(b->pkt.data() + 10, b->pkt.data() + n);
     if (++f.received == f.total) {
       std::vector<uint8_t> data;
       for (auto& c : f.chunks) data.insert(data.end(), c.begin(), c.end());
-      b->frags.erase(seq);
-      if (b->frags.size() > 64) b->frags.clear();  // drop stale partials
+      b->frags.erase(key);
       return deliver(data.data(), data.size(), out, cap, out_channel, ch_cap);
     }
   }

@@ -102,13 +102,21 @@ class NativeUdpBus(PubSub):
             )
             if n <= 0:
                 continue  # timeout or non-fatal error
-            channel = self._ch.value.decode()
-            cbs = self._subs.get(channel)
-            if not cbs:
-                continue
-            msg = decode_message(self._buf.raw[:n])
-            for cb in cbs:
-                cb(channel, msg)
+            try:
+                channel = self._ch.value.decode()
+                cbs = self._subs.get(channel)
+                if not cbs:
+                    continue
+                msg = decode_message(self._buf.raw[:n])
+                for cb in cbs:
+                    cb(channel, msg)
+            except Exception:  # noqa: BLE001 — the rx thread must survive
+                # A decode failure or subscriber exception must not kill the
+                # daemon receive thread (the bus would then silently drop all
+                # traffic for the process lifetime).
+                import traceback
+
+                traceback.print_exc()
 
     def close(self) -> None:
         self._running.clear()

@@ -87,7 +87,7 @@ def run(
     dataset.register_range_callback(est.receive_range)
 
     if speed > 0:
-        dataset.playback(speed, block=True)
+        dataset.playback(speed, block=True, max_steps=max_steps)
     else:
         n = 0
         while dataset.step():
@@ -165,7 +165,7 @@ def publish_sensors(
     )
 
     if speed > 0:
-        dataset.playback(speed, block=True)
+        dataset.playback(speed, block=True, max_steps=max_steps)
     else:
         k = 0
         while dataset.step():

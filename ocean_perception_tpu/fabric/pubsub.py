@@ -74,8 +74,10 @@ class UdpMulticastBus(PubSub):
         self._rx.settimeout(0.2)
 
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
-        self._fragments: Dict[int, Dict[int, bytes]] = {}
-        self._frag_meta: Dict[int, int] = {}
+        # Reassembly keyed by (sender addr, seq): every publisher's seq
+        # counter starts at 1, so seq alone interleaves chunks from two
+        # concurrent senders into a corrupted payload (LCM keys per sender).
+        self._fragments: Dict[tuple, Dict[int, bytes]] = {}
         self._seq = 0
         self._running = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -117,25 +119,37 @@ class UdpMulticastBus(PubSub):
     def _rx_loop(self) -> None:
         while self._running.is_set():
             try:
-                pkt, _ = self._rx.recvfrom(65535)
+                pkt, sender = self._rx.recvfrom(65535)
             except socket.timeout:
                 continue
             except OSError:
                 break
-            tag = struct.unpack_from("<H", pkt)[0]
-            if tag == 0:
-                self._dispatch(pkt[2:])
-            elif tag == _FRAG_MAGIC:
-                _, seq, idx, total = struct.unpack_from("<HIHH", pkt)
-                off = struct.calcsize("<HIHH")
-                frags = self._fragments.setdefault(seq, {})
-                frags[idx] = pkt[off:]
-                self._frag_meta[seq] = total
-                if len(frags) == total:
-                    data = b"".join(frags[i] for i in range(total))
-                    del self._fragments[seq]
-                    del self._frag_meta[seq]
-                    self._dispatch(data)
+            try:
+                tag = struct.unpack_from("<H", pkt)[0]
+                if tag == 0:
+                    self._dispatch(pkt[2:])
+                elif tag == _FRAG_MAGIC:
+                    _, seq, idx, total = struct.unpack_from("<HIHH", pkt)
+                    off = struct.calcsize("<HIHH")
+                    key = (sender, seq)
+                    if key not in self._fragments and len(self._fragments) >= 64:
+                        # Evict the oldest partial (insertion order) so
+                        # sustained fragment loss stays bounded without
+                        # killing live reassemblies from other senders.
+                        self._fragments.pop(next(iter(self._fragments)))
+                    frags = self._fragments.setdefault(key, {})
+                    frags[idx] = pkt[off:]
+                    if len(frags) == total:
+                        data = b"".join(frags[i] for i in range(total))
+                        del self._fragments[key]
+                        self._dispatch(data)
+            except Exception:  # noqa: BLE001 — the rx thread must survive
+                # A malformed packet or a subscriber callback exception must
+                # not kill the daemon receive thread (the process would then
+                # silently drop all traffic for its lifetime).
+                import traceback
+
+                traceback.print_exc()
 
     def close(self) -> None:
         self._running.clear()

@@ -37,7 +37,17 @@ def save_estimator(est, path: str) -> None:
     _flatten(est.window, "window", data)
     if est.ekf_state is not None:
         _flatten(est.ekf_state, "ekf", data)
-    np.savez_compressed(path, **data)
+    # Atomic update: a crash mid-write must never leave a truncated .npz at
+    # `path` (the node rewrites the checkpoint on every smoother update, and
+    # a torn file would defeat the mid-mission-restart purpose).
+    import os
+
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **data)
+    # np.savez appends .npz if missing — mirror that for the rename source.
+    if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
 
 
 def load_estimator(est, path: str) -> None:

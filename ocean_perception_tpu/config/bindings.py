@@ -223,4 +223,19 @@ def load_state_estimator_params(p: YamlParser):
         kwargs["frontend"] = load_frontend_params(sub.subtree("StereoFrontend"))
     if p.has("/shared/n_gravity"):
         kwargs["n_gravity"] = np.asarray(p.get("/shared/n_gravity"), np.float64)
+    # Sensor extrinsics from the shared rig file (reference param plumbing:
+    # state_estimator.cpp:49, state_ekf.cpp:54-56, fixed_lag_smoother.cpp:
+    # 62-68). Missing keys default to identity mounts.
+    for key, yaml_id in (
+        ("body_T_imu", "/shared/imu0/body_T_imu"),
+        ("body_T_receiver", "/shared/aps0/body_T_receiver"),
+        ("body_T_mag", "/shared/mag0/body_T_sensor"),
+        ("body_T_cam", "/shared/stereo_forward/camera_left/body_T_cam"),
+    ):
+        if p.has(yaml_id):
+            kwargs[key] = np.asarray(p.get(yaml_id), np.float64).reshape(4, 4)
+    if p.has("/shared/mag0/sensor_bias"):
+        kwargs["mag_sensor_bias"] = np.asarray(
+            p.get("/shared/mag0/sensor_bias"), np.float64
+        ).reshape(3)
     return StateEstimatorParams(**kwargs)

@@ -21,14 +21,28 @@ from flax import struct
 from ..core.se3 import skew, so3_exp, so3_log
 
 
+_EYE9 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
 @struct.dataclass
 class ImuCalibration:
-    """Noise densities (continuous-time) — config/shared yaml noise_model."""
+    """Noise densities (continuous-time) — config/shared yaml noise_model.
+
+    body_R_imu / body_t_imu: the /shared/imu0/body_T_imu sensor extrinsic
+    (state_estimator.cpp:49; GTSAM pim_params.setBodyPSensor at
+    imu_manager.cpp:47). Raw samples are transformed into the body frame
+    before integration: gyro rotated, accel rotated minus the centrifugal
+    lever-arm term w x (w x arm) (the angular-acceleration term is neglected,
+    matching GTSAM's correctMeasurementsBySensorPose). Biases are therefore
+    estimated in the BODY frame (self-consistent; GTSAM keeps them in the
+    sensor frame — a convention difference, not an accuracy one)."""
 
     accel_noise_sigma: float = struct.field(pytree_node=False, default=0.001)
     gyro_noise_sigma: float = struct.field(pytree_node=False, default=0.0004)
     accel_bias_rw_sigma: float = struct.field(pytree_node=False, default=0.0001)
     gyro_bias_rw_sigma: float = struct.field(pytree_node=False, default=0.00004)
+    body_R_imu: tuple = struct.field(pytree_node=False, default=_EYE9)
+    body_t_imu: tuple = struct.field(pytree_node=False, default=(0.0, 0.0, 0.0))
 
 
 class PreintegratedImu(NamedTuple):
@@ -58,6 +72,14 @@ def preintegrate(
     eye3 = jnp.eye(3, dtype=dtype)
     sig_g2 = calib.gyro_noise_sigma**2
     sig_a2 = calib.accel_noise_sigma**2
+
+    # Sensor-to-body correction (static check: free for identity rigs).
+    if tuple(calib.body_R_imu) != _EYE9 or tuple(calib.body_t_imu) != (0.0, 0.0, 0.0):
+        R_bi = jnp.asarray(calib.body_R_imu, dtype).reshape(3, 3)
+        arm = jnp.asarray(calib.body_t_imu, dtype)
+        w_b = samples[:, 1:4] @ R_bi.T
+        a_b = samples[:, 4:7] @ R_bi.T - jnp.cross(w_b, jnp.cross(w_b, arm[None, :]))
+        samples = jnp.concatenate([samples[:, :1], w_b, a_b], axis=1)
 
     def step(carry, xs):
         (dR, dv, dp, T, cov, dR_dbg, dv_dbg, dv_dba, dp_dbg, dp_dba) = carry

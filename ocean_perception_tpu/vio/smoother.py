@@ -36,6 +36,10 @@ from ..core.se3 import so3_exp, so3_log
 from .imu_preintegration import PreintegratedImu, bias_corrected_deltas
 
 
+_EYE9 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+_ZERO3 = (0.0, 0.0, 0.0)
+
+
 @struct.dataclass
 class SmootherConfig:
     window: int = struct.field(pytree_node=False, default=12)
@@ -67,6 +71,18 @@ class SmootherConfig:
     cam_baseline: float = struct.field(pytree_node=False, default=0.2)
     imu_sigma_floor: float = struct.field(pytree_node=False, default=1e-5)
     max_ranges: int = struct.field(pytree_node=False, default=4)
+    # Sensor extrinsics (config/shared/*.yaml; the reference pipes these as
+    # body_P_cam / body_P_receiver / body_P_mag — fixed_lag_smoother.cpp:62-68).
+    # body_R_cam/body_t_cam: left camera in body frame — the landmark
+    # projection factors observe through this camera. body_t_receiver: range
+    # receiver lever arm (RangeFactorWithTransform parity). mag_body_R_sensor
+    # /mag_bias: magnetometer mounting rotation + hard-iron bias
+    # (MagPoseFactor body_P_sensor + bias_, mag_pose_factor.hpp:32-72).
+    body_R_cam: tuple = struct.field(pytree_node=False, default=_EYE9)
+    body_t_cam: tuple = struct.field(pytree_node=False, default=_ZERO3)
+    body_t_receiver: tuple = struct.field(pytree_node=False, default=_ZERO3)
+    mag_body_R_sensor: tuple = struct.field(pytree_node=False, default=_EYE9)
+    mag_bias: tuple = struct.field(pytree_node=False, default=_ZERO3)
 
 
 class KeyposeWindow(NamedTuple):
@@ -80,7 +96,10 @@ class KeyposeWindow(NamedTuple):
     ba: jnp.ndarray            # (M, 3)
     valid: jnp.ndarray         # (M,)
     # Factors from slot i-1 to slot i:
-    vo_T: jnp.ndarray          # (M, 4, 4) relative pose cam (body) i-1 -> i
+    vo_T: jnp.ndarray          # (M, 4, 4) relative BODY pose i-1 -> i (VO is
+    #                            conjugated by body_T_cam at intake,
+    #                            state_estimator.receive_stereo; reference
+    #                            smoother.cpp:282)
     vo_valid: jnp.ndarray      # (M,)
     imu_samples: jnp.ndarray   # (M, N_IMU, 7) raw windows for re-preintegration
     imu_mask: jnp.ndarray      # (M, N_IMU)
@@ -242,14 +261,22 @@ def _residuals(
     res.append(r_depth * (win.depth_valid & win.valid).astype(dtype))
 
     # -- range factors --------------------------------------------------------
-    delta_b = win.range_beacons - w.p[:, None, :]
+    # Receiver lever arm (RangeFactorWithTransform / state_ekf.cpp:394-432):
+    # the measured range is beacon -> RECEIVER, not beacon -> body origin.
+    t_recv = jnp.asarray(config.body_t_receiver, dtype)
+    p_recv = w.p + jnp.einsum("mij,j->mi", w.R, t_recv)
+    delta_b = win.range_beacons - p_recv[:, None, :]
     dist = jnp.linalg.norm(delta_b + 1e-12, axis=-1)
     r_range = (dist - win.ranges) / config.range_sigma
     res.append((r_range * (win.range_valid & win.valid[:, None]).astype(dtype)).reshape(-1))
 
     # -- magnetometer heading factors (MagPoseFactor parity) ------------------
+    # Field predicted in the SENSOR frame: (R_world_body·R_body_sensor)^T·nM
+    # + bias (mag_pose_factor.hpp:68-72).
     local_field = jnp.asarray(config.mag_local_field, dtype) * config.mag_scale
-    mag_pred = jnp.einsum("mji,j->mi", w.R, local_field)  # R^T · world field
+    R_bs = jnp.asarray(config.mag_body_R_sensor, dtype).reshape(3, 3)
+    mag_pred = jnp.einsum("ji,mkj,k->mi", R_bs, w.R, local_field)
+    mag_pred = mag_pred + jnp.asarray(config.mag_bias, dtype)
     r_mag = (mag_pred - win.mag) / config.mag_sigma
     res.append((r_mag * (win.mag_valid & win.valid).astype(dtype)[:, None]).reshape(-1))
 
@@ -262,11 +289,19 @@ def _residuals(
         n_obs = jnp.sum(obs_ok, axis=0)                               # (L,)
         lmk_ok = (n_obs >= 2.0).astype(dtype)
 
+        # Observations come through the LEFT CAMERA, mounted at body_T_cam
+        # (the reference's smart factors carry body_P_cam,
+        # smoother.cpp:455-490): camera pose = keypose ∘ body_T_cam.
+        R_bc = jnp.asarray(config.body_R_cam, dtype).reshape(3, 3)
+        t_bc = jnp.asarray(config.body_t_cam, dtype)
+        R_cam = jnp.einsum("mij,jk->mik", w.R, R_bc)                  # (M, 3, 3)
+        p_cam = w.p + jnp.einsum("mij,j->mi", w.R, t_bc)              # (M, 3)
+
         # Bearing rays in world frame per (keypose, landmark).
         xn = (win.lmk_uv[..., 0] - cx) / fx
         yn = (win.lmk_uv[..., 1] - cy) / fy
         dirs_cam = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1)    # (M, L, 3)
-        dirs_w = jnp.einsum("mij,mlj->mli", w.R, dirs_cam)
+        dirs_w = jnp.einsum("mij,mlj->mli", R_cam, dirs_cam)
         dirs_w = dirs_w / jnp.maximum(jnp.linalg.norm(dirs_w, axis=-1, keepdims=True), 1e-9)
 
         # Structureless elimination: the landmark is re-estimated in closed
@@ -280,19 +315,19 @@ def _residuals(
         has_disp = (win.lmk_disp > 0).astype(dtype) * obs_ok           # (M, L)
         z_meas = fx * config.cam_baseline / jnp.maximum(win.lmk_disp, 1e-3)
         X_cam_meas = jnp.stack([xn * z_meas, yn * z_meas, z_meas], axis=-1)
-        X_meas = w.p[:, None, :] + jnp.einsum("mij,mlj->mli", w.R, X_cam_meas)
+        X_meas = p_cam[:, None, :] + jnp.einsum("mij,mlj->mli", R_cam, X_cam_meas)
         n_stereo = jnp.sum(has_disp, axis=0)                           # (L,)
         X_stereo = jnp.sum(X_meas * has_disp[..., None], axis=0) / jnp.maximum(n_stereo, 1.0)[:, None]
         # Ray-midpoint fallback (mono tracks).
         Pm = eye3[None, None] - dirs_w[..., :, None] * dirs_w[..., None, :]
         Pm = Pm * obs_ok[..., None, None]
         A = jnp.sum(Pm, axis=0) + (1e-6 + (1.0 - lmk_ok))[:, None, None] * eye3[None]
-        b = jnp.sum(jnp.einsum("mlij,mj->mli", Pm, w.p), axis=0)
+        b = jnp.sum(jnp.einsum("mlij,mj->mli", Pm, p_cam), axis=0)
         X_mono = jnp.linalg.solve(A, b[..., None])[..., 0]             # (L, 3)
         X = jnp.where((n_stereo > 0)[:, None], X_stereo, X_mono)
 
         # Reprojection residuals into every observing keypose.
-        X_cam = jnp.einsum("mji,mlj->mli", w.R, X[None] - w.p[:, None, :])
+        X_cam = jnp.einsum("mji,mlj->mli", R_cam, X[None] - p_cam[:, None, :])
         z_cam = X_cam[..., 2]
         behind = z_cam < 0.1
         z_safe = jnp.maximum(z_cam, 0.1)
@@ -396,7 +431,15 @@ def solve_window(
 
     r = res_of(jnp.zeros(M * 15, dtype))
     J = jax.jacfwd(res_of)(jnp.zeros(M * 15, dtype))
-    _, r_mat = _qr_step(J, r)
+    # Covariances come from the UNDAMPED linearization (the reference's
+    # marginals do too, fixed_lag_smoother.cpp:430-468): the Marquardt rows
+    # in _qr_step would bias every marginal small, and the bias compounds
+    # through the slot-1 prior chain across hundreds of slides. Only the
+    # absolute floor rows are kept, for rank of inactive-slot columns.
+    n_cols = J.shape[1]
+    floor = jnp.sqrt(jnp.asarray(config.damping + 1e-8, dtype))
+    A = jnp.concatenate([J, floor * jnp.eye(n_cols, dtype=dtype)], axis=0)
+    r_mat = jnp.linalg.qr(A, mode="r")
     rinv = jax.scipy.linalg.solve_triangular(
         r_mat, jnp.eye(M * 15, dtype=dtype), lower=False
     )

@@ -97,6 +97,19 @@ class StateEstimatorParams:
     # smoother); StateEstimatorLcm.yaml filter_use_depth / filter_use_range.
     filter_use_depth: bool = True
     filter_use_range: bool = True
+    # VO-timeout slack: the reference smoother loop waits
+    # max_sec_btw_keyposes + 0.1 s for a VO result before declaring vision
+    # unavailable (WaitForResultOrTimeout, state_estimator.cpp:336-342).
+    vo_timeout_slack: float = 0.1
+    # Sensor extrinsics from the shared rig file (config/shared/*.yaml; the
+    # reference pipes these through its param structs — state_estimator.cpp
+    # :49, state_ekf.cpp:54-56, fixed_lag_smoother.cpp:62-68). All shipped
+    # rigs are identity except the camera translations.
+    body_T_cam: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4))
+    body_T_imu: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4))
+    body_T_receiver: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4))
+    body_T_mag: np.ndarray = dataclasses.field(default_factory=lambda: np.eye(4))
+    mag_sensor_bias: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
 
 
 @dataclasses.dataclass
@@ -126,6 +139,21 @@ class StateEstimator:
         self.range_manager: DataManager[RangeMeasurement] = DataManager(max_size=1000)
         self.mag_manager: DataManager[MagMeasurement] = DataManager(max_size=1000)
 
+        # Sensor extrinsics (identity on all shipped rigs). VO is conjugated
+        # into the body frame at intake; the EKF rotates IMU samples and
+        # offsets range by the receiver lever arm; the smoother gets the
+        # camera/receiver/mag mounts baked into its static config.
+        self._body_T_cam = np.asarray(params.body_T_cam, np.float64)
+        self._cam_is_identity = np.allclose(self._body_T_cam, np.eye(4))
+        R_bi = np.asarray(params.body_T_imu[:3, :3], np.float64)
+        self._imu_is_identity = np.allclose(params.body_T_imu, np.eye(4))
+        self._q_body_imu = (
+            None if np.allclose(R_bi, np.eye(3))
+            else jnp.asarray(np.asarray(matrix_to_quat(jnp.asarray(R_bi))))
+        )
+        t_recv = np.asarray(params.body_T_receiver[:3, 3], np.float64)
+        self._body_t_receiver = None if np.allclose(t_recv, 0) else jnp.asarray(t_recv)
+
         # Smoother window. Landmark projection factors need the left-camera
         # intrinsics baked into the (static) smoother config.
         smoother_cfg = params.smoother
@@ -134,6 +162,20 @@ class StateEstimator:
                 cam_fx=float(rig.left.fx), cam_fy=float(rig.left.fy),
                 cam_cx=float(rig.left.cx), cam_cy=float(rig.left.cy),
                 cam_baseline=float(rig.baseline),  # stereo disparity rows
+            )
+        smoother_cfg = smoother_cfg.replace(
+            body_R_cam=tuple(self._body_T_cam[:3, :3].reshape(-1).tolist()),
+            body_t_cam=tuple(self._body_T_cam[:3, 3].tolist()),
+            body_t_receiver=tuple(t_recv.tolist()),
+            mag_body_R_sensor=tuple(
+                np.asarray(params.body_T_mag[:3, :3], np.float64).reshape(-1).tolist()
+            ),
+            mag_bias=tuple(np.asarray(params.mag_sensor_bias, np.float64).tolist()),
+        )
+        if not self._imu_is_identity:
+            params.imu_calib = params.imu_calib.replace(
+                body_R_imu=tuple(R_bi.reshape(-1).tolist()),
+                body_t_imu=tuple(np.asarray(params.body_T_imu[:3, 3]).tolist()),
             )
         self._smoother_cfg = smoother_cfg
         self.window = make_window(smoother_cfg, params.max_imu_per_keypose)
@@ -153,6 +195,12 @@ class StateEstimator:
         self._pending_vo: Optional[np.ndarray] = None
         self._pending_vo_start_t: Optional[int] = None
         self._last_kf_t: Optional[int] = None
+        # Last stereo frame ARRIVAL (any frame, keyframe or not): drives the
+        # VO-timeout check so total camera silence flips the mode machine to
+        # VISION_UNAVAILABLE instead of wedging it (the reference's smoother
+        # loop gets this for free from WaitForResultOrTimeout,
+        # state_estimator.cpp:336-397).
+        self._last_stereo_t: Optional[int] = None
 
         # EKF + history for rewind/replay.
         self.ekf_params = params.ekf
@@ -163,6 +211,11 @@ class StateEstimator:
 
         self.smoother_callbacks: List[Callable[[SmootherResult], None]] = []
         self.filter_callbacks: List[Callable[[StateStamped], None]] = []
+        self._last_imu_t: Optional[int] = None
+        # Set by ThreadedStateEstimator: held around every EKF-state mutation
+        # so the vision thread's filter sync and the filter thread's IMU
+        # updates serialize WITHOUT serializing the (long) smoother solve.
+        self.sync_lock = None
 
         # Per-stage latency stats (reference: StatsTracker use at
         # state_estimator.cpp:395-396, 427-428).
@@ -183,7 +236,8 @@ class StateEstimator:
         )
         self._replay_jit = jax.jit(
             lambda s, dts, g, a, m: ekf_replay_imu(
-                s, dts, g, a, m, jnp.asarray(self._gravity), self.ekf_params
+                s, dts, g, a, m, jnp.asarray(self._gravity), self.ekf_params,
+                q_body_imu=self._q_body_imu,
             )
         )
 
@@ -204,12 +258,23 @@ class StateEstimator:
 
     # -- measurement intake ---------------------------------------------------
 
-    def receive_imu(self, m: ImuMeasurement) -> None:
+    def receive_imu(self, m: ImuMeasurement, check_keypose: bool = True) -> None:
+        """check_keypose=False runs the FILTER path only (EKF + history); the
+        threaded wrapper drives keypose creation from its vision/smoother
+        thread via poll_imu_keypose() so a solve never blocks 100 Hz filter
+        output (reference thread split, state_estimator.cpp:133-138)."""
         self.imu_manager.push(m)
         self._imu_history.add(m.timestamp, m)
+        self._last_imu_t = m.timestamp
         if self.ekf_state is not None:
             self._filter_predict_update(m)
-        self._maybe_imu_keypose(m.timestamp)
+        if check_keypose:
+            self._maybe_imu_keypose(m.timestamp)
+
+    def poll_imu_keypose(self) -> None:
+        """IMU-fallback keypose check at the newest IMU time (threaded mode)."""
+        if self._last_imu_t is not None:
+            self._maybe_imu_keypose(self._last_imu_t)
 
     def receive_depth(self, m: DepthMeasurement) -> None:
         self.depth_manager.push(m)
@@ -222,13 +287,15 @@ class StateEstimator:
         self.range_manager.push(m)
         if self.ekf_state is not None and self.params.filter_use_range:
             self.ekf_state = ekf_update_range(
-                self.ekf_state, m.range, jnp.asarray(m.point, jnp.float64), self.ekf_params
+                self.ekf_state, m.range, jnp.asarray(m.point, jnp.float64), self.ekf_params,
+                body_t_receiver=self._body_t_receiver,
             )
 
     def receive_mag(self, m: MagMeasurement) -> None:
         self.mag_manager.push(m)
 
     def receive_stereo(self, m: StereoImage) -> None:
+        self._last_stereo_t = m.timestamp
         vo = self.frontend.track(m.left, m.right)
         status = int(vo.status)
         vision_ok = not (status & FrontendStatus.ODOM_ESTIMATION_FAILED) and not (
@@ -245,7 +312,13 @@ class StateEstimator:
                 if self._pending_vo is None:
                     self._pending_vo = np.eye(4)
                     self._pending_vo_start_t = self._last_kf_t
-                self._pending_vo = self._pending_vo @ np.asarray(vo.T_prev_cur, np.float64)
+                # VO measures camera motion; convert to BODY odometry by
+                # conjugation (reference smoother.cpp:282: body_P_odom =
+                # body_P_cam * cam_odom * body_P_cam^-1).
+                T_cam = np.asarray(vo.T_prev_cur, np.float64)
+                if not self._cam_is_identity:
+                    T_cam = self._body_T_cam @ T_cam @ np.linalg.inv(self._body_T_cam)
+                self._pending_vo = self._pending_vo @ T_cam
                 self._last_kf_t = m.timestamp
                 self._vision_keypose(m.timestamp, vo)
             else:
@@ -257,13 +330,34 @@ class StateEstimator:
     # -- keypose creation -----------------------------------------------------
 
     def _maybe_imu_keypose(self, timestamp: int) -> None:
-        """VISION_UNAVAILABLE fallback: keyposes at min cadence from IMU."""
-        if self.mode is SmootherMode.VISION_AVAILABLE:
-            return
+        """VISION_UNAVAILABLE fallback: keyposes at min cadence from IMU.
+
+        Also the VO-timeout check: while VISION_AVAILABLE, if no stereo frame
+        has arrived within max_sec_btw_keyposes + slack of `timestamp`, vision
+        has gone silent (cable pull, driver hang) and the mode flips to
+        VISION_UNAVAILABLE here — otherwise a dead camera would wedge the
+        estimator forever with the smoother stalled (the reference's smoother
+        loop times out on the VO queue instead: state_estimator.cpp:336-397).
+        """
         if self._last_keypose_t is None or self.ekf_state is None:
             return
+        if self.mode is SmootherMode.VISION_AVAILABLE:
+            last_seen = self._last_stereo_t
+            if last_seen is None:
+                last_seen = self._last_keypose_t
+            silence = (timestamp - last_seen) * 1e-9
+            if silence <= self.params.max_sec_btw_keyposes + self.params.vo_timeout_slack:
+                return
+            self.mode = SmootherMode.VISION_UNAVAILABLE
+            # The keyframe chain no longer ends at a live keypose.
+            self._pending_vo = None
+            self._pending_vo_start_t = None
         dt = (timestamp - self._last_keypose_t) * 1e-9
-        if dt < self.params.max_sec_btw_keyposes:
+        # Fallback keyposes come at MIN spacing (the reference creates them at
+        # min_sec_btw_keyposes cadence once VO has timed out,
+        # state_estimator.cpp:336-397) — vision-denied operation is exactly
+        # when the graph needs keyposes most.
+        if dt < self.params.min_sec_btw_keyposes:
             return
         imu_rows = self._gather_imu(self._last_keypose_t, timestamp)
         R = np.asarray(quat_to_matrix(self.ekf_state.q))
@@ -274,6 +368,10 @@ class StateEstimator:
             vo_T=None, imu_rows=imu_rows,
             depth=self._gather_depth(timestamp),
             ranges=self._gather_ranges(timestamp),
+            # The reference attaches the mag factor to ANY keypose
+            # (fixed_lag_smoother.cpp:401-411) — heading aiding matters most
+            # exactly when vision is down.
+            mag=self._gather_mag(timestamp),
         )
         self._run_smoother(timestamp)
 
@@ -502,6 +600,12 @@ class StateEstimator:
 
     def _sync_filter(self, timestamp: int, result: SmootherResult) -> None:
         """Rewind → soft/hard correction → IMU replay (cpp:496-549)."""
+        import contextlib
+
+        with self.sync_lock if self.sync_lock is not None else contextlib.nullcontext():
+            self._sync_filter_locked(timestamp, result)
+
+    def _sync_filter_locked(self, timestamp: int, result: SmootherResult) -> None:
         if self.ekf_state is None:
             return
         rewind = self._ekf_history.closest_before(timestamp)
@@ -577,6 +681,7 @@ class StateEstimator:
             jnp.asarray(m.linear_acceleration),
             jnp.asarray(self._gravity),
             self.ekf_params,
+            q_body_imu=self._q_body_imu,
         )
         self.ekf_state = state
         self._ekf_time = m.timestamp

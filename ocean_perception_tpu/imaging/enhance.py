@@ -80,22 +80,24 @@ def enhance_underwater(
         D, range_img, radius, params.guided_eps, params.guided_subsample
     )
 
-    if beta_D_guess is None:
-        # No per-site guess given: multi-start from BOTH reference guesses
-        # (attenuation.hpp:12-29 — the reference requires picking manually
-        # per Sea-thru site; the vmapped 12-param fits cost almost nothing).
-        from .attenuation import estimate_beta_multi_start
-        from .formation import BETA_GUESS_1, BETA_GUESS_2
+    # Multi-start the 12-param attenuation fit and keep the best: always the
+    # two reference site guesses (attenuation.hpp:12-29 — the reference
+    # requires picking manually per Sea-thru site), plus the caller's guess
+    # when given. A supplied guess ALONE can trap the fit: a previous frame's
+    # converged X is a near-stationary start where this LM schedule stalls
+    # (measured ~0.09 on the D3 neutral-variant reuse vs 0.025 from a fresh
+    # guess; the numpy reference-LM oracle confirms the data supports 0.023
+    # — tests/test_imaging_oracle.py). Each vmapped fit costs almost nothing.
+    from .attenuation import estimate_beta_multi_start
+    from .formation import BETA_GUESS_1, BETA_GUESS_2
 
-        beta_fit = estimate_beta_multi_start(
-            range_img, il, jnp.stack([jnp.asarray(BETA_GUESS_1), jnp.asarray(BETA_GUESS_2)]),
-            num_px=params.beta_num_px, iters=params.beta_opt_iters,
-        )
-    else:
-        beta_fit = estimate_beta(
-            range_img, il, num_px=params.beta_num_px, iters=params.beta_opt_iters,
-            X0=beta_D_guess,
-        )
+    starts = [jnp.asarray(BETA_GUESS_1), jnp.asarray(BETA_GUESS_2)]
+    if beta_D_guess is not None:
+        starts.append(jnp.asarray(beta_D_guess, jnp.float32))
+    beta_fit = estimate_beta_multi_start(
+        range_img, il, jnp.stack(starts),
+        num_px=params.beta_num_px, iters=params.beta_opt_iters,
+    )
 
     out = correct_attenuation(D, range_img, beta_fit.X)
 

@@ -97,13 +97,21 @@ def test_tracker_on_farmsim_pair():
 @requires_reference
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "lname,rname",
+    "lname,rname,scale,max_disp,chunks",
     [
-        ("images/fsl1.png", "images/fsr1.png"),
-        ("caddy_32_left.jpg", "caddy_32_right.jpg"),
+        # Production operating point (/2, D=64 = 128 full-scale) on every
+        # large bundled pair; tiny fsl2/fsl3 crops and reef full-res with a
+        # proportionate max_disp (parity holds at any operating point —
+        # the oracle sees identical inputs). Mirrors bench.ORACLE_PAIRS.
+        ("images/fsl1.png", "images/fsr1.png", 2, 64, 16),
+        ("farmsim_01_left.png", "farmsim_01_right.png", 2, 64, 16),
+        ("caddy_32_left.jpg", "caddy_32_right.jpg", 2, 64, 16),
+        ("images/fsl2.png", "images/fsr2.png", 1, 32, 4),
+        ("images/fsl3.png", "images/fsr3.png", 1, 32, 4),
+        ("images/reef1_left.png", "images/reef1_right.png", 1, 32, 8),
     ],
 )
-def test_patchmatch_production_point_vs_oracle(lname, rname):
+def test_patchmatch_production_point_vs_oracle(lname, rname, scale, max_disp, chunks):
     """The <1 px contract AT THE PRODUCTION OPERATING POINT (BASELINE.md row
     2): the reference benchmark configuration — /2 input downsample, max_disp
     64 internal (= 128 full-scale), 3 iterations
@@ -111,18 +119,19 @@ def test_patchmatch_production_point_vs_oracle(lname, rname):
     right_wta + subpixel; scan_unroll=1 is bit-identical to the shipped
     full unroll, verified, and compiles ~10x faster on CPU)."""
     l, r = load_stereo_pair(reference_resource(lname), reference_resource(rname))
-    l = cv2.resize(l, (l.shape[1] // 2, l.shape[0] // 2))
-    r = cv2.resize(r, (r.shape[1] // 2, r.shape[0] // 2))
+    if scale > 1:
+        l = cv2.resize(l, (l.shape[1] // scale, l.shape[0] // scale))
+        r = cv2.resize(r, (r.shape[1] // scale, r.shape[0] // scale))
 
     p = PatchMatchParams(
-        max_disp=64, chunks=16, iters=3,
+        max_disp=max_disp, chunks=chunks, iters=3,
         right_wta=True, volume_bf16=True, subpixel=True, scan_unroll=1,
     )
     from ocean_perception_tpu.stereo.patchmatch import gradient_magnitude
 
     gl = gradient_magnitude(jnp.asarray(l))
     gr = gradient_magnitude(jnp.asarray(r))
-    C = cost_volume(jnp.asarray(l), jnp.asarray(r), 64, p.alpha, gl, gr, dtype=jnp.bfloat16)
+    C = cost_volume(jnp.asarray(l), jnp.asarray(r), max_disp, p.alpha, gl, gr, dtype=jnp.bfloat16)
     seed = np.asarray(sparse_wta_seed(C, p), np.float32)
     noise = np.asarray(unit_noise(l.shape, p.noise_seed))
 
@@ -171,15 +180,13 @@ def test_enhance_seathru_d3_sequence():
         assert np.isfinite(o).all()
         assert bool(info.success_backscatter), float(info.error_backscatter)
         assert float(info.error_backscatter) < 0.05
-        if i == 0:
-            assert bool(info.success_attenuation), float(info.error_attenuation)
-        else:
-            # Frame 2 is the SAME scene with a different manual color balance;
-            # reusing frame 1's beta_D lands just at the success boundary
-            # (~0.11 vs threshold 0.1) because the variants differ, not
-            # because the fit machinery degrades — pinned below with a fresh
-            # guess. Band keeps the reuse path regression-checked.
-            assert float(info.error_attenuation) < 0.2
+        # Both frames must SUCCEED (error < 0.1, enhance.cpp:54,78). The
+        # round-2 frame-2 slack (0.2) is gone: the numpy reference-LM oracle
+        # proved the neutral variant converges to ~0.023 when reseeded
+        # (tests/test_imaging_oracle.py::test_beta_reuse_band_adjudicated),
+        # and enhance_underwater now multi-starts {guess, G1, G2} so a
+        # near-stationary reused X can no longer trap the fit.
+        assert bool(info.success_attenuation), (i, float(info.error_attenuation))
         m = float(np.clip(o, 0, 1).mean())
         assert 0.1 < m < 0.8
 
@@ -207,24 +214,45 @@ def test_enhance_seathru_d3_sequence():
 @pytest.mark.slow
 def test_enhance_seathru_d5_site_guess_selection():
     """Per-site initial guesses matter (attenuation.hpp:12-29): on the D5
-    fixtures BetaInitialGuess2 converges while BetaInitialGuess1 stalls at
-    its (rejected) starting point — the fit must reflect that, and the
-    backscatter stage must succeed regardless."""
+    fixtures the RAW fit from BetaInitialGuess2 converges while
+    BetaInitialGuess1 stalls at its (rejected) starting point. At the
+    pipeline level enhance_underwater multi-starts {guess, G1, G2}, so ANY
+    supplied guess now reaches G2-quality on D5 (and backscatter succeeds
+    regardless)."""
+    from ocean_perception_tpu.imaging.attenuation import estimate_beta
+    from ocean_perception_tpu.imaging.backscatter import (
+        estimate_backscatter,
+        find_dark_mask,
+        remove_backscatter,
+    )
+    from ocean_perception_tpu.imaging.illuminant import estimate_illuminant_range_guided
     from ocean_perception_tpu.imaging.enhance import EnhanceParams, enhance_underwater
     from ocean_perception_tpu.imaging.formation import BETA_GUESS_1, BETA_GUESS_2
+    from ocean_perception_tpu.ops.image import compute_intensity
 
     rgb, z = _load_enhance_fixture("3374_bluegreen.png", "depth_3374.exr")
-    out2, info2 = enhance_underwater(
-        jnp.asarray(rgb), jnp.asarray(z), EnhanceParams(), jnp.asarray(BETA_GUESS_2)
-    )
+
+    # Raw-fit contract: per-guess basins exist (the reference's manual
+    # site-selection problem).
+    inten = compute_intensity(jnp.asarray(rgb))
+    dark = find_dark_mask(inten, jnp.asarray(z), 0.01)
+    bfit = estimate_backscatter(jnp.asarray(rgb), jnp.asarray(z), dark, num_px=256, iters=10)
+    D = remove_backscatter(jnp.asarray(rgb), jnp.asarray(z), bfit.B, bfit.beta_B)
+    radius = rgb.shape[1] // 3
+    radius += radius % 2
+    il = estimate_illuminant_range_guided(D, jnp.asarray(z), radius, 0.01, 8)
+    e2 = float(estimate_beta(jnp.asarray(z), il, num_px=256, iters=20, X0=jnp.asarray(BETA_GUESS_2)).error)
+    e1 = float(estimate_beta(jnp.asarray(z), il, num_px=256, iters=20, X0=jnp.asarray(BETA_GUESS_1)).error)
+    assert e2 < 5.0            # converges to a usable fit on deep (10 m) D5 scenes
+    assert e2 < e1 / 4.0       # the D5 guess beats the D1-D3 guess decisively
+
+    # Pipeline contract: multi-start rescues the BAD guess.
     out1, info1 = enhance_underwater(
         jnp.asarray(rgb), jnp.asarray(z), EnhanceParams(), jnp.asarray(BETA_GUESS_1)
     )
-    assert bool(info2.success_backscatter) and bool(info1.success_backscatter)
-    e2, e1 = float(info2.error_attenuation), float(info1.error_attenuation)
-    assert e2 < 5.0            # converges to a usable fit on deep (10 m) D5 scenes
-    assert e2 < e1 / 4.0       # the D5 guess beats the D1-D3 guess decisively
-    assert np.isfinite(np.asarray(out2)).all() and np.isfinite(np.asarray(out1)).all()
+    assert bool(info1.success_backscatter)
+    assert float(info1.error_attenuation) < 5.0
+    assert np.isfinite(np.asarray(out1)).all()
 
 
 @requires_reference

@@ -57,9 +57,34 @@ def make_inputs():
     return jnp.asarray(left_rgb), jnp.asarray(right_rgb)
 
 
-def oracle_parity():
-    """Median |TPU disparity - numpy CUDA-semantics oracle| on a real bundled
-    fixture at the reference benchmark operating point. Returns (px, name)."""
+# Oracle-parity matrix: every bundled real stereo fixture. Large pairs run
+# the production operating point (/2 downsample, D=64 = 128 full-scale, 3
+# iters); the tiny fsl2/fsl3 crops and reef run full-res with a
+# proportionate max_disp.
+#
+# `constrained` marks pairs where the scene actually pins the algorithm's
+# output. farmsim_01 and reef1 are measured-AMBIGUOUS: the CUDA-semantics
+# oracle diverges from ITSELF by ~1.15 px median under a different noise
+# draw there (vs 0.31 on fsl1), an independent SGBM referee puts
+# farmsim_01's true median disparity at ~7 px while PatchMatch (ours AND
+# the oracle) lands at 35/56 on its textureless water, and the reference's
+# own tests keep farmsim_01 commented out (patchmatch_gpu_test.cpp:49-56).
+# The <1 px contract is gated on the constrained pairs; the ambiguous pairs
+# are still reported (docs/PERFORMANCE.md round-3 notes).
+ORACLE_PAIRS = [
+    # (left, right, downscale, max_disp, chunks, constrained)
+    ("images/fsl1.png", "images/fsr1.png", 2, 64, 16, True),
+    ("farmsim_01_left.png", "farmsim_01_right.png", 2, 64, 16, False),
+    ("caddy_32_left.jpg", "caddy_32_right.jpg", 2, 64, 16, True),
+    ("images/fsl2.png", "images/fsr2.png", 1, 32, 4, True),
+    ("images/fsl3.png", "images/fsr3.png", 1, 32, 4, True),
+    ("images/reef1_left.png", "images/reef1_right.png", 1, 32, 8, False),
+]
+
+
+def oracle_parity_one(lname: str, rname: str, scale: int, max_disp: int, chunks: int):
+    """Median |TPU disparity - numpy CUDA-semantics oracle| on one bundled
+    real fixture pair. Returns px."""
     import os
 
     import cv2
@@ -74,22 +99,23 @@ def oracle_parity():
     )
 
     ref_dir = os.environ.get("OCEAN_REFERENCE_DIR", "/root/reference")
-    lp = os.path.join(ref_dir, "test/resources/images/fsl1.png")
-    rp = os.path.join(ref_dir, "test/resources/images/fsr1.png")
+    lp = os.path.join(ref_dir, "test/resources", lname)
+    rp = os.path.join(ref_dir, "test/resources", rname)
     if not os.path.isfile(lp):
         raise FileNotFoundError(lp)
     l = cv2.imread(lp, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
     r = cv2.imread(rp, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
-    l = cv2.resize(l, (l.shape[1] // 2, l.shape[0] // 2))
-    r = cv2.resize(r, (r.shape[1] // 2, r.shape[0] // 2))
+    if scale > 1:
+        l = cv2.resize(l, (l.shape[1] // scale, l.shape[0] // scale))
+        r = cv2.resize(r, (r.shape[1] // scale, r.shape[0] // scale))
 
     p = PatchMatchParams(
-        max_disp=64, chunks=16, iters=3,
+        max_disp=max_disp, chunks=chunks, iters=3,
         right_wta=True, volume_bf16=True, subpixel=True, scan_unroll=0,
     )
     gl = gradient_magnitude(jnp.asarray(l))
     gr = gradient_magnitude(jnp.asarray(r))
-    C = cost_volume(jnp.asarray(l), jnp.asarray(r), 64, p.alpha, gl, gr, dtype=jnp.bfloat16)
+    C = cost_volume(jnp.asarray(l), jnp.asarray(r), max_disp, p.alpha, gl, gr, dtype=jnp.bfloat16)
     seed = np.asarray(sparse_wta_seed(C, p), np.float32)
     noise = np.asarray(unit_noise(l.shape, p.noise_seed))
 
@@ -101,7 +127,27 @@ def oracle_parity():
     both = (ours > 0) & (ref > 0)
     if both.mean() <= 0.1:
         raise RuntimeError(f"oracle overlap too small: {both.mean():.3f}")
-    return float(np.median(np.abs(ours - ref)[both])), "fsl1@/2,D=64,3it"
+    return float(np.median(np.abs(ours - ref)[both]))
+
+
+def oracle_parity_matrix():
+    """Run the full fixture matrix; returns (per-pair dict, worst px over the
+    constrained pairs, fsl1 px)."""
+    per_pair = {}
+    worst_constrained = None
+    for lname, rname, scale, max_disp, chunks, constrained in ORACLE_PAIRS:
+        base = lname.split("/")[-1].split("_left")[0].split(".")[0]
+        key = f"{base}@/{scale},D={max_disp}"
+        try:
+            v = round(oracle_parity_one(lname, rname, scale, max_disp, chunks), 3)
+        except Exception as e:  # noqa: BLE001 — report partial coverage
+            print(f"oracle pair {lname} skipped: {e}", file=sys.stderr)
+            v = None
+        per_pair[key] = v
+        if constrained and v is not None:
+            worst_constrained = v if worst_constrained is None else max(worst_constrained, v)
+    fsl1 = per_pair.get("fsl1@/2,D=64")
+    return per_pair, worst_constrained, fsl1
 
 
 def main() -> None:
@@ -194,13 +240,14 @@ def main() -> None:
     # stand-in for the north star's multi-camera sensor package (across
     # chips the cam axis shards via multi_camera_step). B=8 trips an XLA
     # TPU fusion-emitter crash (pad_low=-4 internal check) on this
-    # toolchain; B=4 is the largest batch that compiles.
-    B8 = 4
-    bl8 = jnp.stack([left] * B8)
-    br8 = jnp.stack([right] * B8)
+    # toolchain (docs/PERFORMANCE.md); B=4 is the largest batch that
+    # compiles.
+    B4 = 4
+    bl4 = jnp.stack([left] * B4)
+    br4 = jnp.stack([right] * B4)
 
     @jax.jit
-    def stream_cam8(l, r):
+    def stream_cam4(l, r):
         def frame(carry, i):
             out = jax.vmap(lambda a, b: perception_step(a, b, rig, config))(
                 l + carry * 1e-12 + i.astype(jnp.float32) * 1e-7, r
@@ -209,20 +256,20 @@ def main() -> None:
             return digest, digest
 
         final, _ = jax.lax.scan(
-            frame, jnp.asarray(0.0, jnp.float32), jnp.arange(N_FRAMES // B8)
+            frame, jnp.asarray(0.0, jnp.float32), jnp.arange(N_FRAMES // B4)
         )
         return final
 
-    float(stream_cam8(bl8, br8))
-    best_8 = np.inf
+    float(stream_cam4(bl4, br4))
+    best_4 = np.inf
     for rep in range(N_REPEATS):
         t0 = time.perf_counter()
-        float(stream_cam8(bl8 + np.float32((rep + 1) * 1e-7), br8))
-        best_8 = min(best_8, time.perf_counter() - t0)
-    fps_cam8_total = N_FRAMES / best_8          # frames/sec across the package
-    fps_per_camera_x8 = fps_cam8_total / B8     # per-camera rate at B=8
+        float(stream_cam4(bl4 + np.float32((rep + 1) * 1e-7), br4))
+        best_4 = min(best_4, time.perf_counter() - t0)
+    fps_cam4_total = N_FRAMES / best_4          # frames/sec across the package
+    fps_per_camera_x4 = fps_cam4_total / B4     # per-camera rate at B=4
 
-    fps = max(fps_single, fps_batched, fps_cam8_total)
+    fps = max(fps_single, fps_batched, fps_cam4_total)
 
     # Accuracy half of the BASELINE metric: median |disparity error| on the
     # known-truth scene over valid (non-masked) pixels.
@@ -241,16 +288,18 @@ def main() -> None:
     med_err, valid_frac = float(med_err), float(valid_frac)
 
     # BASELINE row 2 as written: median |disparity - CUDA-reference-oracle|
-    # on a bundled REAL fixture at the reference benchmark operating point
-    # (/2 downsample, max_disp 64 internal = 128 full-scale, 3 iters,
-    # patchmatch_gpu_test.cpp:63-93) with the shipped production config
-    # (bf16 volume + right_wta + subpixel + full unroll).
-    oracle_diff_px = oracle_fixture = None
+    # on the bundled REAL fixtures ("bundled test datasets") at the
+    # production operating point (patchmatch_gpu_test.cpp:63-93) with the
+    # shipped config (bf16 volume + right_wta + subpixel + full unroll).
+    # THIS is the accuracy headline; the synthetic-scene median below it is
+    # the easiest possible input for a propagation algorithm and is reported
+    # only for continuity.
+    oracle_pairs = oracle_worst = oracle_fsl1 = None
     if ENGINE == "patchmatch":
         try:
-            oracle_diff_px, oracle_fixture = oracle_parity()
+            oracle_pairs, oracle_worst, oracle_fsl1 = oracle_parity_matrix()
         except Exception as e:  # fixture mount or host-CPU issue: report null
-            print(f"oracle parity check skipped: {e}", file=sys.stderr)
+            print(f"oracle parity matrix skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -262,16 +311,18 @@ def main() -> None:
                 "streaming_frames": N_FRAMES,
                 "fps_single_stream": round(fps_single, 2),
                 "fps_batched_x2": round(fps_batched, 2),
-                "fps_multicam_x4_total": round(fps_cam8_total, 2),
-                "fps_per_camera_x4": round(fps_per_camera_x8, 2),
+                "fps_multicam_x4_total": round(fps_cam4_total, 2),
+                "fps_per_camera_x4": round(fps_per_camera_x4, 2),
                 "single_dispatch_latency_ms": round(latency_ms, 1),
                 "rpc_floor_ms": round(rpc_floor_ms, 1),
-                "median_disparity_error_px": round(med_err, 3),
+                "median_abs_diff_vs_oracle_px": oracle_fsl1,
+                # Worst over the CONSTRAINED pairs (fsl1-3, caddy); the
+                # measured-ambiguous farmsim_01/reef1 appear in
+                # oracle_pairs_px (see ORACLE_PAIRS note).
+                "oracle_diff_px_worst": oracle_worst,
+                "oracle_pairs_px": oracle_pairs,
+                "synthetic_scene_median_error_px": round(med_err, 3),
                 "valid_disparity_fraction": round(valid_frac, 3),
-                "median_abs_diff_vs_oracle_px": (
-                    round(oracle_diff_px, 3) if oracle_diff_px is not None else None
-                ),
-                "oracle_fixture": oracle_fixture,
             }
         )
     )

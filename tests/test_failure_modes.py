@@ -53,6 +53,82 @@ def test_vision_dropout_switches_mode_and_keeps_estimating():
     assert np.isfinite(np.asarray(results[-1].p)).all()
 
 
+def _run_camera_silence(threaded: bool):
+    """Good tracking, then the camera dies ENTIRELY (no frames at all — cable
+    pull / driver hang, the §5.3 first-class failure). The VO-timeout check
+    must flip the mode machine to VISION_UNAVAILABLE from the IMU path so
+    keyposes keep appearing at min_sec cadence (reference
+    state_estimator.cpp:336-397 WaitForResultOrTimeout)."""
+    import cv2
+
+    H, W = 120, 160
+    rng = np.random.default_rng(7)
+    canvas = rng.random((H, W)).astype(np.float32)
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 1.0) * 0.8 + 0.1
+    disp_px = 8
+    left = canvas
+    right = np.roll(canvas, -disp_px, axis=1)
+
+    cam = PinholeCamera.create(200.0, 200.0, 80.0, 60.0, H, W)
+    rig = StereoCamera.create(cam, cam, 0.2)
+    params = StateEstimatorParams(
+        n_gravity=GRAVITY.copy(),
+        smoother=SmootherConfig(window=8, iterations=3),
+        max_imu_per_keypose=128,
+        min_sec_btw_keyposes=0.5,
+        max_sec_btw_keyposes=1.0,
+    )
+    if threaded:
+        from ocean_perception_tpu.vio.threaded_estimator import ThreadedStateEstimator
+
+        est = ThreadedStateEstimator(params, rig)
+        core = est.core
+    else:
+        est = core = StateEstimator(params, rig)
+
+    keypose_times = []
+    core.smoother_callbacks.append(
+        lambda r: keypose_times.append(float(r.timestamp))
+    )
+    est.initialize(0, np.eye(4))
+
+    # 2 s of good stereo (static scene => identity VO) + 100 Hz IMU at rest.
+    t_ns = 0
+    for i in range(1, 701):  # 7 s of IMU
+        t_ns = int(i * 1e7)
+        est.receive_imu(ImuMeasurement(t_ns, np.zeros(3), -GRAVITY))
+        if i % 10 == 0 and i <= 200:  # stereo at 10 Hz, dies at t=2 s
+            est.receive_stereo(StereoImage(t_ns + 1, 0, left, right))
+        if threaded and i % 100 == 0:
+            est.wait_idle(timeout=120)
+    if threaded:
+        # First-use jit compiles (tracker + solve) can take minutes on a
+        # loaded CI box; wait_idle tracks in-flight vision work.
+        assert est.wait_idle(timeout=900), "threaded estimator failed to drain"
+        est.shutdown()
+
+    assert core.mode is SmootherMode.VISION_UNAVAILABLE
+    # Vision died at t=2.0; the VO timeout flips the mode by ~3.1 s and
+    # fallback keyposes then appear at min_sec cadence until t=7.
+    late = [t for t in keypose_times if t > 3.2]
+    assert len(late) >= 5, f"keyposes stalled after camera death: {keypose_times}"
+    gaps = np.diff(sorted(late))
+    assert gaps.max() < 0.75, f"fallback cadence too slow: {gaps}"
+    # Stationary platform: bounded position error throughout.
+    p = np.asarray(core.smoother_state().world_T_body[:3, 3])
+    assert np.linalg.norm(p) < 0.5
+
+
+@pytest.mark.slow
+def test_camera_silence_keeps_keyposes_alive():
+    _run_camera_silence(threaded=False)
+
+
+@pytest.mark.slow
+def test_camera_silence_threaded():
+    _run_camera_silence(threaded=True)
+
+
 def test_mag_factor_numerical_derivative():
     """Autodiff through the mag residual matches finite differences
     (mag_pose_factor_test.cpp parity — there vs GTSAM numericalDerivative)."""

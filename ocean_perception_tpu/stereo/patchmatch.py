@@ -69,6 +69,14 @@ class PatchMatchParams:
     # passes via index_map instead of materialized flips). Bit-identical to
     # the XLA scan; interpret-mode off TPU.
     use_pallas_propagate: bool = struct.field(pytree_node=False, default=False)
+    # Route the ENTIRE per-side match (noise + all 12 directional passes +
+    # cost-map refresh + MaskBackground) through ONE whole-frame Pallas
+    # kernel: both strip-layout volume copies stay VMEM-resident, the front
+    # never leaves VMEM, layout changes are exact MXU permutation matmuls
+    # (ops/pallas/fused_patchmatch.py). Bit-identical to the XLA path.
+    # Requires the VMEM budget check (fused_supported) and right_wta=True;
+    # silently falls back to the XLA path otherwise.
+    use_pallas_fused: bool = struct.field(pytree_node=False, default=False)
     # Store the volume in bfloat16 (halves its HBM traffic; ~0.4% relative
     # cost error can flip near-tie argmin picks — off for exact parity).
     volume_bf16: bool = struct.field(pytree_node=False, default=False)
@@ -372,7 +380,28 @@ def _full_cost_map(C: jnp.ndarray, disp: jnp.ndarray, pr: int) -> jnp.ndarray:
     return jnp.sum(C * onehot, axis=-1)
 
 
+def _fused_available(C: jnp.ndarray, p: PatchMatchParams) -> bool:
+    from ..ops.pallas.fused_patchmatch import fused_supported
+
+    H, W, D = C.shape
+    return fused_supported(
+        H, W, D, p.chunks, p.chunks_y, p.halo, p.patch_radius,
+        bf16=(C.dtype == jnp.bfloat16),
+    )
+
+
 def _match_one_side(C: jnp.ndarray, seed: jnp.ndarray, noise: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
+    if p.use_pallas_fused and _fused_available(C, p):
+        from ..ops.pallas.fused_patchmatch import pallas_patchmatch_fused
+
+        interpret = jax.default_backend() not in ("tpu",)
+        return pallas_patchmatch_fused(
+            C, seed, noise,
+            chunks=p.chunks, chunks_y=p.chunks_y, halo=p.halo,
+            pr=p.patch_radius, iters=p.iters,
+            noise_scale0=p.noise_scale0, improve=p.improve_factor,
+            interpret=interpret,
+        )
     rows = _layout_rows(C, p)
     cols = _layout_cols(C, p)
     disp = seed

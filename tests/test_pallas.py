@@ -29,6 +29,44 @@ def test_pallas_supported_budget():
     assert not pallas_supported(2160, 3840, 256)
 
 
+@pytest.mark.slow
+def test_pallas_fused_bit_identical(rng):
+    """The whole-frame fused kernel (ops/pallas/fused_patchmatch.py) must be
+    BIT-IDENTICAL to the XLA _match_one_side across noise + all passes +
+    cost refresh + MaskBackground, f32 and bf16 volumes (interpret mode on
+    CPU; hardware parity re-checked by examples/bench_fused_patchmatch.py)."""
+    from ocean_perception_tpu.stereo import PatchMatchParams, patchmatch_disparity
+
+    H, W = 48, 64
+    canvas = rng.random((H, W + 16)).astype(np.float32)
+    l = jnp.asarray(canvas[:, 8 : 8 + W])
+    r = jnp.asarray(canvas[:, 5 : 5 + W])
+    for extra in (
+        dict(subpixel=False),
+        dict(subpixel=True, volume_bf16=True),
+    ):
+        base = dict(max_disp=16, chunks=4, iters=2, right_wta=True, **extra)
+        a = np.asarray(patchmatch_disparity(l, r, PatchMatchParams(**base)).left_raw)
+        b = np.asarray(
+            patchmatch_disparity(
+                l, r, PatchMatchParams(use_pallas_fused=True, **base)
+            ).left_raw
+        )
+        np.testing.assert_array_equal(a, b)
+        assert (a > 0).mean() > 0.2
+
+
+def test_fused_supported_budget():
+    from ocean_perception_tpu.ops.pallas.fused_patchmatch import fused_supported
+
+    # Production point, bf16: both volume layouts fit the VMEM budget.
+    assert fused_supported(360, 640, 64, 16, None, 5, 1, bf16=True)
+    # f32 at the production point does NOT fit (two ~59-79 MB copies).
+    assert not fused_supported(360, 640, 64, 16, None, 5, 1, bf16=False)
+    # Strip geometry must leave room for the halo arithmetic.
+    assert not fused_supported(48, 48, 16, 8, None, 5, 1, bf16=True)
+
+
 def test_pallas_propagate_bit_identical(rng):
     """The fused Pallas propagation pass must be BIT-IDENTICAL to the XLA
     scan path (same one-hot lookup, clamps, and masks), f32 and bf16

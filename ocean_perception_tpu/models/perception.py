@@ -35,6 +35,12 @@ class PerceptionConfig:
     max_depth: float = struct.field(pytree_node=False, default=20.0)
     enhance: EnhanceParams = struct.field(pytree_node=False, default=EnhanceParams())
     run_enhance: bool = struct.field(pytree_node=False, default=True)
+    # Propagation-scan unroll (stereo.PatchMatchParams.scan_unroll). 0 = full
+    # unroll — fastest single-frame/B<=4, but under a B>=8 vmap the giant
+    # straight-line fusions SIGABRT the XLA TPU fusion emitter (pad_low=-4
+    # internal check; docs/PERFORMANCE.md round-3 diagnosis). Use 1 for
+    # B>=8 multi-camera batches — compiles and runs.
+    scan_unroll: int = struct.field(pytree_node=False, default=0)
 
 
 class PerceptionOutput(NamedTuple):
@@ -71,11 +77,12 @@ def perception_step(
         # for the occlusion check, and a bf16 volume (halves the dominant
         # HBM stream). Quality verified <0.1 px median in tests/bench.
         pm = PatchMatchParams(
-            max_disp=d_small, chunks=16, right_wta=True, volume_bf16=True, scan_unroll=0
+            max_disp=d_small, chunks=16, right_wta=True, volume_bf16=True,
+            scan_unroll=config.scan_unroll,
         )
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
     elif config.engine == "sgm":
-        sp = SgmParams(max_disp=d_small, scan_unroll=0)
+        sp = SgmParams(max_disp=d_small, scan_unroll=config.scan_unroll)
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.SGM, sgm_params=sp)
     else:
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.WTA, max_disp=d_small)

@@ -157,7 +157,11 @@ def _penalty(dim: int, n_lanes: int, chunks: int, chunk: int, halo: int, pr: int
 
 def _onehot_cost(Vp, idx, ids):
     """sum_d Vp[c,d,n] * [idx[c,n] == d] — exactly one nonzero term per
-    (c, n), so the reduction is EXACT regardless of order/dtype."""
+    (c, n), so the reduction is EXACT regardless of order/dtype.
+
+    `ids` is a STREAMED input, not an in-kernel iota: compiled Mosaic
+    silently mis-lays-out sublane-axis iotas (replicated along lanes) —
+    the round-2 "replicated i1" bug class; interpret mode hides it."""
     idx3 = idx[:, None, :] + jnp.zeros_like(ids)   # full-shape both sides
     onehot = (idx3 == ids).astype(Vp.dtype)
     return jnp.sum(Vp * onehot, axis=1)
@@ -168,21 +172,28 @@ def _roll_fix(plane, shift, edge, first01, last01):
 
     plane: (chunks, N) or (chunks, D, N); edge: (N,) or (D, N) — the stored
     value at the clamped absolute position; first01/last01: f32 0/1 chunk
-    masks (full-shape, precomputed — no replicated-i1 layouts)."""
+    masks (STREAMED inputs, full-shape — no replicated-i1 layouts). Edge
+    broadcasts are materialized through +zeros so no replicated operand
+    reaches the select."""
     rank3 = plane.ndim == 3
     m01 = first01 if shift == -1 else last01
     rolled = jnp.roll(plane, 1 if shift == -1 else -1, axis=0)
     if rank3:
         cond = (m01[:, None, :] + jnp.zeros_like(rolled, dtype=m01.dtype)) > 0.5
-        return jnp.where(cond, edge[None, :, :].astype(rolled.dtype), rolled)
+        edge_full = edge[None, :, :].astype(rolled.dtype) + jnp.zeros_like(rolled)
+        return jnp.where(cond, edge_full, rolled)
     cond = (m01 + jnp.zeros_like(rolled, dtype=m01.dtype)) > 0.5
-    return jnp.where(cond, edge[None, :].astype(rolled.dtype), rolled)
+    edge_full = edge[None, :].astype(rolled.dtype) + jnp.zeros_like(rolled)
+    return jnp.where(cond, edge_full, rolled)
 
 
 def _kernel(
-    # inputs
+    # inputs (iotas/masks/coords are STREAMED — compiled Mosaic mis-lays-out
+    # in-kernel sublane-axis iotas; interpret mode hides it)
     V_row, V_col, seed_row, noise_row, pen_row, pen_col, interior_col,
     PxT, Py, QhT, Pw,
+    ids_row_ref, ids_col_ref, c_row_ref, x_col_ref,
+    first_row_ref, last_row_ref, first_col_ref, last_col_ref,
     # outputs
     out_col,
     # scratch
@@ -191,20 +202,14 @@ def _kernel(
 ):
     f32 = jnp.float32
     cdtype = V_row.dtype
-    ids_row = jax.lax.broadcasted_iota(jnp.int32, (g.chunks_x, g.D, g.H), 1)
-    ids_col = jax.lax.broadcasted_iota(jnp.int32, (g.chunks_y, g.D, g.W), 1)
-    c_row = jax.lax.broadcasted_iota(jnp.int32, (g.chunks_x, g.H), 0).astype(f32)
-    x_col = jax.lax.broadcasted_iota(jnp.int32, (g.chunks_y, g.W), 1).astype(f32)
-
-    def chunk01(chunks, N, target):
-        m = jax.lax.broadcasted_iota(jnp.int32, (chunks, N), 0)
-        t = jnp.zeros_like(m) + target
-        return (m == t).astype(f32)
-
-    first_row01 = chunk01(g.chunks_x, g.H, 0)
-    last_row01 = chunk01(g.chunks_x, g.H, g.chunks_x - 1)
-    first_col01 = chunk01(g.chunks_y, g.W, 0)
-    last_col01 = chunk01(g.chunks_y, g.W, g.chunks_y - 1)
+    ids_row = ids_row_ref[...]
+    ids_col = ids_col_ref[...]
+    c_row = c_row_ref[...]
+    x_col = x_col_ref[...]
+    first_row01 = first_row_ref[...]
+    last_row01 = last_row_ref[...]
+    first_col01 = first_col_ref[...]
+    last_col01 = last_col_ref[...]
 
     # -- one directional pass, fully unrolled --------------------------------
     def run_pass(orientation: str, direction: int):
@@ -343,16 +348,16 @@ def _kernel(
             col_to_row(C_col, C_row, cdtype)
 
     # -- MaskBackground in col layout (cu:233-270) ----------------------------
-    # The improve*cost0 product stays in the VOLUME dtype: the XLA path
-    # multiplies a python float into a bf16 array (weak typing), and an f32
-    # product here flips keep decisions at bf16 rounding boundaries.
+    # Threshold computed in f32, exactly as the (pinned) XLA mask_background
+    # does: a bf16 product would be backend-dependent (XLA keeps bf16
+    # products in excess f32 precision; Mosaic has no bf16 compare at all).
     half = 0.5
     for i in range(g.chunk_y):
         disp = D_col[i]
         d_eff = jnp.minimum(disp, x_col - float(g.pr))
         idx = jnp.clip(jnp.round(d_eff), 0, g.D - 1).astype(jnp.int32)
-        cost_d = _onehot_cost(V_col[i], idx, ids_col)
-        cost0 = V_col[i][:, 0, :]
+        cost_d = _onehot_cost(V_col[i], idx, ids_col).astype(f32)
+        cost0 = V_col[i][:, 0, :].astype(f32)
         inter = interior_col[i]
         keep = (cost_d < improve * cost0) & (inter > (jnp.zeros_like(inter) + half))
         out_col[i] = jnp.where(keep, disp, 0.0)
@@ -407,6 +412,30 @@ def pallas_patchmatch_fused(
     pen_col = jnp.asarray(_penalty(H, W, g.chunks_y, g.chunk_y, halo, pr))
     PxT, Py, QhT, Pw = (jnp.asarray(m) for m in _perm_constants(g))
 
+    # Streamed iota/mask/coordinate constants (see _kernel docstring).
+    ids_row = jnp.asarray(
+        np.broadcast_to(np.arange(D, dtype=np.int32)[None, :, None], (g.chunks_x, D, H)).copy()
+    )
+    ids_col = jnp.asarray(
+        np.broadcast_to(np.arange(D, dtype=np.int32)[None, :, None], (g.chunks_y, D, W)).copy()
+    )
+    c_row = jnp.asarray(
+        np.broadcast_to(np.arange(g.chunks_x, dtype=np.float32)[:, None], (g.chunks_x, H)).copy()
+    )
+    x_col = jnp.asarray(
+        np.broadcast_to(np.arange(W, dtype=np.float32)[None, :], (g.chunks_y, W)).copy()
+    )
+
+    def chunk01(chunks, N, target):
+        m = np.zeros((chunks, N), np.float32)
+        m[target] = 1.0
+        return jnp.asarray(m)
+
+    first_row01 = chunk01(g.chunks_x, H, 0)
+    last_row01 = chunk01(g.chunks_x, H, g.chunks_x - 1)
+    first_col01 = chunk01(g.chunks_y, W, 0)
+    last_col01 = chunk01(g.chunks_y, W, g.chunks_y - 1)
+
     yy = np.repeat(np.arange(H)[:, None], W, 1)
     xx = np.repeat(np.arange(W)[None, :], H, 0)
     interior = ((yy >= pr) & (yy <= H - pr - 1) & (xx >= pr) & (xx <= W - pr - 1))
@@ -421,7 +450,7 @@ def pallas_patchmatch_fused(
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     out_col = pl.pallas_call(
         kernel,
-        in_specs=[vspec() for _ in range(11)],
+        in_specs=[vspec() for _ in range(19)],
         out_specs=vspec(),
         out_shape=jax.ShapeDtypeStruct((g.chunk_y, g.chunks_y, W), jnp.float32),
         scratch_shapes=[
@@ -439,6 +468,8 @@ def pallas_patchmatch_fused(
     )(
         V_row, V_col, seed_row, noise_row, pen_row, pen_col, interior_col,
         PxT, Py, QhT, Pw,
+        ids_row, ids_col, c_row, x_col,
+        first_row01, last_row01, first_col01, last_col01,
     )
     # col layout -> canonical (H, W).
     return jnp.transpose(out_col, (1, 0, 2)).reshape(H, W)

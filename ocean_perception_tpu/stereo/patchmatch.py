@@ -302,7 +302,12 @@ def mask_background(
     x = jnp.arange(W, dtype=disp.dtype)[None, :]
     cost0 = C[..., 0]
     cost_d = _lookup_cost(C, disp, x, pr)
-    keep = cost_d < p.improve_factor * cost0
+    # Threshold pinned to f32 EXPLICITLY: for bf16 volumes the product
+    # 0.8*cost0 is otherwise backend-dependent (XLA keeps bf16 products in
+    # excess f32 precision when allowed; Mosaic has no bf16 compare at all).
+    # Pinning makes the keep decision identical across CPU/TPU/Pallas —
+    # the fused kernel computes the same f32 expression.
+    keep = cost_d.astype(jnp.float32) < p.improve_factor * cost0.astype(jnp.float32)
     yy = (jnp.arange(H) if row_ids is None else row_ids)[:, None]
     Hg = H if n_rows is None else n_rows
     interior = (yy >= pr) & (yy <= Hg - pr - 1) & (x >= pr) & (x <= W - pr - 1)

@@ -298,20 +298,28 @@ def _kernel(
             carry = new_d
 
     # -- layout conversions (exact permutation matmuls on the MXU) ------------
+    # precision=HIGHEST is LOAD-BEARING for exactness: the default f32 MXU
+    # path truncates inputs to bf16 (measured 2^-9 error on hardware), which
+    # corrupts every transported disparity/cost. With hi+lo operand
+    # splitting, a product against an exact-1.0 permutation weight
+    # reconstructs the full f32 value (a_hi*1 + a_lo*1), so the transport is
+    # bit-exact again.
+    PREC = jax.lax.Precision.HIGHEST
+
     def row_to_col(src_ref, dst_ref, dtype):
         A2 = src_ref[...].astype(f32).reshape(g.W, g.H)
         U = jax.lax.dot_general(A2, PxT[...], (((0,), (0,)), ((), ())),
-                                preferred_element_type=f32)      # (H, W)
+                                preferred_element_type=f32, precision=PREC)
         X = jax.lax.dot_general(Py[...], U, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32)
+                                preferred_element_type=f32, precision=PREC)
         dst_ref[...] = X.reshape(g.chunk_y, g.chunks_y, g.W).astype(dtype)
 
     def col_to_row(src_ref, dst_ref, dtype):
         A2 = src_ref[...].astype(f32).reshape(g.H, g.W)
         U = jax.lax.dot_general(A2, QhT[...], (((0,), (0,)), ((), ())),
-                                preferred_element_type=f32)      # (W, H)
+                                preferred_element_type=f32, precision=PREC)
         X = jax.lax.dot_general(Pw[...], U, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32)
+                                preferred_element_type=f32, precision=PREC)
         dst_ref[...] = X.reshape(g.chunk_x, g.chunks_x, g.H).astype(dtype)
 
     # -- cost map refresh in row layout (XLA _full_cost_map) ------------------

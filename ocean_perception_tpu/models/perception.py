@@ -41,6 +41,11 @@ class PerceptionConfig:
     # internal check; docs/PERFORMANCE.md round-3 diagnosis). Use 1 for
     # B>=8 multi-camera batches — compiles and runs.
     scan_unroll: int = struct.field(pytree_node=False, default=0)
+    # Route PatchMatch through the whole-frame fused Pallas kernel
+    # (ops/pallas/fused_patchmatch.py): bit-identical, measured 1.2x the
+    # fully-unrolled XLA path at the production point on v5e. Costs a long
+    # (~9 min) one-time Mosaic compile, so it stays opt-in.
+    use_pallas_fused: bool = struct.field(pytree_node=False, default=False)
 
 
 class PerceptionOutput(NamedTuple):
@@ -79,6 +84,7 @@ def perception_step(
         pm = PatchMatchParams(
             max_disp=d_small, chunks=16, right_wta=True, volume_bf16=True,
             scan_unroll=config.scan_unroll,
+            use_pallas_fused=config.use_pallas_fused,
         )
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
     elif config.engine == "sgm":

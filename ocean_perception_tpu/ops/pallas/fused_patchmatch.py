@@ -20,6 +20,15 @@ is the design those notes kept naming: one pallas_call per FRAME —
 - the iteration-start cost-map refresh and the final MaskBackground sweep
   (patchmatch_gpu.cu:233-270) are folded in.
 
+MEASURED ON HARDWARE (v5e, production point (360, 640, 64) bf16, same-run
+min-of-3): **4.18 ms/frame vs 5.01 ms/frame for the fully-unrolled XLA
+path — 1.20x — with bit-identical output (equal_frac 1.0)**. The round-2
+"XLA WINS" verdict is overturned by this shape. One-time Mosaic compile is
+~9 min, so the kernel stays opt-in (docs/PERFORMANCE.md round-3 notes,
+incl. the two silent-wrongness hardware bugs: compiled sublane-iota
+mis-layout -> stream all iotas as inputs; default-precision MXU bf16
+operand truncation -> Precision.HIGHEST on the permutation matmuls).
+
 Bit-parity with stereo.patchmatch._match_one_side (and hence with the CUDA
 semantics oracle) is structural, not approximate: every cost lookup is a
 one-hot contraction whose sum has exactly ONE nonzero term — float summation

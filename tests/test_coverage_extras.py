@@ -238,6 +238,48 @@ def test_camera_recorder_node_roundtrip(tmp_path, rng):
     assert stereo[0].left.shape == (16, 20)
 
 
+def test_uvc_capture_to_euroc(tmp_path, rng):
+    """UVC/video capture → EuRoC writer: the SDK-free half of the reference's
+    zed_recorder capture loop (zed_recorder.cpp:95-215 — a ZED without its
+    SDK is a UVC device delivering side-by-side stereo frames)."""
+    cv2 = pytest.importorskip("cv2")
+    from ocean_perception_tpu.datasets.euroc import EurocDataset
+    from ocean_perception_tpu.datasets.euroc import EurocDataWriter
+    from ocean_perception_tpu.fabric.nodes.camera_recorder import UvcStereoSource
+
+    # Side-by-side stereo video: left half bright, right half dark.
+    H, W = 32, 48
+    path = str(tmp_path / "sbs.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (2 * W, H))
+    assert vw.isOpened()
+    for k in range(6):
+        frame = np.zeros((H, 2 * W, 3), np.uint8)
+        frame[:, :W] = 200 - 5 * k
+        frame[:, W:] = 40 + 5 * k
+        vw.write(frame)
+    vw.release()
+
+    writer = EurocDataWriter(str(tmp_path / "out"))
+    src = UvcStereoSource(path, sbs=True, camera_hz=100.0, max_duration_sec=30.0)
+    n = src.capture(writer, max_frames=4)
+    writer.finish()
+    assert n == 4
+
+    ds = EurocDataset(str(tmp_path / "out"))
+    frames = []
+    ds.register_stereo_callback(lambda m: frames.append(m))
+    while ds.step():
+        pass
+    assert len(frames) == 4
+    assert frames[0].left.shape == (H, W)
+    # left side must be the bright half (MJPG is lossy: wide tolerance)
+    assert float(np.mean(frames[0].left)) > 0.6
+    assert float(np.mean(frames[0].right)) < 0.4
+    # timestamps strictly increasing
+    ts = [f.timestamp for f in frames]
+    assert all(b > a for a, b in zip(ts, ts[1:]))
+
+
 @pytest.mark.slow
 def test_object_mesher_node_publishes_mesh(rng):
     from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera

@@ -38,9 +38,7 @@ def make_inputs(B):
     )
 
 
-def time_stream(fn, args, n_frames, n_repeats=3):
-    """fn(carry, *args) -> digest scalar; scanned n_frames times."""
-
+def _time_once(fn, args, n_frames, n_repeats=3):
     @jax.jit
     def stream(*a):
         def body(carry, i):
@@ -57,7 +55,21 @@ def time_stream(fn, args, n_frames, n_repeats=3):
         t0 = time.perf_counter()
         float(stream(*pa))
         best = min(best, time.perf_counter() - t0)
-    return best / n_frames * 1e3  # ms per scan step
+    return best
+
+
+def time_stream(fn, args, n_frames, n_repeats=3, slope=False):
+    """fn(carry, *args) -> digest scalar; scanned n_frames times.
+
+    slope=True cancels the per-dispatch RPC floor (which can exceed the
+    entire cost of a small stage's scan) by timing at n and 3n steps and
+    taking (t_3n - t_n) / 2n — the floor is identical in both dispatches.
+    """
+    if not slope:
+        return _time_once(fn, args, n_frames, n_repeats) / n_frames * 1e3
+    t1 = _time_once(fn, args, n_frames, n_repeats)
+    t3 = _time_once(fn, args, 3 * n_frames, n_repeats)
+    return max(t3 - t1, 0.0) / (2 * n_frames) * 1e3
 
 
 def main():
@@ -65,6 +77,8 @@ def main():
     ap.add_argument("--stages", default="")
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--slope", action="store_true",
+                    help="floor-cancelling two-length timing (see time_stream)")
     args = ap.parse_args()
 
     from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
@@ -173,10 +187,11 @@ def main():
     stages["gray+pyr+upsample"] = (upsample, (l, r, z))
 
     sel = [s.strip() for s in args.stages.split(",") if s.strip()] or list(stages)
-    print(f"B={B}, {args.frames} scan steps, min-of-3, ms per step (all {B} cameras):")
+    mode = "slope (floor-cancelled)" if args.slope else "min-of-3"
+    print(f"B={B}, {args.frames} scan steps, {mode}, ms per step (all {B} cameras):")
     for name in sel:
         fn, a = stages[name]
-        ms = time_stream(fn, a, args.frames)
+        ms = time_stream(fn, a, args.frames, slope=args.slope)
         print(f"  {name:24s} {ms:8.3f} ms/step  ({ms / B:6.3f} ms/frame)")
 
 

@@ -46,6 +46,12 @@ class PerceptionConfig:
     # fully-unrolled XLA path at the production point on v5e. Costs a long
     # (~9 min) one-time Mosaic compile, so it stays opt-in.
     use_pallas_fused: bool = struct.field(pytree_node=False, default=False)
+    # PatchMatch strip count (stereo.PatchMatchParams.chunks). 16 = the
+    # reference's own decomposition and the measured single-frame/B=2
+    # optimum (chunks=24/32 regress; docs/PERFORMANCE.md). Exposed because
+    # batched multi-camera steps already carry a B-wide parallel axis, so
+    # fewer/wider strips (less halo recompute) can win there.
+    chunks: int = struct.field(pytree_node=False, default=16)
 
 
 class PerceptionOutput(NamedTuple):
@@ -82,8 +88,8 @@ def perception_step(
         # for the occlusion check, and a bf16 volume (halves the dominant
         # HBM stream). Quality verified <0.1 px median in tests/bench.
         pm = PatchMatchParams(
-            max_disp=d_small, chunks=16, right_wta=True, volume_bf16=True,
-            scan_unroll=config.scan_unroll,
+            max_disp=d_small, chunks=config.chunks, right_wta=True,
+            volume_bf16=True, scan_unroll=config.scan_unroll,
             use_pallas_fused=config.use_pallas_fused,
         )
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)

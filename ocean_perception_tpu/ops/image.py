@@ -68,14 +68,39 @@ def gradient_magnitude(image: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(gx * gx + gy * gy)
 
 
+def _box_sum_1d(padded: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """Windowed sum of width k along `axis` via cumsum difference (O(1)/px)."""
+    S = jnp.cumsum(padded, axis=axis)
+    zero_shape = list(S.shape)
+    zero_shape[axis] = 1
+    S0 = jnp.concatenate([jnp.zeros(zero_shape, S.dtype), S], axis=axis)
+    n_out = padded.shape[axis] - k + 1
+    hi = jax.lax.slice_in_dim(S0, k, k + n_out, axis=axis)
+    lo = jax.lax.slice_in_dim(S0, 0, n_out, axis=axis)
+    return hi - lo
+
+
+# Above this radius the integral (cumsum) path replaces the shifted-add
+# separable conv: the shift formulation unrolls 2r+1 adds PER AXIS at trace
+# time — at the fast-guided-filter's r≈107 that is ~430 full-plane adds per
+# box_filter call, which dominated the enhance stage profile
+# (examples/profile_b4_enhance.py --slope: illuminant 0.70 ms/frame).
+_BOX_SHIFT_MAX_RADIUS = 8
+
+
 def box_filter(image: jnp.ndarray, radius: int, normalize: bool = True) -> jnp.ndarray:
     """(2r+1)² box sum/mean with reflect-101 borders (cv::boxFilter parity)."""
-    k = np.ones(2 * radius + 1, dtype=np.float32)
+    k = 2 * radius + 1
+    if radius <= _BOX_SHIFT_MAX_RADIUS:
+        kk = np.ones(k, dtype=np.float32)
+        if normalize:
+            kk = kk / kk.sum()
+        return _sep_conv2d(image, kk, kk)
+    padded = _pad_reflect101(image, radius, radius)
+    out = _box_sum_1d(padded, k, 0)
+    out = _box_sum_1d(out, k, 1)
     if normalize:
-        k = k / k.sum()
-        out = _sep_conv2d(image, k, k)
-    else:
-        out = _sep_conv2d(image, k, k)
+        out = out * np.float32(1.0 / (k * k))
     return out
 
 
@@ -130,10 +155,46 @@ def morph_gradient(image: jnp.ndarray, ksize: int) -> jnp.ndarray:
 _PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
 
 
+@functools.lru_cache(maxsize=32)
+def _pyr_decimation_matrix(n: int) -> np.ndarray:
+    """(ceil(n/2), n) banded matrix: row i = the 5-tap kernel centered at
+    column 2i with reflect-101 edge folding — blur+decimate as one matmul."""
+    m = -(-n // 2)
+    D = np.zeros((m, n), np.float32)
+    for i in range(m):
+        for k in range(5):
+            j = 2 * i + k - 2
+            if n == 1:
+                j = 0
+            while j < 0 or j >= n:  # multi-reflection for n < 5
+                j = -j if j < 0 else 2 * n - 2 - j
+            D[i, j] += _PYR_K[k]
+    return D
+
+
 def pyr_down(image: jnp.ndarray) -> jnp.ndarray:
-    """Gaussian blur (cv::pyrDown 5-tap) then 2x decimation."""
-    blurred = _sep_conv2d(image, _PYR_K, _PYR_K)
-    return blurred[::2, ::2]
+    """Gaussian blur (cv::pyrDown 5-tap) then 2x decimation.
+
+    Vertical pass: 5 shifted adds + a stride-2 row slice — local work, so a
+    row-sharded image (parallel/sharded_pipeline.py) needs only the halo-2
+    exchange. Horizontal pass: banded decimation matmul on the MXU at
+    Precision.HIGHEST (exact to ~1e-7 of the shift formulation). The old
+    all-shifts + [::2, ::2] version paid a stride-2 relayout on the lane
+    (W) axis: 0.487 → 0.084 ms/image at (720, 1280) on the v5e
+    (examples/profile_pyr.py; conv_general_dilated measured 0.230 and the
+    default-precision MXU path is bf16-truncated — rejected)."""
+    H, W = image.shape[0], image.shape[1]
+    padded = _pad_reflect101(image, 2, 0)
+    acc = None
+    for i, w in enumerate(_PYR_K):
+        term = w * padded[i : i + H]
+        acc = term if acc is None else acc + term
+    acc = acc[::2]
+    Dh = jnp.asarray(_pyr_decimation_matrix(W))
+    hi = jax.lax.Precision.HIGHEST
+    if image.ndim == 2:
+        return jnp.dot(acc, Dh.T, precision=hi)
+    return jnp.einsum("hwc,sw->hsc", acc, Dh, precision=hi)
 
 
 def image_pyramid(image: jnp.ndarray, num_levels: int) -> Sequence[jnp.ndarray]:

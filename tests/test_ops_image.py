@@ -49,6 +49,35 @@ def test_box_filter_matches_opencv(image):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_box_filter_cumsum_path_matches_opencv(image):
+    """radius > _BOX_SHIFT_MAX_RADIUS takes the integral (cumsum) path; it
+    must agree with cv::boxFilter like the shifted-add path does (slightly
+    wider band: the cumsum difference loses ~log2(window-span) bits)."""
+    for radius, normalize in [(10, True), (21, True), (10, False)]:
+        k = 2 * radius + 1
+        out = np.asarray(box_filter(jnp.asarray(image), radius=radius, normalize=normalize))
+        ref = cv2.boxFilter(
+            image, -1, (k, k), normalize=normalize, borderType=cv2.BORDER_REFLECT_101
+        )
+        np.testing.assert_allclose(out, ref, atol=5e-4 * (1 if normalize else k * k))
+
+
+def test_box_filter_cumsum_radius_exceeds_image(image):
+    """The guided filter runs r_small≈107 on a (90, 160) subsampled plane —
+    the pad is wider than the image. The cumsum path must keep supporting
+    that (multi-reflection), matching a brute-force numpy window mean."""
+    r = image.shape[0] + 5  # 53 > 48 rows
+    out = np.asarray(box_filter(jnp.asarray(image), radius=r))
+    # numpy oracle: reflect-101 multi-reflection pad + exact window mean
+    padded = np.pad(image, r, mode="reflect")
+    k = 2 * r + 1
+    ref = np.zeros_like(image)
+    for i in range(image.shape[0]):
+        for j in range(image.shape[1]):
+            ref[i, j] = padded[i : i + k, j : j + k].mean()
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_morphology_matches_opencv(image):
     k = cv2.getStructuringElement(cv2.MORPH_RECT, (5, 5))
     np.testing.assert_allclose(
@@ -67,6 +96,20 @@ def test_pyr_down_close_to_opencv(image):
     assert ours.shape == ref.shape
     # Border handling differs slightly; compare interior.
     np.testing.assert_allclose(ours[2:-2, 2:-2], ref[2:-2, 2:-2], atol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(48, 64), (47, 63), (9, 6), (5, 5)])
+def test_pyr_down_matches_shift_formulation(rng, shape):
+    """The banded-matmul pyr_down must reproduce the shifted-add separable
+    conv + [::2, ::2] decimation (the pre-round-3 implementation) at every
+    size parity, including multi-reflection tiny images."""
+    from ocean_perception_tpu.ops.image import _PYR_K, _sep_conv2d
+
+    x = rng.random(shape).astype(np.float32)
+    ref = np.asarray(_sep_conv2d(jnp.asarray(x), _PYR_K, _PYR_K))[::2, ::2]
+    out = np.asarray(pyr_down(jnp.asarray(x)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-6)
 
 
 def test_resize_shapes(image):

@@ -79,6 +79,9 @@ ORACLE_PAIRS = [
     ("images/fsl2.png", "images/fsr2.png", 1, 32, 4, True),
     ("images/fsl3.png", "images/fsr3.png", 1, 32, 4, True),
     ("images/reef1_left.png", "images/reef1_right.png", 1, 32, 8, False),
+    # KITTI-style outdoor pair (the reference's sgbm_test.cpp fixture):
+    # well textured, fully constrained. 0.254 px measured.
+    ("images/vkl.jpg", "images/vkr.jpg", 2, 64, 16, True),
 ]
 
 

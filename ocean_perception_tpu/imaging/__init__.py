@@ -19,6 +19,7 @@ from .illuminant import estimate_illuminant_range_guided, estimate_illuminant_ga
 from .normalization import (  # noqa: F401
     enhance_contrast,
     enhance_contrast_clip,
+    enhance_contrast_factor,
     white_balance_simple,
     gamma_to_linear,
     linear_to_gamma,

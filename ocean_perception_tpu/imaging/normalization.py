@@ -21,6 +21,12 @@ def enhance_contrast(image: jnp.ndarray) -> jnp.ndarray:
     return normalize_unit(image)
 
 
+def enhance_contrast_factor(image: jnp.ndarray, factor: float = 1.5) -> jnp.ndarray:
+    """Fixed-gain contrast about mid-gray (EnhanceContrastFactor,
+    normalization.cpp:72-76): clip(factor*(I - 0.5) + 0.5, 0, 1)."""
+    return jnp.clip(factor * (image - 0.5) + 0.5, 0.0, 1.0)
+
+
 def enhance_contrast_clip(image: jnp.ndarray, vmin: float, vmax: float) -> jnp.ndarray:
     """Clip to [vmin, vmax] then stretch to [0,1] (EnhanceContrastDerya)."""
     clipped = jnp.clip(image, vmin, vmax)

@@ -75,7 +75,9 @@ def perception_step(
     gray_r = to_grayscale(right_rgb)
 
     scale = config.internal_scale
-    for _ in range(max(0, scale // 2)):
+    if scale & (scale - 1):
+        raise ValueError(f"internal_scale must be a power of two, got {scale}")
+    for _ in range(scale.bit_length() - 1):  # log2(scale) pyramid halvings
         gray_l = pyr_down(gray_l)
         gray_r = pyr_down(gray_r)
 

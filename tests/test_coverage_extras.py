@@ -18,6 +18,7 @@ def test_normalization_utilities(rng):
     from ocean_perception_tpu.imaging.normalization import (
         correct_color_ratio,
         enhance_contrast,
+        enhance_contrast_factor,
         gamma_to_linear,
         linear_to_gamma,
         normalize_color_illuminant,
@@ -33,6 +34,12 @@ def test_normalization_utilities(rng):
     assert out.min() >= -1e-6 and out.max() <= 1 + 1e-6
     ec = np.asarray(enhance_contrast(img))
     assert ec.min() < 0.05 and ec.max() > 0.95
+
+    # Fixed-gain contrast about mid-gray: clip(1.5*(I-0.5)+0.5).
+    ecf = np.asarray(enhance_contrast_factor(img))
+    np.testing.assert_allclose(
+        ecf, np.clip(1.5 * (np.asarray(img) - 0.5) + 0.5, 0.0, 1.0), atol=1e-6
+    )
 
     # Gamma round trip.
     g = linear_to_gamma(img)

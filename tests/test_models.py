@@ -57,6 +57,45 @@ def test_perception_step_engines_agree_roughly():
         assert np.median(np.abs(d - truth)[valid]) < 1.5, engine
 
 
+@pytest.mark.parametrize("scale", [2, 4])
+def test_perception_step_internal_scale(scale):
+    """The production (/2) and farm (/4) operating points: disparity solved
+    on a pyramid level, upsampled and rescaled back to full resolution."""
+    h, w, true_d = 128, 192, 8.0
+    rng = np.random.default_rng(3)
+    import cv2
+
+    canvas = cv2.GaussianBlur(rng.random((h, w + 40)).astype(np.float32), (5, 5), 1.2)
+    left = canvas[:, 20 : 20 + w]
+    right = canvas[:, 20 + int(true_d) : 20 + int(true_d) + w]
+    cam = PinholeCamera.create(120.0, 120.0, w / 2, h / 2, h, w)
+    rig = StereoCamera.create(cam, cam, baseline=0.3)
+    cfg = PerceptionConfig(
+        engine="wta", max_disp=16, internal_scale=scale, run_enhance=False
+    )
+    out = perception_step(jnp.asarray(_rgbify(left)), jnp.asarray(_rgbify(right)), rig, cfg)
+    d = np.asarray(out.disparity)
+    assert d.shape == (h, w)
+    valid = d > 0
+    valid[:, : int(true_d) + scale] = False  # left occlusion band
+    assert valid.mean() > 0.5
+    # Solved at /scale then multiplied by scale: quantization is ±scale/2 px,
+    # so the median must land within one coarse pixel of the truth.
+    assert abs(np.median(d[valid]) - true_d) <= scale
+    # Depth computed FROM the rescaled disparity (full-res fx): fx*b/d.
+    z = np.asarray(out.depth)[valid & (np.abs(d - true_d) < 0.5)]
+    if z.size:
+        np.testing.assert_allclose(np.median(z), 120.0 * 0.3 / true_d, rtol=0.05)
+
+
+def test_perception_step_rejects_non_pow2_scale():
+    cam = PinholeCamera.create(120.0, 120.0, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, baseline=0.3)
+    cfg = PerceptionConfig(engine="wta", max_disp=16, internal_scale=3)
+    with pytest.raises(ValueError, match="power of two"):
+        perception_step(jnp.zeros((H, W, 3)), jnp.zeros((H, W, 3)), rig, cfg)
+
+
 @pytest.mark.slow
 def test_full_frontend_step_single_graph():
     """enhance+disparity+tracking+graph in one jit; state threads across frames."""

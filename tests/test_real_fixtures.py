@@ -112,6 +112,9 @@ def test_tracker_on_farmsim_pair():
         ("images/fsl2.png", "images/fsr2.png", 1, 32, 4, 1.0),
         ("images/fsl3.png", "images/fsr3.png", 1, 32, 4, 1.0),
         ("images/reef1_left.png", "images/reef1_right.png", 1, 32, 8, 5.0),
+        # KITTI-style outdoor pair the reference's SGBM test drives
+        # (sgbm_test.cpp): well textured, fully constrained.
+        ("images/vkl.jpg", "images/vkr.jpg", 2, 64, 16, 1.0),
     ],
 )
 def test_patchmatch_production_point_vs_oracle(lname, rname, scale, max_disp, chunks, band):

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # the host-side filter runs double
 
 import numpy as np
 
@@ -52,6 +53,10 @@ def main():
         smoother=SmootherConfig(window=6, iterations=3),
         min_sec_btw_keyposes=0.05,
         max_sec_btw_keyposes=0.2,  # IMU-fallback keyposes drive real solves
+        # 0.2 s @ 100 Hz = 20 rows/keypose; the 256-row default pads the
+        # preintegration jacobians 12x wider and makes the one-time CPU
+        # solve compile take tens of minutes. 32 keeps it honest + fast.
+        max_imu_per_keypose=32,
     )
 
     # --- 1. single-threaded eager EKF rate -------------------------------
@@ -62,8 +67,10 @@ def main():
 
     dt_ns = int(1e7)  # 100 Hz timestamps
     # Warmup (traces + compiles the EKF update and any keypose path).
+    print("warming up single-threaded core (compiles the EKF + solve)...", flush=True)
     for i in range(1, 51):
         est.receive_imu(ImuMeasurement(i * dt_ns, np.zeros(3), -GRAVITY))
+    print("warmup done", flush=True)
     ticks.clear()
     t0 = time.perf_counter()
     for i in range(51, 51 + args.samples):

@@ -13,7 +13,11 @@ Usage: python examples/profile_b4_enhance.py [--stages a,b,c] [--frames 40]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -100,6 +104,16 @@ def main():
     config = PerceptionConfig(engine="patchmatch", max_disp=128, internal_scale=2)
 
     def v(f):
+        # vmap composed with the fully-unrolled propagation scans trips the
+        # XLA TPU fusion-emitter pad_low SIGABRT even at B=1 on this
+        # toolchain (docs/PERFORMANCE.md) — at B=1, run unbatched and
+        # re-add the axis instead.
+        if B == 1:
+            def g(*a):
+                out = f(*[x[0] for x in a])
+                return jax.tree.map(lambda x: x[None], out)
+
+            return g
         return jax.vmap(f)
 
     stages = {}
@@ -175,6 +189,22 @@ def main():
         return jnp.sum(v(one)(l + c, z))
 
     stages["elementwise_fullres"] = (elementwise, (l, r, z))
+
+    def stereo_only(c, l, r, z):
+        from ocean_perception_tpu.stereo.api import StereoEngine, estimate_disparity
+        from ocean_perception_tpu.stereo.patchmatch import PatchMatchParams
+
+        pm = PatchMatchParams(max_disp=64, chunks=16, right_wta=True, volume_bf16=True)
+
+        def one(a, b):
+            ga = pyr_down(to_grayscale(a))
+            gb = pyr_down(to_grayscale(b))
+            res = estimate_disparity(ga, gb, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
+            return jnp.sum(res.left[::32, ::32])
+
+        return jnp.sum(v(one)(l + c, r))
+
+    stages["gray+pyr+patchmatch"] = (stereo_only, (l, r, z))
 
     def upsample(c, l, r, z):
         def one(a, zz):

@@ -14,6 +14,11 @@ lane (W) axis forces an expensive relayout. Candidates:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import functools
 

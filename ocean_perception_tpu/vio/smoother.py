@@ -26,6 +26,7 @@ bg, accel bias ba — 15 error DoF in [theta(3), p(3), v(3), bg(3), ba(3)].
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -357,14 +358,30 @@ def _residuals(
     return jnp.concatenate(res)
 
 
+@functools.lru_cache(maxsize=8)
+def _preintegrate_window_jit(calib):
+    """One jitted batch-preintegration program per calibration.
+
+    This MUST be cached on the (hashable, frozen) calib: building a fresh
+    ``jax.vmap(lambda ...)`` per call re-traces and re-compiles the scan on
+    EVERY smoother update (~1 s/keypose on CPU), and the leaked LLVM JIT
+    code mappings eventually exhaust vm.max_map_count on long missions
+    ("LLVM compilation error: Cannot allocate memory")."""
+    from .imu_preintegration import preintegrate
+
+    return jax.jit(
+        jax.vmap(lambda s, m, bg, ba: preintegrate(s, m, bg, ba, calib))
+    )
+
+
 def preintegrate_window(win: KeyposeWindow, calib=None) -> PreintegratedImu:
     """Preintegrate each slot's IMU window at the predecessor's bias estimate."""
-    from .imu_preintegration import ImuCalibration, preintegrate
+    from .imu_preintegration import ImuCalibration
 
     calib = calib or ImuCalibration()
     bg_prev = jnp.roll(win.bg, 1, axis=0)
     ba_prev = jnp.roll(win.ba, 1, axis=0)
-    return jax.vmap(lambda s, m, bg, ba: preintegrate(s, m, bg, ba, calib))(
+    return _preintegrate_window_jit(calib)(
         win.imu_samples, win.imu_mask, bg_prev, ba_prev
     )
 

@@ -59,6 +59,32 @@ def main():
         max_imu_per_keypose=32,
     )
 
+    # --- 0. pure filter rate: EKF predict only, keyposes disabled --------
+    pure = StateEstimator(
+        StateEstimatorParams(
+            n_gravity=GRAVITY.copy(),
+            smoother=SmootherConfig(window=6, iterations=3),
+            min_sec_btw_keyposes=1e6,
+            max_sec_btw_keyposes=1e6,
+            max_imu_per_keypose=32,
+        ),
+        rig,
+    )
+    pure.initialize(0, np.eye(4))
+    pticks = []
+    pure.filter_callbacks.append(lambda s: pticks.append(time.perf_counter()))
+    dt_ns0 = int(1e7)
+    for i in range(1, 51):
+        pure.receive_imu(ImuMeasurement(i * dt_ns0, np.zeros(3), -GRAVITY))
+    pticks.clear()
+    t0 = time.perf_counter()
+    for i in range(51, 51 + args.samples):
+        pure.receive_imu(ImuMeasurement(i * dt_ns0, np.zeros(3), -GRAVITY))
+    hz_pure = len(pticks) / (time.perf_counter() - t0)
+    print(
+        f"pure EKF predict rate (no keyposes): {hz_pure:,.0f} Hz", flush=True
+    )
+
     # --- 1. single-threaded eager EKF rate -------------------------------
     est = StateEstimator(params, rig)
     est.initialize(0, np.eye(4))

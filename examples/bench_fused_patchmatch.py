@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--parity-only", action="store_true")
+    ap.add_argument("--variants", default="",
+                    help="comma list of fused,fused_loop (xla always runs)")
     args = ap.parse_args()
 
     from ocean_perception_tpu.stereo import PatchMatchParams, patchmatch_disparity
@@ -46,15 +48,31 @@ def main() -> None:
         right_wta=True, volume_bf16=True, subpixel=True, scan_unroll=0,
     )
     p_xla = PatchMatchParams(**base)
-    p_fused = PatchMatchParams(use_pallas_fused=True, **base)
+    variants = {
+        "xla": p_xla,
+        "fused": PatchMatchParams(
+            use_pallas_fused=True, fused_inner_loop=False, **base
+        ),
+        "fused_loop": PatchMatchParams(
+            use_pallas_fused=True, fused_inner_loop=True, **base
+        ),
+    }
+    if args.variants:
+        sel = ["xla"] + [v.strip() for v in args.variants.split(",") if v.strip() != "xla"]
+        variants = {k: variants[k] for k in sel}
 
     # Parity on the real chip first.
     a = np.asarray(patchmatch_disparity(l, r, p_xla).left_raw)
-    b = np.asarray(patchmatch_disparity(l, r, p_fused).left_raw)
-    eq = float((a == b).mean())
-    max_diff = float(np.abs(a - b).max())
-    print(f"parity: equal_frac={eq:.6f} max|diff|={max_diff:.5f} "
-          f"valid={float((a > 0).mean()):.3f}")
+    for name, p in variants.items():
+        if name == "xla":
+            continue
+        t0 = time.perf_counter()
+        b = np.asarray(patchmatch_disparity(l, r, p).left_raw)
+        eq = float((a == b).mean())
+        max_diff = float(np.abs(a - b).max())
+        print(f"parity[{name}]: equal_frac={eq:.6f} max|diff|={max_diff:.5f} "
+              f"valid={float((a > 0).mean()):.3f} "
+              f"(compile+run {time.perf_counter() - t0:.0f}s)", flush=True)
     if args.parity_only:
         return
 
@@ -75,7 +93,7 @@ def main() -> None:
         return stream
 
     results = {}
-    for name, p in (("xla", p_xla), ("fused", p_fused)):
+    for name, p in variants.items():
         fn = make_stream(p)
         t0 = time.perf_counter()
         float(fn(l, r))  # compile + warm
@@ -92,12 +110,15 @@ def main() -> None:
         )
         print(name, results[name])
 
-    print(json.dumps({
-        "parity_equal_frac": eq,
-        "xla_ms_per_frame": results["xla"]["ms_per_frame"],
-        "fused_ms_per_frame": results["fused"]["ms_per_frame"],
-        "speedup": round(results["xla"]["ms_per_frame"] / results["fused"]["ms_per_frame"], 3),
-    }))
+    out = {"parity_equal_frac": eq}
+    for name, res in results.items():
+        out[f"{name}_ms_per_frame"] = res["ms_per_frame"]
+        out[f"{name}_compile_s"] = res["compile_s"]
+        if name != "xla":
+            out[f"{name}_speedup_vs_xla"] = round(
+                results["xla"]["ms_per_frame"] / res["ms_per_frame"], 3
+            )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

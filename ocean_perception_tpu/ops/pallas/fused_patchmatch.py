@@ -208,6 +208,7 @@ def _kernel(
     # scratch
     D_row, C_row, D_col, C_col, halo_d, halo_c,
     *, g: _FusedGeom, iters: int, noise_scale0: float, improve: float,
+    inner_loop: bool = False,
 ):
     f32 = jnp.float32
     cdtype = V_row.dtype
@@ -306,6 +307,95 @@ def _kernel(
                 Cr[i] = new_c
             carry = new_d
 
+    # -- one directional pass, interior as a hardware fori_loop ---------------
+    # Bit-identical restructuring of run_pass built on two observations:
+    #   1. trailing-halo steps never store — they only update a carry that
+    #      dies at pass end, so they (and the snapshot scratch that exists
+    #      only to feed them) are dead code;
+    #   2. the `chunk` interior steps all take the shift==0 branch — no
+    #      rolls, no edge substitution — so one dynamic-indexed body can
+    #      replace `chunk` unrolled copies. Only the 'halo' leading steps
+    #      keep static unrolling (they need _roll_fix's static shifts).
+    # This shrinks the Mosaic program ~8x (the ~9 min whole-frame compile
+    # was proportional to the ~550 unrolled step bodies).
+    def run_pass_loop(orientation: str, direction: int):
+        if orientation == "row":
+            Vr, Dr, Cr, pen = V_row, D_row, C_row, pen_row
+            chunks, chunk, N, dim = g.chunks_x, g.chunk_x, g.H, g.W
+            ids, first01, last01 = ids_row, first_row01, last_row01
+        else:
+            Vr, Dr, Cr, pen = V_col, D_col, C_col, pen_col
+            chunks, chunk, N, dim = g.chunks_y, g.chunk_y, g.W, g.H
+            ids, first01, last01 = ids_col, first_col01, last_col01
+        w = chunk + 2 * g.halo
+        fwd = direction > 0
+        halo_n = g.halo
+        pr_f = float(g.pr)
+        chunk_f = float(chunk)
+
+        if fwd:
+            carry = _roll_fix(Dr[chunk - halo_n - 1], -1, Dr[0][0], first01, last01)
+        else:
+            carry = _roll_fix(
+                Dr[halo_n], +1, Dr[chunk - 1][chunks - 1], first01, last01
+            )
+
+        # Leading halo steps (static): read pass-start planes via rolls,
+        # update the carry, never store — exactly run_pass's shift!=0,
+        # non-trailing branch.
+        for t in range(halo_n):
+            j = t if fwd else w - 1 - t
+            rel = j - g.halo
+            shift = -1 if rel < 0 else 1
+            i = rel % chunk
+            Vp = _roll_fix(
+                Vr[i], shift,
+                Vr[0][0] if shift == -1 else Vr[chunk - 1][chunks - 1],
+                first01, last01,
+            )
+            edge_d = Dr[0][0] if shift == -1 else Dr[chunk - 1][chunks - 1]
+            edge_c = Cr[0][0] if shift == -1 else Cr[chunk - 1][chunks - 1]
+            cur_d = _roll_fix(Dr[i], shift, edge_d, first01, last01)
+            cur_c = _roll_fix(Cr[i], shift, edge_c, first01, last01)
+            if orientation == "row":
+                x = jnp.clip(c_row * chunk_f + float(rel), 0.0, float(dim - 1))
+            else:
+                x = x_col
+            d_eff = jnp.minimum(carry, x - pr_f)
+            idx = jnp.clip(jnp.round(d_eff), 0, g.D - 1).astype(jnp.int32)
+            cost_cand = _onehot_cost(Vp, idx, ids)
+            cand_f = cost_cand.astype(f32) + pen[j]
+            better = cand_f < cur_c.astype(f32)
+            carry = jnp.where(better, d_eff, cur_d)
+
+        # Interior steps: i walks [0, chunk) in traversal order; the scan
+        # position is j = i + halo, so rel == i and the clip in x is a
+        # no-op (kept for exact structural parity with run_pass).
+        def interior(k, carry):
+            i = k if fwd else chunk - 1 - k
+            Vp = Vr[pl.ds(i, 1)][0]
+            cur_d = Dr[pl.ds(i, 1)][0]
+            cur_c = Cr[pl.ds(i, 1)][0]
+            pen_j = pen[pl.ds(i + halo_n, 1)][0]
+            if orientation == "row":
+                x = jnp.clip(
+                    c_row * chunk_f + i.astype(f32), 0.0, float(dim - 1)
+                )
+            else:
+                x = x_col
+            d_eff = jnp.minimum(carry, x - pr_f)
+            idx = jnp.clip(jnp.round(d_eff), 0, g.D - 1).astype(jnp.int32)
+            cost_cand = _onehot_cost(Vp, idx, ids)
+            cand_f = cost_cand.astype(f32) + pen_j
+            better = cand_f < cur_c.astype(f32)
+            new_d = jnp.where(better, d_eff, cur_d)
+            new_c = jnp.where(better, cost_cand.astype(cur_c.dtype), cur_c)
+            Dr[pl.ds(i, 1)] = new_d[None]
+            Cr[pl.ds(i, 1)] = new_c[None]
+            return new_d
+
+        jax.lax.fori_loop(0, chunk, interior, carry)
+
     # -- layout conversions (exact permutation matmuls on the MXU) ------------
     # precision=HIGHEST is LOAD-BEARING for exactness: the default f32 MXU
     # path truncates inputs to bf16 (measured 2^-9 error on hardware), which
@@ -340,6 +430,21 @@ def _kernel(
             idx = jnp.clip(jnp.round(d_eff), 0, g.D - 1).astype(jnp.int32)
             C_row[i] = _onehot_cost(Vp, idx, ids_row).astype(cdtype)
 
+    def refresh_cost_row_loop():
+        def body(i, _):
+            Vp = V_row[pl.ds(i, 1)][0]
+            x = c_row * float(g.chunk_x) + i.astype(f32)
+            cur_d = D_row[pl.ds(i, 1)][0]
+            d_eff = jnp.minimum(cur_d, x - float(g.pr))
+            idx = jnp.clip(jnp.round(d_eff), 0, g.D - 1).astype(jnp.int32)
+            C_row[pl.ds(i, 1)] = _onehot_cost(Vp, idx, ids_row).astype(cdtype)[None]
+            return 0
+
+        jax.lax.fori_loop(0, g.chunk_x, body, 0)
+
+    do_pass = run_pass_loop if inner_loop else run_pass
+    do_refresh = refresh_cost_row_loop if inner_loop else refresh_cost_row
+
     # ------------------------------------------------------------------------
     D_row[...] = seed_row[...]
     for it in range(iters):
@@ -349,17 +454,17 @@ def _kernel(
         D_row[...] = jnp.maximum(
             (d + noise_row[...] * scale) * jnp.sign(d), 0.0
         )
-        refresh_cost_row()
-        run_pass("row", +1)
+        do_refresh()
+        do_pass("row", +1)
         row_to_col(D_row, D_col, f32)
         row_to_col(C_row, C_col, cdtype)
-        run_pass("col", +1)
+        do_pass("col", +1)
         col_to_row(D_col, D_row, f32)
         col_to_row(C_col, C_row, cdtype)
-        run_pass("row", -1)
+        do_pass("row", -1)
         row_to_col(D_row, D_col, f32)
         row_to_col(C_row, C_col, cdtype)
-        run_pass("col", -1)
+        do_pass("col", -1)
         if it + 1 < iters:
             col_to_row(D_col, D_row, f32)
             col_to_row(C_col, C_row, cdtype)
@@ -369,15 +474,32 @@ def _kernel(
     # does: a bf16 product would be backend-dependent (XLA keeps bf16
     # products in excess f32 precision; Mosaic has no bf16 compare at all).
     half = 0.5
-    for i in range(g.chunk_y):
-        disp = D_col[i]
-        d_eff = jnp.minimum(disp, x_col - float(g.pr))
-        idx = jnp.clip(jnp.round(d_eff), 0, g.D - 1).astype(jnp.int32)
-        cost_d = _onehot_cost(V_col[i], idx, ids_col).astype(f32)
-        cost0 = V_col[i][:, 0, :].astype(f32)
-        inter = interior_col[i]
-        keep = (cost_d < improve * cost0) & (inter > (jnp.zeros_like(inter) + half))
-        out_col[i] = jnp.where(keep, disp, 0.0)
+    if inner_loop:
+        def mask_body(i, _):
+            disp = D_col[pl.ds(i, 1)][0]
+            d_eff = jnp.minimum(disp, x_col - float(g.pr))
+            idx = jnp.clip(jnp.round(d_eff), 0, g.D - 1).astype(jnp.int32)
+            Vp = V_col[pl.ds(i, 1)][0]
+            cost_d = _onehot_cost(Vp, idx, ids_col).astype(f32)
+            cost0 = Vp[:, 0, :].astype(f32)
+            inter = interior_col[pl.ds(i, 1)][0]
+            keep = (cost_d < improve * cost0) & (
+                inter > (jnp.zeros_like(inter) + half)
+            )
+            out_col[pl.ds(i, 1)] = jnp.where(keep, disp, 0.0)[None]
+            return 0
+
+        jax.lax.fori_loop(0, g.chunk_y, mask_body, 0)
+    else:
+        for i in range(g.chunk_y):
+            disp = D_col[i]
+            d_eff = jnp.minimum(disp, x_col - float(g.pr))
+            idx = jnp.clip(jnp.round(d_eff), 0, g.D - 1).astype(jnp.int32)
+            cost_d = _onehot_cost(V_col[i], idx, ids_col).astype(f32)
+            cost0 = V_col[i][:, 0, :].astype(f32)
+            inter = interior_col[i]
+            keep = (cost_d < improve * cost0) & (inter > (jnp.zeros_like(inter) + half))
+            out_col[i] = jnp.where(keep, disp, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -388,7 +510,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("chunks", "chunks_y", "halo", "pr", "iters", "noise_scale0",
-                     "improve", "interpret"),
+                     "improve", "interpret", "inner_loop"),
 )
 def pallas_patchmatch_fused(
     C: jnp.ndarray,      # (H, W, D) cost volume (f32 or bf16)
@@ -402,6 +524,7 @@ def pallas_patchmatch_fused(
     noise_scale0: float,
     improve: float,
     interpret: bool = False,
+    inner_loop: bool = False,
 ) -> jnp.ndarray:
     """Returns the MaskBackground'd left disparity — drop-in replacement for
     stereo.patchmatch._match_one_side, bit-identical."""
@@ -462,7 +585,8 @@ def pallas_patchmatch_fused(
 
     cdtype = C.dtype
     kernel = functools.partial(
-        _kernel, g=g, iters=iters, noise_scale0=noise_scale0, improve=improve
+        _kernel, g=g, iters=iters, noise_scale0=noise_scale0, improve=improve,
+        inner_loop=inner_loop,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     out_col = pl.pallas_call(

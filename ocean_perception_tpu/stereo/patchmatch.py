@@ -77,6 +77,11 @@ class PatchMatchParams:
     # Requires the VMEM budget check (fused_supported) and right_wta=True;
     # silently falls back to the XLA path otherwise.
     use_pallas_fused: bool = struct.field(pytree_node=False, default=False)
+    # Fused-kernel interior steps as a hardware fori_loop instead of full
+    # static unrolling: bit-identical, ~8x smaller Mosaic program (the ~9 min
+    # whole-frame compile shrinks accordingly). See
+    # ops/pallas/fused_patchmatch.py run_pass_loop.
+    fused_inner_loop: bool = struct.field(pytree_node=False, default=True)
     # Store the volume in bfloat16 (halves its HBM traffic; ~0.4% relative
     # cost error can flip near-tie argmin picks — off for exact parity).
     volume_bf16: bool = struct.field(pytree_node=False, default=False)
@@ -405,7 +410,7 @@ def _match_one_side(C: jnp.ndarray, seed: jnp.ndarray, noise: jnp.ndarray, p: Pa
             chunks=p.chunks, chunks_y=p.chunks_y, halo=p.halo,
             pr=p.patch_radius, iters=p.iters,
             noise_scale0=p.noise_scale0, improve=p.improve_factor,
-            interpret=interpret,
+            interpret=interpret, inner_loop=p.fused_inner_loop,
         )
     rows = _layout_rows(C, p)
     cols = _layout_cols(C, p)

@@ -240,6 +240,28 @@ class StateEstimator:
                 q_body_imu=self._q_body_imu,
             )
         )
+        # The 100 Hz filter hot path MUST be one compiled program: eagerly,
+        # predict+update is ~150 op dispatches (~17 ms/step on CPU — below
+        # the IMU rate); jitted it is one (~0.2 ms). Same pattern for the
+        # lower-rate depth/range updates.
+        self._predict_update_jit = jax.jit(
+            lambda s, dt, w, a: ekf_update_imu(
+                ekf_predict(s, dt, self.ekf_params),
+                w, a, jnp.asarray(self._gravity), self.ekf_params,
+                q_body_imu=self._q_body_imu,
+            )
+        )
+        self._update_depth_jit = jax.jit(
+            lambda s, depth: ekf_update_depth(
+                s, depth, jnp.asarray(self._gravity_unit), self.ekf_params
+            )
+        )
+        self._update_range_jit = jax.jit(
+            lambda s, rng, point: ekf_update_range(
+                s, rng, point, self.ekf_params,
+                body_t_receiver=self._body_t_receiver,
+            )
+        )
 
     # -- initialization -------------------------------------------------------
 
@@ -279,16 +301,13 @@ class StateEstimator:
     def receive_depth(self, m: DepthMeasurement) -> None:
         self.depth_manager.push(m)
         if self.ekf_state is not None and self.params.filter_use_depth:
-            self.ekf_state = ekf_update_depth(
-                self.ekf_state, m.depth, jnp.asarray(self._gravity_unit), self.ekf_params
-            )
+            self.ekf_state = self._update_depth_jit(self.ekf_state, m.depth)
 
     def receive_range(self, m: RangeMeasurement) -> None:
         self.range_manager.push(m)
         if self.ekf_state is not None and self.params.filter_use_range:
-            self.ekf_state = ekf_update_range(
-                self.ekf_state, m.range, jnp.asarray(m.point, jnp.float64), self.ekf_params,
-                body_t_receiver=self._body_t_receiver,
+            self.ekf_state = self._update_range_jit(
+                self.ekf_state, m.range, jnp.asarray(m.point, jnp.float64)
             )
 
     def receive_mag(self, m: MagMeasurement) -> None:
@@ -674,14 +693,11 @@ class StateEstimator:
 
     def _filter_predict_update(self, m: ImuMeasurement) -> None:
         dt = 0.0 if self._ekf_time is None else (m.timestamp - self._ekf_time) * 1e-9
-        state = ekf_predict(self.ekf_state, max(dt, 0.0), self.ekf_params)
-        state = ekf_update_imu(
-            state,
+        state = self._predict_update_jit(
+            self.ekf_state,
+            max(dt, 0.0),
             jnp.asarray(m.angular_velocity),
             jnp.asarray(m.linear_acceleration),
-            jnp.asarray(self._gravity),
-            self.ekf_params,
-            q_body_imu=self._q_body_imu,
         )
         self.ekf_state = state
         self._ekf_time = m.timestamp

@@ -47,12 +47,16 @@ def test_pallas_fused_bit_identical(rng):
     ):
         base = dict(max_disp=16, chunks=4, iters=2, right_wta=True, **extra)
         a = np.asarray(patchmatch_disparity(l, r, PatchMatchParams(**base)).left_raw)
-        b = np.asarray(
-            patchmatch_disparity(
-                l, r, PatchMatchParams(use_pallas_fused=True, **base)
-            ).left_raw
-        )
-        np.testing.assert_array_equal(a, b)
+        for inner_loop in (False, True):
+            b = np.asarray(
+                patchmatch_disparity(
+                    l, r,
+                    PatchMatchParams(
+                        use_pallas_fused=True, fused_inner_loop=inner_loop, **base
+                    ),
+                ).left_raw
+            )
+            np.testing.assert_array_equal(a, b, err_msg=f"inner_loop={inner_loop}")
         assert (a > 0).mean() > 0.2
 
 

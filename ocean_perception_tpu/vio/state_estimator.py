@@ -39,6 +39,10 @@ from ..core.measurements import (
     StereoImage,
 )
 from ..core.quaternion import quat_to_matrix, matrix_to_quat
+
+# filter_state() runs per filter callback at the IMU rate — one program,
+# not ~10 eager dispatches.
+_quat_to_matrix_jit = jax.jit(quat_to_matrix)
 from ..core.se3 import gravity_axis
 from .ekf import (
     EkfParams,
@@ -712,7 +716,8 @@ class StateEstimator:
     def filter_state(self) -> StateStamped:
         assert self.ekf_state is not None and self._ekf_time is not None
         T = np.eye(4)
-        T[:3, :3] = np.asarray(quat_to_matrix(self.ekf_state.q))
+        # jitted: this runs per filter callback at the IMU rate.
+        T[:3, :3] = np.asarray(_quat_to_matrix_jit(self.ekf_state.q))
         T[:3, 3] = np.asarray(self.ekf_state.t)
         return StateStamped(
             timestamp=self._ekf_time,

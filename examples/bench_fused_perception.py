@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--batches", default="1,2,4")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--internal-scale", type=int, default=2,
+                    help="2 = production point; 4 = farm mode")
     args = ap.parse_args()
 
     from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
@@ -49,7 +51,8 @@ def main():
     for B in [int(b) for b in args.batches.split(",")]:
         for fused in (False, True):
             cfg = PerceptionConfig(
-                engine="patchmatch", max_disp=128, internal_scale=2,
+                engine="patchmatch", max_disp=128,
+                internal_scale=args.internal_scale,
                 use_pallas_fused=fused,
             )
 

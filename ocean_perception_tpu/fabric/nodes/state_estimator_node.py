@@ -224,6 +224,12 @@ def main(argv=None) -> int:
              "written on every smoother update (mid-mission restart support; "
              "the reference has no checkpointing — SURVEY §5.4)",
     )
+    ap.add_argument(
+        "--trajectory-out", default=None,
+        help="append smoother poses to this CSV (EuRoC state format: "
+             "ns, qw, qx, qy, qz, tx, ty, tz) for offline scoring with "
+             "python -m ocean_perception_tpu.vio.evaluation",
+    )
     ap.add_argument("--fx", type=float, default=336.0)
     ap.add_argument("--baseline", type=float, default=0.2)
     ap.add_argument("--width", type=int, default=672)
@@ -252,6 +258,25 @@ def main(argv=None) -> int:
         node.est.smoother_callbacks.append(
             lambda _result: save_estimator(node.est, args.checkpoint)
         )
+    if args.trajectory_out:
+        from ...core.quaternion import matrix_to_quat
+        import jax.numpy as jnp
+
+        traj_f = open(args.trajectory_out, "a", buffering=1)  # line-buffered
+        if traj_f.tell() == 0:
+            traj_f.write("#timestamp, qw, qx, qy, qz, tx, ty, tz\n")
+
+        def _log_pose(_result) -> None:
+            s = node.est.smoother_state()
+            if s is None:
+                return
+            q = np.asarray(matrix_to_quat(jnp.asarray(s.world_T_body[:3, :3])))
+            t = s.world_T_body[:3, 3]
+            traj_f.write(
+                f"{s.timestamp},{q[0]},{q[1]},{q[2]},{q[3]},{t[0]},{t[1]},{t[2]}\n"
+            )
+
+        node.est.smoother_callbacks.append(_log_pose)
     print("state_estimator_node listening (waiting for vio/init_pose)...")
     try:
         threading.Event().wait()

@@ -19,3 +19,11 @@ from .stereo_frontend import FrontendStatus, VoResult, StereoFrontend  # noqa: F
 from .imu_preintegration import ImuCalibration, PreintegratedImu, preintegrate  # noqa: F401
 from .ekf import EkfParams, EkfState, ekf_initialize, ekf_predict, ekf_update_imu  # noqa: F401
 from .trilateration import trilaterate  # noqa: F401
+from .evaluation import (  # noqa: F401
+    AteResult,
+    RpeResult,
+    absolute_trajectory_error,
+    align_umeyama,
+    evaluate_trajectory,
+    relative_pose_error,
+)

@@ -102,6 +102,8 @@ class EurocDataset(DataProvider):
 
         with open(path) as f:
             for line in f:
+                if line.lstrip().startswith("#"):
+                    continue
                 parts = [p for p in line.strip().split(",") if p != ""]
                 if len(parts) < 8:
                     continue
@@ -147,6 +149,7 @@ class EurocDataWriter:
         self._imu_rows: List[List] = []
         self._depth_rows: List[List] = []
         self._range_rows: List[List] = []
+        self._pose_rows: List[List] = []
         self._cam_rows = {0: [], 1: []}
 
     def write_stereo(self, timestamp: int, left: np.ndarray, right: np.ndarray) -> None:
@@ -168,6 +171,17 @@ class EurocDataWriter:
     def write_range(self, m: RangeMeasurement) -> None:
         self._range_rows.append([m.timestamp, m.range, *np.asarray(m.point).tolist()])
 
+    def write_groundtruth(self, m: GroundtruthPose) -> None:
+        """Append a groundtruth pose (imu0_poses.txt, the file
+        `_parse_groundtruth` reads back: ts, qw, qx, qy, qz, tx, ty, tz)."""
+        import jax.numpy as jnp
+
+        from ..core.quaternion import matrix_to_quat
+
+        T = np.asarray(m.world_T_body, np.float64)
+        q = np.asarray(matrix_to_quat(jnp.asarray(T[:3, :3])))
+        self._pose_rows.append([m.timestamp, *q.tolist(), *T[:3, 3].tolist()])
+
     def finish(self) -> None:
         def dump(path, header, rows):
             with open(os.path.join(self.root, path), "w", newline="") as f:
@@ -188,3 +202,9 @@ class EurocDataWriter:
             ["#timestamp [ns]", "range [m]", "b_x", "b_y", "b_z"],
             self._range_rows,
         )
+        if self._pose_rows:
+            dump(
+                "imu0_poses.txt",
+                ["#timestamp [ns]", "qw", "qx", "qy", "qz", "tx", "ty", "tz"],
+                self._pose_rows,
+            )

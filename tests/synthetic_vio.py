@@ -28,7 +28,7 @@ def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed
     """Write the dataset under `root` (EuRoC mav0 layout). Returns x_of."""
     import cv2
 
-    from ocean_perception_tpu.core.measurements import ImuMeasurement
+    from ocean_perception_tpu.core.measurements import GroundtruthPose, ImuMeasurement
     from ocean_perception_tpu.datasets.euroc import EurocDataWriter
 
     rng = np.random.default_rng(seed)
@@ -49,6 +49,9 @@ def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed
         t = (i + 1) * 0.1
         cl, cr = frame(t)
         wtr.write_stereo(int(t * 1e9), cl, cr)
+        T = np.eye(4)
+        T[0, 3] = x_of(t)
+        wtr.write_groundtruth(GroundtruthPose(int(t * 1e9), T))
     dt = 1.0 / imu_hz
     for k in range(n_frames * int(0.1 * imu_hz)):
         t = T0 + k * dt

@@ -9,6 +9,7 @@ import pytest
 
 from ocean_perception_tpu.core.measurements import (
     DepthMeasurement,
+    GroundtruthPose,
     ImuMeasurement,
     RangeMeasurement,
 )
@@ -122,9 +123,22 @@ def test_euroc_writer_reader_roundtrip(tmp_path):
         w.write_stereo(ts, rng.random((16, 16)).astype(np.float32), rng.random((16, 16)).astype(np.float32))
         w.write_imu(ImuMeasurement(ts, np.ones(3) * 0.1, np.array([0, -9.8, 0])))
         w.write_depth(DepthMeasurement(ts, 1.5))
+        T = np.eye(4)
+        T[:3, 3] = [0.1 * i, -0.2 * i, 0.05]
+        T[:3, :3] = np.array(
+            [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]
+        )  # yaw 90 deg: exercises the quaternion roundtrip
+        w.write_groundtruth(GroundtruthPose(ts, T))
     w.finish()
     ds = EurocDataset(str(tmp_path))
     assert len(ds.stereo_data) == 2 and len(ds.imu_data) == 2 and len(ds.depth_data) == 2
+    assert len(ds.pose_data) == 2
+    np.testing.assert_allclose(ds.pose_data[1].world_T_body[:3, 3], [0.1, -0.2, 0.05], atol=1e-9)
+    np.testing.assert_allclose(
+        ds.pose_data[1].world_T_body[:3, :3],
+        [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+        atol=1e-6,
+    )
 
 
 def test_folder_dataset(tmp_path):

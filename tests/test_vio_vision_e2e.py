@@ -74,10 +74,14 @@ def test_vision_only_trajectory():
     est.initialize(int(1e8), np.eye(4))
 
     n_frames = 8
+    traj = []  # (t_ns, world_T_body) at every smoother advance
     for i in range(n_frames):
         t_ns = int((i + 1) * 1e8)  # 10 Hz
         l, r = render(i)
         est.receive_stereo(StereoImage(t_ns, 0, l, r))
+        ss_i = est.smoother_state()
+        if ss_i is not None and (not traj or ss_i.timestamp != traj[-1][0]):
+            traj.append((ss_i.timestamp, np.asarray(ss_i.world_T_body)))
 
     assert est.mode is SmootherMode.VISION_AVAILABLE
     ss = est.smoother_state()
@@ -90,6 +94,20 @@ def test_vision_only_trajectory():
     assert p[0] > 0.5 * total_true
     assert abs(p[0] - total_true) / total_true < 0.3
     assert abs(p[1]) < 0.15 and abs(p[2]) < 0.15
+
+    # Whole-trajectory metric (not just the endpoint): ATE in the shared
+    # odometry frame against the analytic constant-velocity groundtruth.
+    from ocean_perception_tpu.vio.evaluation import absolute_trajectory_error
+
+    assert len(traj) >= 3
+    est_ts = np.array([t for t, _ in traj], np.int64)
+    est_poses = np.stack([T for _, T in traj])
+    gt_poses = np.stack(
+        [np.eye(4) for _ in est_ts]
+    )
+    gt_poses[:, 0, 3] = (est_ts / 1e8 - 1.0) * dx_per_frame  # frame k is at (k+1)*1e8 ns
+    ate = absolute_trajectory_error(est_ts, est_poses, est_ts, gt_poses, align="none")
+    assert ate.rmse < 0.15, ate
 
 
 @pytest.mark.slow

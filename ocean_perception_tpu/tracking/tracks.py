@@ -18,7 +18,10 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from flax import struct
 
-INVALID_ID = jnp.int32(-1)
+# Plain int, NOT jnp.int32(-1): a device scalar here would initialize the
+# JAX backend at import time, which hangs every host-side tool (evaluation
+# CLI, dataset player --help) whenever the remote TPU tunnel is down.
+INVALID_ID = -1
 
 
 class LandmarkObservation(NamedTuple):

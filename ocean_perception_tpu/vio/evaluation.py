@@ -341,8 +341,13 @@ def evaluate_trajectory(
 
 def _load_tum_or_euroc_csv(path: str) -> Tuple[np.ndarray, np.ndarray]:
     """Load a trajectory file: EuRoC state CSV (ns, qw qx qy qz, tx ty tz —
-    the format datasets/euroc.py parses) or TUM (sec tx ty tz qx qy qz qw)."""
-    ts, poses = [], []
+    the format datasets/euroc.py parses) or TUM (sec tx ty tz qx qy qz qw).
+
+    The format is decided once per file: a fractional timestamp means TUM
+    (float seconds); with integer timestamps the column layout is picked by
+    which interpretation yields unit-norm quaternions (timestamp magnitude
+    is NOT a safe signal — synthetic missions start near t=0)."""
+    rows, frac_ts = [], False
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -351,22 +356,32 @@ def _load_tum_or_euroc_csv(path: str) -> Tuple[np.ndarray, np.ndarray]:
             parts = [p for p in line.replace(",", " ").split() if p]
             if len(parts) < 8:
                 continue
-            vals = [float(v) for v in parts]
-            if "." in parts[0] or vals[0] < 1e12:  # TUM: seconds + trailing quat
-                t = int(vals[0] * 1e9)
-                tx, ty, tz = vals[1:4]
-                qx, qy, qz, qw = vals[4:8]
-            else:  # EuRoC: ns + leading quat
-                t = int(vals[0])
-                qw, qx, qy, qz = vals[1:5]
-                tx, ty, tz = vals[5:8]
-            T = np.eye(4)
-            T[:3, :3] = _quat_to_mat(np.array([qw, qx, qy, qz]))
-            T[:3, 3] = [tx, ty, tz]
-            ts.append(t)
-            poses.append(T)
-    if not ts:
+            frac_ts = frac_ts or ("." in parts[0])
+            rows.append([float(v) for v in parts[:8]])
+    if not rows:
         raise ValueError(f"no poses parsed from {path}")
+    mat = np.asarray(rows, np.float64)
+    if frac_ts:
+        tum = True
+    else:  # integer stamps: both layouts exist — unit-quat norm decides
+        err_euroc = np.abs(np.linalg.norm(mat[:, 1:5], axis=1) - 1.0).mean()
+        err_tum = np.abs(np.linalg.norm(mat[:, 4:8], axis=1) - 1.0).mean()
+        tum = err_tum < err_euroc
+    ts, poses = [], []
+    for vals in mat:
+        if tum:
+            t = int(round(vals[0] * 1e9)) if frac_ts else int(vals[0])
+            tx, ty, tz = vals[1:4]
+            qx, qy, qz, qw = vals[4:8]
+        else:
+            t = int(vals[0])
+            qw, qx, qy, qz = vals[1:5]
+            tx, ty, tz = vals[5:8]
+        T = np.eye(4)
+        T[:3, :3] = _quat_to_mat(np.array([qw, qx, qy, qz]))
+        T[:3, 3] = [tx, ty, tz]
+        ts.append(t)
+        poses.append(T)
     return np.asarray(ts, np.int64), np.stack(poses)
 
 

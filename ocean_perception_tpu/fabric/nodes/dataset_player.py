@@ -96,11 +96,17 @@ def run(
                 break
 
     if out_trajectory:
+        # EuRoC state format — scoreable directly by
+        # `python -m ocean_perception_tpu.vio.evaluation --est <csv> --gt ...`.
+        from ...core.quaternion import matrix_to_quat
+        import jax.numpy as jnp
+
         with open(out_trajectory, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["#timestamp_ns", "tx", "ty", "tz"])
+            w.writerow(["#timestamp [ns]", "qw", "qx", "qy", "qz", "tx", "ty", "tz"])
             for s in trajectory:
-                w.writerow([s.timestamp, *s.world_T_body[:3, 3].tolist()])
+                q = np.asarray(matrix_to_quat(jnp.asarray(s.world_T_body[:3, :3])))
+                w.writerow([s.timestamp, *q.tolist(), *s.world_T_body[:3, 3].tolist()])
     return trajectory
 
 

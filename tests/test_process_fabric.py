@@ -46,6 +46,7 @@ def test_vio_over_udp_two_processes():
             sys.executable, "-m",
             "ocean_perception_tpu.fabric.nodes.state_estimator_node",
             "--config", node_path, "--shared", shared_path, "--port", str(PORT),
+            "--trajectory-out", os.path.join(tmp, "trajectory.csv"),
         ],
         env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -100,6 +101,20 @@ def test_vio_over_udp_two_processes():
         assert abs(est_x - true_x) < 0.2 * true_x + 0.05, (est_x, true_x)
         assert abs(float(last.pose[5])) < 0.15
         assert abs(float(last.pose[6])) < 0.15
+
+        # --trajectory-out wrote a scoreable log: load it with the
+        # evaluation CLI's reader and ATE it against the analytic motion.
+        from ocean_perception_tpu.vio.evaluation import (
+            _load_tum_or_euroc_csv,
+            absolute_trajectory_error,
+        )
+
+        est_ts, est_poses = _load_tum_or_euroc_csv(os.path.join(tmp, "trajectory.csv"))
+        assert len(est_ts) >= 3
+        gt_poses = np.stack([np.eye(4) for _ in est_ts])
+        gt_poses[:, 0, 3] = [x_of(t * 1e-9) for t in est_ts]
+        ate = absolute_trajectory_error(est_ts, est_poses, est_ts, gt_poses, align="none")
+        assert ate.rmse < 0.2, ate
     finally:
         proc.kill()
         proc.wait()

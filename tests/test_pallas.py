@@ -1,5 +1,6 @@
 """Pallas kernel parity tests (interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -58,6 +59,32 @@ def test_pallas_fused_bit_identical(rng):
             )
             np.testing.assert_array_equal(a, b, err_msg=f"inner_loop={inner_loop}")
         assert (a > 0).mean() > 0.2
+
+
+@pytest.mark.slow
+def test_pallas_fused_under_vmap(rng):
+    """The fused kernel must also be bit-identical under jax.vmap (the
+    multi-camera batch axis maps onto an extra pallas grid dimension) —
+    the B>1 production configuration bench_fused_perception.py measures."""
+    from ocean_perception_tpu.stereo import PatchMatchParams, patchmatch_disparity
+
+    H, W, B = 48, 64, 2
+    canvas = rng.random((B, H, W + 16)).astype(np.float32)
+    l = jnp.asarray(canvas[:, :, 8 : 8 + W])
+    r = jnp.asarray(canvas[:, :, 5 : 5 + W])
+    base = dict(max_disp=16, chunks=4, iters=2, right_wta=True, volume_bf16=True)
+
+    def run(p):
+        return jax.vmap(
+            lambda a, b: patchmatch_disparity(a, b, p).left_raw
+        )(l, r)
+
+    a = np.asarray(run(PatchMatchParams(**base)))
+    b = np.asarray(run(PatchMatchParams(use_pallas_fused=True, **base)))
+    assert a.shape == (B, H, W)
+    np.testing.assert_array_equal(a, b)
+    # The two batch entries see different inputs -> different outputs.
+    assert not np.array_equal(a[0], a[1])
 
 
 def test_fused_supported_budget():

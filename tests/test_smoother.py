@@ -368,3 +368,25 @@ def test_imu_factor_nees_consistency():
 
     mean_nees = float(np.mean(nees_vals))
     assert 2.5 < mean_nees < 20.0, (mean_nees, nees_vals)
+
+
+def test_preintegrate_window_program_cache():
+    """Regression for the round-3 leak: preintegrate_window must reuse ONE
+    jitted program per calibration value (a fresh vmap closure per smoother
+    update re-compiled every keypose and leaked LLVM JIT mappings until
+    'Cannot allocate memory' hours into a mission)."""
+    from ocean_perception_tpu.vio.imu_preintegration import ImuCalibration
+    from ocean_perception_tpu.vio.smoother import _preintegrate_window_jit
+
+    c1 = ImuCalibration()
+    c2 = ImuCalibration()          # equal value, distinct object
+    c3 = ImuCalibration(accel_noise_sigma=0.5)
+    assert _preintegrate_window_jit(c1) is _preintegrate_window_jit(c2)
+    assert _preintegrate_window_jit(c1) is not _preintegrate_window_jit(c3)
+
+    before = _preintegrate_window_jit.cache_info().hits
+    win = make_window(SmootherConfig(window=4), 8)
+    preintegrate_window(win, c1)
+    preintegrate_window(win, c2)
+    info = _preintegrate_window_jit.cache_info()
+    assert info.hits >= before + 2, info

@@ -147,6 +147,9 @@ class UvcStereoSource:
 
 
 def main(argv=None) -> int:
+    from ...utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # axon overrides JAX_PLATFORMS; restore it
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True)
     ap.add_argument("--source", default="bus", choices=["bus", "uvc", "zed"])

@@ -182,6 +182,9 @@ def publish_sensors(
 
 
 def main(argv=None) -> int:
+    from ...utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # axon overrides JAX_PLATFORMS; restore it
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", default="euroc")
     ap.add_argument("--path", required=True)

@@ -48,6 +48,9 @@ class ImageViewerNode:
 
 
 def main(argv=None) -> int:
+    from ...utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # axon overrides JAX_PLATFORMS; restore it
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--channel", required=True)
     ap.add_argument("--out-dir", default="/tmp/ocean_viewer")

@@ -111,6 +111,9 @@ def from_config(bus: PubSub, node_config_path: str, shared_config_path: str) -> 
 
 
 def main(argv=None) -> int:
+    from ...utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # axon overrides JAX_PLATFORMS; restore it
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None, help="node YAML (ObjectMesherNode.yaml)")
     ap.add_argument("--shared", default=None, help="shared rig YAML (config/shared/*.yaml)")

@@ -210,6 +210,9 @@ class StateEstimatorNode:
 
 
 def main(argv=None) -> int:
+    from ...utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # axon overrides JAX_PLATFORMS; restore it
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None, help="node YAML (StateEstimatorNode.yaml)")
     ap.add_argument("--shared", default=None, help="shared rig YAML (config/shared/*.yaml)")

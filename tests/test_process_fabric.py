@@ -53,13 +53,25 @@ def test_vio_over_udp_two_processes():
     )
     try:
         # Wait for the node to announce readiness (imports + subscriptions).
-        line = ""
+        # Lines are drained on a thread: a bare readline() would block PAST
+        # the deadline if the child goes silent (e.g. hangs in backend init),
+        # turning a failure into a suite-wide hang.
+        child_lines: list = []
+        t_reader = threading.Thread(
+            target=lambda: child_lines.extend(iter(proc.stdout.readline, "")),
+            daemon=True,
+        )
+        t_reader.start()
         deadline = time.time() + 120
         while time.time() < deadline:
-            line = proc.stdout.readline()
-            if "listening" in line:
+            if any("listening" in ln for ln in child_lines):
                 break
-        assert "listening" in line, f"node never came up: {line!r}"
+            if proc.poll() is not None:
+                break
+            time.sleep(0.2)
+        assert any("listening" in ln for ln in child_lines), (
+            f"node never came up; output: {''.join(child_lines)[-2000:]!r}"
+        )
 
         bus = UdpMulticastBus(port=PORT)
         filter_poses, smoother_poses = [], []
@@ -88,7 +100,7 @@ def test_vio_over_udp_two_processes():
                 break
             time.sleep(2.0)
 
-        assert proc.poll() is None, proc.stdout.read()[-2000:]
+        assert proc.poll() is None, "".join(child_lines)[-2000:]
         with lock:
             n_f, n_s = len(filter_poses), len(smoother_poses)
             assert n_s >= 3, f"smoother poses: {n_s}"

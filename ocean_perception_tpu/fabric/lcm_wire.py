@@ -1,0 +1,362 @@
+"""LCM UDP-multicast transport: the reference's actual wire protocol.
+
+Implements the LCM UDP datagram formats (lcm-proj UDP Multicast Protocol;
+reference transport = liblcm, README.md:63-67) so our nodes interoperate with
+unmodified LCM peers — reference-era sensor drivers, the Unity FarmSim
+bridge's C# bindings, and debugging tools like lcm-spy:
+
+- short message (fits one datagram): ``>I`` magic 0x4c433032 ("LC02"),
+  ``>I`` sequence, NUL-terminated channel, payload;
+- fragmented message: ``>I`` magic 0x4c433033 ("LC03"), ``>I`` msg_seq,
+  ``>I`` msg_size (payload bytes), ``>I`` fragment_offset, ``>H`` fragment
+  number, ``>H`` fragment count; fragment 0's data begins with the
+  NUL-terminated channel. Reassembly is keyed per sender (addr, msg_seq).
+
+Payloads are LCM-encoded ``vehicle.*`` messages (fabric/lcm_types.py).
+``LcmUdpBus`` exposes the same PubSub interface as the in-house buses:
+publish/subscribe carry OUR dataclass messages (fabric/messages.py) and the
+bridge functions below translate to/from the reference's lcmtypes exactly as
+the reference's lcm_util helpers do (util_imu_measurement_t.hpp etc.), so a
+node is transport-agnostic via a constructor flag.
+
+Default endpoint udpm://239.255.76.67:7667, TTL 0 — LCM's own defaults.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import lcm_types as lt
+from . import messages as ms
+from .pubsub import DEFAULT_GROUP, DEFAULT_PORT, PubSub
+
+MAGIC_SHORT = 0x4C433032  # "LC02"
+MAGIC_FRAG = 0x4C433033   # "LC03"
+# LCM fragments above the max UDP datagram (lcm_udpm.c caps at 65499 bytes
+# total); we leave headroom for the 20-byte fragment header + channel.
+_MAX_DGRAM = 65499
+_FRAG_CHUNK = 60000
+_FRAG_HDR = struct.Struct(">IIIIHH")
+_SHORT_HDR = struct.Struct(">II")
+
+
+# ---------------------------------------------------------------------------
+# Framing (transport-agnostic, unit-testable against the spec layout)
+# ---------------------------------------------------------------------------
+
+def encode_datagrams(channel: str, payload: bytes, seq: int) -> List[bytes]:
+    """Frame one message into LCM datagrams (one LC02, or N LC03 fragments)."""
+    ch = channel.encode("utf-8") + b"\0"
+    if _SHORT_HDR.size + len(ch) + len(payload) <= _MAX_DGRAM:
+        return [_SHORT_HDR.pack(MAGIC_SHORT, seq & 0xFFFFFFFF) + ch + payload]
+    first_chunk = _FRAG_CHUNK - len(ch)
+    chunks = [payload[:first_chunk]]
+    for off in range(first_chunk, len(payload), _FRAG_CHUNK):
+        chunks.append(payload[off : off + _FRAG_CHUNK])
+    out = []
+    offset = 0
+    for i, chunk in enumerate(chunks):
+        hdr = _FRAG_HDR.pack(
+            MAGIC_FRAG, seq & 0xFFFFFFFF, len(payload), offset, i, len(chunks)
+        )
+        out.append(hdr + (ch + chunk if i == 0 else chunk))
+        offset += len(chunk)
+    return out
+
+
+class Reassembler:
+    """Per-sender LC03 fragment reassembly with bounded partial state."""
+
+    def __init__(self, max_partials: int = 64):
+        self._partials: Dict[Tuple, dict] = {}
+        self._max = max_partials
+
+    def push(self, sender, dgram: bytes) -> Optional[Tuple[str, bytes]]:
+        """Feed one datagram; returns (channel, payload) when complete."""
+        magic = struct.unpack_from(">I", dgram)[0]
+        if magic == MAGIC_SHORT:
+            body = dgram[_SHORT_HDR.size :]
+            nul = body.index(b"\0")
+            return body[:nul].decode("utf-8"), body[nul + 1 :]
+        if magic != MAGIC_FRAG:
+            raise ValueError(f"bad LCM magic {magic:#x}")
+        _, seq, msg_size, frag_off, frag_no, n_frags = _FRAG_HDR.unpack_from(dgram)
+        data = dgram[_FRAG_HDR.size :]
+        key = (sender, seq)
+        st = self._partials.get(key)
+        if st is None:
+            if len(self._partials) >= self._max:  # evict oldest partial
+                self._partials.pop(next(iter(self._partials)))
+            st = {"buf": bytearray(msg_size), "got": set(), "n": n_frags, "ch": None}
+            self._partials[key] = st
+        if frag_no == 0:
+            nul = data.index(b"\0")
+            st["ch"] = data[:nul].decode("utf-8")
+            data = data[nul + 1 :]
+        st["buf"][frag_off : frag_off + len(data)] = data
+        st["got"].add(frag_no)
+        if len(st["got"]) == st["n"] and st["ch"] is not None:
+            del self._partials[key]
+            return st["ch"], bytes(st["buf"])
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Bridge: our dataclass messages <-> the reference's vehicle.* lcmtypes
+# (lcm_util parity: util_imu_measurement_t.hpp, util_pose3_t.hpp, ...)
+# ---------------------------------------------------------------------------
+
+def _image_to_lcm(img: ms.ImageMessage) -> dict:
+    """image_t is an 8-bit type ("mono8"/"bgr8" x "jpg"/"raw",
+    mmf_image_t.lcm comments); our float32 frames quantize to u8 on this
+    wire, jpg/u8 payloads pass through."""
+    if img.encoding == "jpg":
+        enc, data = "jpg", img.data
+    elif img.encoding == "u8":
+        enc, data = "raw", img.data
+    elif img.encoding == "raw":
+        arr = np.frombuffer(img.data, np.float32)
+        enc, data = "raw", (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).tobytes()
+    else:
+        raise ValueError(img.encoding)
+    return {
+        "width": img.width, "height": img.height, "channels": img.channels,
+        "format": "mono8" if img.channels == 1 else "bgr8",
+        "encoding": enc, "size": len(data), "data": data,
+    }
+
+
+def _image_from_lcm(v: dict, timestamp: int) -> ms.ImageMessage:
+    enc = "jpg" if v["encoding"] == "jpg" else "u8"
+    return ms.ImageMessage(
+        timestamp, v["width"], v["height"], v["channels"], enc, bytes(v["data"])
+    )
+
+
+def _vec3(a) -> dict:
+    a = np.asarray(a, np.float64)
+    return {"x": float(a[0]), "y": float(a[1]), "z": float(a[2])}
+
+
+def _unvec3(v: dict) -> np.ndarray:
+    return np.array([v["x"], v["y"], v["z"]], np.float64)
+
+
+def to_lcm(msg) -> Tuple[lt.LcmStructDef, dict]:
+    """Our message -> (lcm struct def, value dict)."""
+    h = lt.make_header(msg.timestamp)
+    if isinstance(msg, ms.ImuMessage):
+        return lt.IMU_MEASUREMENT_T, {
+            "header": h,
+            "linear_acc": _vec3(msg.linear_acceleration),
+            "angular_vel": _vec3(msg.angular_velocity),
+        }
+    if isinstance(msg, ms.DepthMessage):
+        return lt.DEPTH_MEASUREMENT_T, {"header": h, "depth": float(msg.depth)}
+    if isinstance(msg, ms.RangeMessage):
+        # The wire type has no beacon id field; the reference identifies
+        # beacons by position (point). header.seq carries ours losslessly.
+        h["seq"] = int(msg.beacon_id)
+        return lt.RANGE_MEASUREMENT_T, {
+            "header": h, "range": float(msg.range), "point": _vec3(msg.point),
+        }
+    if isinstance(msg, ms.MagMessage):
+        return lt.MAG_MEASUREMENT_T, {"header": h, "field": _vec3(msg.field)}
+    if isinstance(msg, ms.PoseStampedMessage):
+        h["frame_id"] = msg.frame_id
+        q, t = msg.pose[:4], msg.pose[4:7]
+        return lt.POSE3_STAMPED_T, {
+            "header": h,
+            "pose": {
+                "position": _vec3(t),
+                "orientation": {
+                    "w": float(q[0]), "x": float(q[1]),
+                    "y": float(q[2]), "z": float(q[3]),
+                },
+            },
+        }
+    if isinstance(msg, ms.StereoImageMessage):
+        h["seq"] = int(msg.camera_id)
+        return lt.STEREO_IMAGE_T, {
+            "header": h,
+            "img_left": _image_to_lcm(msg.left),
+            "img_right": _image_to_lcm(msg.right),
+        }
+    if isinstance(msg, ms.ImageMessage):
+        # image_t carries no header — the timestamp does not survive this
+        # wire (mono image channels are viz taps; stereo frames keep theirs).
+        return lt.IMAGE_T, _image_to_lcm(msg)
+    if isinstance(msg, ms.MeshMessage):
+        verts = np.asarray(msg.vertices, np.float64).reshape(-1, 3)
+        tris = np.asarray(msg.triangles, np.int64).reshape(-1, 3)
+        return lt.MESH_STAMPED_T, {
+            "header": h,
+            "mesh": {
+                "num_vertices": len(verts),
+                "vertices": [_vec3(v) for v in verts],
+                "num_triangles": len(tris),
+                "triangles": [{"vertex_indices": [int(i) for i in t]} for t in tris],
+            },
+        }
+    raise TypeError(f"no LCM mapping for {type(msg).__name__}")
+
+
+def from_lcm(sd: lt.LcmStructDef, v: dict):
+    """(lcm struct def, value dict) -> our message; None if unmapped."""
+    if sd is lt.IMU_MEASUREMENT_T:
+        return ms.ImuMessage(
+            v["header"]["timestamp"],
+            angular_velocity=_unvec3(v["angular_vel"]),
+            linear_acceleration=_unvec3(v["linear_acc"]),
+        )
+    if sd is lt.DEPTH_MEASUREMENT_T:
+        return ms.DepthMessage(v["header"]["timestamp"], v["depth"])
+    if sd is lt.RANGE_MEASUREMENT_T:
+        return ms.RangeMessage(
+            v["header"]["timestamp"], v["range"], _unvec3(v["point"]),
+            beacon_id=max(int(v["header"]["seq"]), 0),
+        )
+    if sd is lt.MAG_MEASUREMENT_T:
+        return ms.MagMessage(v["header"]["timestamp"], _unvec3(v["field"]))
+    if sd is lt.POSE3_STAMPED_T:
+        q = v["pose"]["orientation"]
+        t = v["pose"]["position"]
+        return ms.PoseStampedMessage(
+            v["header"]["timestamp"], v["header"]["frame_id"],
+            np.array([q["w"], q["x"], q["y"], q["z"], t["x"], t["y"], t["z"]]),
+        )
+    if sd is lt.STEREO_IMAGE_T:
+        ts = v["header"]["timestamp"]
+        return ms.StereoImageMessage(
+            ts, int(v["header"]["seq"]),
+            _image_from_lcm(v["img_left"], ts),
+            _image_from_lcm(v["img_right"], ts),
+        )
+    if sd is lt.IMAGE_T:
+        return _image_from_lcm(v, 0)
+    if sd is lt.MESH_STAMPED_T:
+        m = v["mesh"]
+        verts = np.array(
+            [[p["x"], p["y"], p["z"]] for p in m["vertices"]], np.float32
+        ).reshape(-1, 3)
+        tris = np.array(
+            [t["vertex_indices"] for t in m["triangles"]], np.int32
+        ).reshape(-1, 3)
+        return ms.MeshMessage(v["header"]["timestamp"], verts, tris)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# The bus
+# ---------------------------------------------------------------------------
+
+class LcmUdpBus(PubSub):
+    """PubSub over real LCM wire format. Same interface and message classes
+    as UdpMulticastBus — only the bytes on the network differ (they are LCM's,
+    so reference-era tools and nodes can join the session)."""
+
+    def __init__(self, group: str = DEFAULT_GROUP, port: int = DEFAULT_PORT, ttl: int = 0):
+        self.group = group
+        self.port = port
+        self._tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, ttl)
+        self._tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+        self._rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
+        self._rx.bind(("", port))
+        mreq = struct.pack("4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0"))
+        self._rx.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+        self._rx.settimeout(0.2)
+
+        self._subs: Dict[str, List[Callable]] = defaultdict(list)
+        self._raw_subs: Dict[str, List[Callable]] = defaultdict(list)
+        self._reasm = Reassembler()
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._running = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    # -- publish -------------------------------------------------------------
+
+    def publish(self, channel: str, message) -> None:
+        sd, values = to_lcm(message)
+        self.publish_encoded(channel, sd.encode(values))
+
+    def publish_lcm(self, channel: str, sd: lt.LcmStructDef, values: dict) -> None:
+        """Publish a raw lcmtype value dict (for types without a dataclass
+        mapping, e.g. mmf_stereo_image_t)."""
+        self.publish_encoded(channel, sd.encode(values))
+
+    def publish_encoded(self, channel: str, payload: bytes) -> None:
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+        for dgram in encode_datagrams(channel, payload, seq):
+            self._tx.sendto(dgram, (self.group, self.port))
+
+    # -- subscribe -----------------------------------------------------------
+
+    def subscribe(self, channel: str, callback: Callable) -> None:
+        """callback(channel, our_message) — LCM payloads with a dataclass
+        mapping arrive as the same classes the other buses deliver."""
+        self._subs[channel].append(callback)
+        self._ensure_rx()
+
+    def subscribe_lcm(self, channel: str, callback: Callable) -> None:
+        """callback(channel, struct_def, value_dict) — every known lcmtype."""
+        self._raw_subs[channel].append(callback)
+        self._ensure_rx()
+
+    def _ensure_rx(self) -> None:
+        if self._thread is None:
+            self._running.set()
+            self._thread = threading.Thread(target=self._rx_loop, daemon=True)
+            self._thread.start()
+
+    def _dispatch(self, channel: str, payload: bytes) -> None:
+        cbs = self._subs.get(channel)
+        raw_cbs = self._raw_subs.get(channel)
+        if not cbs and not raw_cbs:
+            return
+        sd, values = lt.decode_by_fingerprint(payload)
+        if sd is None:
+            return  # foreign type on a channel we watch: skip, stay alive
+        for cb in raw_cbs or ():
+            cb(channel, sd, values)
+        if cbs:
+            msg = from_lcm(sd, values)
+            if msg is None:
+                return
+            for cb in cbs:
+                cb(channel, msg)
+
+    def _rx_loop(self) -> None:
+        while self._running.is_set():
+            try:
+                pkt, sender = self._rx.recvfrom(65535)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            try:
+                done = self._reasm.push(sender, pkt)
+                if done is not None:
+                    self._dispatch(*done)
+            except Exception:  # noqa: BLE001 — the rx thread must survive
+                import traceback
+
+                traceback.print_exc()
+
+    def close(self) -> None:
+        self._running.clear()
+        if self._thread is not None:
+            self._thread.join(timeout=1)
+        self._tx.close()
+        self._rx.close()

@@ -163,7 +163,18 @@ def main(argv=None) -> int:
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--publish", action="store_true",
                     help="uvc: also publish captured frames on the bus")
+    ap.add_argument(
+        "--lcm", action="store_true",
+        help="speak real LCM wire format (record from reference-era publishers)",
+    )
     args = ap.parse_args(argv)
+
+    def _bus():
+        if args.lcm:
+            from ..lcm_wire import LcmUdpBus
+
+            return LcmUdpBus()
+        return UdpMulticastBus()
 
     if args.source == "zed":
         print("ZED SDK capture is not available in this environment; a ZED "
@@ -177,7 +188,7 @@ def main(argv=None) -> int:
         writer = EurocDataWriter(args.out)
         src = UvcStereoSource(device, sbs=args.sbs, camera_hz=args.camera_hz,
                               max_duration_sec=args.max_duration_sec)
-        bus = UdpMulticastBus() if args.publish else None
+        bus = _bus() if args.publish else None
         print(f"recording {device!r} to {args.out}")
         try:
             n = src.capture(writer, bus=bus, max_frames=args.max_frames)
@@ -187,7 +198,7 @@ def main(argv=None) -> int:
         print(f"wrote {n} stereo frames")
         return 0
 
-    bus = UdpMulticastBus()
+    bus = _bus()
     node = CameraRecorderNode(bus, args.out)
     print(f"recording bus sensors to {args.out} (ctrl-c to stop)")
     try:

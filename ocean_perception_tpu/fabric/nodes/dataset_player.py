@@ -191,6 +191,10 @@ def main(argv=None) -> int:
     ap.add_argument("--speed", type=float, default=0.0, help="0 = as fast as possible")
     ap.add_argument("--udp", action="store_true", help="publish on UDP multicast")
     ap.add_argument("--native-bus", action="store_true", help="use the C++ UDP transport")
+    ap.add_argument(
+        "--lcm", action="store_true",
+        help="publish real LCM wire format (interop with reference-era peers)",
+    )
     ap.add_argument("--port", type=int, default=None, help="UDP multicast port")
     ap.add_argument("--out-trajectory", default=None)
     ap.add_argument("--max-steps", type=int, default=None)
@@ -200,10 +204,12 @@ def main(argv=None) -> int:
     )
     args = ap.parse_args(argv)
 
-    if args.udp or args.native_bus:
+    if args.udp or args.native_bus or args.lcm:
         bus_cls = UdpMulticastBus
         if args.native_bus:
             from ..native_bus import NativeUdpBus as bus_cls
+        if args.lcm:
+            from ..lcm_wire import LcmUdpBus as bus_cls
         bus = bus_cls(port=args.port) if args.port else bus_cls()
     else:
         bus = InProcessBus()

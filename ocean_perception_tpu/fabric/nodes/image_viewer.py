@@ -55,8 +55,17 @@ def main(argv=None) -> int:
     ap.add_argument("--channel", required=True)
     ap.add_argument("--out-dir", default="/tmp/ocean_viewer")
     ap.add_argument("--every-n", type=int, default=1)
+    ap.add_argument(
+        "--lcm", action="store_true",
+        help="subscribe on real LCM wire format (reference-era publishers)",
+    )
     args = ap.parse_args(argv)
-    bus = UdpMulticastBus()
+    if args.lcm:
+        from ..lcm_wire import LcmUdpBus
+
+        bus = LcmUdpBus()
+    else:
+        bus = UdpMulticastBus()
     ImageViewerNode(bus, args.channel, args.out_dir, args.every_n)
     print(f"saving {args.channel} frames to {args.out_dir}")
     try:

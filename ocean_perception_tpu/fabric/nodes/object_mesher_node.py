@@ -123,9 +123,16 @@ def main(argv=None) -> int:
     ap.add_argument("--width", type=int, default=672)
     ap.add_argument("--height", type=int, default=376)
     ap.add_argument("--mesher-input-height", type=int, default=None)
+    ap.add_argument(
+        "--lcm", action="store_true",
+        help="speak real LCM wire format (interop with reference-era peers)",
+    )
     args = ap.parse_args(argv)
 
-    bus = UdpMulticastBus(port=args.port) if args.port else UdpMulticastBus()
+    bus_cls = UdpMulticastBus
+    if args.lcm:
+        from ..lcm_wire import LcmUdpBus as bus_cls
+    bus = bus_cls(port=args.port) if args.port else bus_cls()
     if args.config and args.shared:
         node = from_config(bus, args.config, args.shared)
     else:

@@ -222,6 +222,11 @@ def main(argv=None) -> int:
         help="use the C++ UDP transport (fabric/native/udp_bus.cpp)",
     )
     ap.add_argument(
+        "--lcm", action="store_true",
+        help="speak real LCM wire format (fabric/lcm_wire.py) — "
+             "interoperates with reference-era LCM peers and lcm-spy",
+    )
+    ap.add_argument(
         "--checkpoint", default=None,
         help="checkpoint .npz path: resumed from at startup if it exists, "
              "written on every smoother update (mid-mission restart support; "
@@ -242,6 +247,8 @@ def main(argv=None) -> int:
     bus_cls = UdpMulticastBus
     if args.native_bus:
         from ..native_bus import NativeUdpBus as bus_cls
+    if args.lcm:
+        from ..lcm_wire import LcmUdpBus as bus_cls
     bus = bus_cls(port=args.port) if args.port else bus_cls()
     if args.config and args.shared:
         node = StateEstimatorNode.from_config(bus, args.config, args.shared)

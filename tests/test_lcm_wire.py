@@ -1,0 +1,302 @@
+"""LCM wire compatibility: type marshalling, fingerprints, UDP framing, bus.
+
+The reference fleet speaks LCM (lcmtypes/*.lcm compiled by lcm-gen,
+README.md:63-67); fabric/lcm_types.py + fabric/lcm_wire.py implement the
+published LCM encoding/fingerprint/UDP-framing algorithms so our nodes can
+interoperate with unmodified LCM peers. These tests pin the byte-level
+contract: primitive layouts per the spec, fingerprint regression constants,
+LC02/LC03 framing, fragmentation reassembly, and the dataclass bridge.
+"""
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from ocean_perception_tpu.fabric import lcm_types as lt
+from ocean_perception_tpu.fabric import lcm_wire as lw
+from ocean_perception_tpu.fabric import messages as ms
+
+
+# ---------------------------------------------------------------------------
+# Encoding primitives (byte layouts straight from the LCM spec)
+# ---------------------------------------------------------------------------
+
+def test_string_encoding_layout():
+    # string = i32 length INCLUDING the terminating NUL, bytes, NUL.
+    sd = lt.LcmStructDef("t", "s", (lt.Member("name", "string"),))
+    body = sd.encode_fields({"name": "abc"})
+    assert body == b"\x00\x00\x00\x04abc\x00"
+    assert sd.encode_fields({"name": ""}) == b"\x00\x00\x00\x01\x00"
+
+
+def test_primitives_are_big_endian():
+    sd = lt.LcmStructDef(
+        "t", "p",
+        (lt.Member("a", "int32_t"), lt.Member("b", "int16_t"),
+         lt.Member("c", "double"), lt.Member("d", "boolean")),
+    )
+    body = sd.encode_fields({"a": 1, "b": 2, "c": 1.5, "d": True})
+    assert body == struct.pack(">ihdb", 1, 2, 1.5, 1)
+    back, off = sd.decode_fields(body, 0)
+    assert off == len(body)
+    assert back == {"a": 1, "b": 2, "c": 1.5, "d": True}
+
+
+def test_variable_byte_array_roundtrip():
+    v = {"width": 3, "height": 2, "channels": 1, "format": "mono8",
+         "encoding": "raw", "size": 6, "data": bytes(range(6))}
+    buf = lt.IMAGE_T.encode(v)
+    sd, back = lt.decode_by_fingerprint(buf)
+    assert sd is lt.IMAGE_T and back == v
+
+
+def test_fixed_array_layout():
+    body = lt.MESH_TRIANGLE_T.encode_fields({"vertex_indices": [7, 8, 9]})
+    assert body == struct.pack(">iii", 7, 8, 9)
+
+
+def test_nested_struct_inline_without_fingerprint():
+    # Only the top-level message carries the 8-byte fingerprint.
+    v = {"position": {"x": 1.0, "y": 2.0, "z": 3.0},
+         "orientation": {"w": 1.0, "x": 0.0, "y": 0.0, "z": 0.0}}
+    assert len(lt.POSE3_T.encode_fields(v)) == 7 * 8
+    assert len(lt.POSE3_T.encode(v)) == 8 + 7 * 8
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_regression_pins():
+    """Computed once from the spec implementation; any drift in the hash or
+    in a schema declaration (member order/name/type/dims) breaks the wire."""
+    pins = {
+        lt.HEADER_T: "2bd2ccd48e3a0cd9",
+        lt.VECTOR3_T: "ae7e5fba5eeca11e",
+        lt.IMU_MEASUREMENT_T: "c20a6c494eb31864",
+        lt.STEREO_IMAGE_T: "c67544d464b8ed90",
+        lt.MESH_STAMPED_T: "a56c37ab3e43ac2e",
+    }
+    for sd, want in pins.items():
+        assert sd.fingerprint().hex() == want, sd.full_name
+
+
+def test_fingerprints_unique_and_stable():
+    fps = [t.fingerprint() for t in lt.ALL_TYPES]
+    assert len(set(fps)) == len(fps)
+    assert all(len(f) == 8 for f in fps)
+    assert lt.IMU_MEASUREMENT_T.fingerprint() == lt.IMU_MEASUREMENT_T.fingerprint()
+
+
+def test_fingerprint_sensitivity():
+    base = lt.LcmStructDef("p", "a", (lt.Member("x", "double"),))
+    renamed = lt.LcmStructDef("p", "a", (lt.Member("y", "double"),))
+    retyped = lt.LcmStructDef("p", "a", (lt.Member("x", "float"),))
+    arrayed = lt.LcmStructDef("p", "a", (lt.Member("x", "double", (("const", 3),)),))
+    fps = {d.fingerprint() for d in (base, renamed, retyped, arrayed)}
+    assert len(fps) == 4
+    # ...but the struct/package NAME does not participate (LCM property:
+    # renaming a type keeps it wire-compatible).
+    othername = lt.LcmStructDef("q", "b", (lt.Member("x", "double"),))
+    assert othername.fingerprint() == base.fingerprint()
+
+
+def test_fingerprint_member_order_matters():
+    ab = lt.LcmStructDef("p", "t", (lt.Member("a", "int32_t"), lt.Member("b", "double")))
+    ba = lt.LcmStructDef("p", "t", (lt.Member("b", "double"), lt.Member("a", "int32_t")))
+    assert ab.fingerprint() != ba.fingerprint()
+
+
+def test_fingerprint_nested_contribution():
+    # A nested struct member contributes recursively (rotl1 per level), so
+    # changing the CHILD's definition changes the PARENT's fingerprint.
+    child1 = lt.LcmStructDef("p", "c", (lt.Member("x", "double"),))
+    child2 = lt.LcmStructDef("p", "c", (lt.Member("x", "float"),))
+    p1 = lt.LcmStructDef("p", "t", (lt.Member("c", child1),))
+    p2 = lt.LcmStructDef("p", "t", (lt.Member("c", child2),))
+    assert p1.fingerprint() != p2.fingerprint()
+
+
+def test_decode_rejects_wrong_fingerprint():
+    buf = lt.DEPTH_MEASUREMENT_T.encode({"header": lt.make_header(1), "depth": 2.0})
+    with pytest.raises(ValueError):
+        lt.IMU_MEASUREMENT_T.decode(buf)
+    sd, v = lt.decode_by_fingerprint(b"\0" * 16)
+    assert sd is None and v is None
+
+
+# ---------------------------------------------------------------------------
+# UDP framing (LC02 / LC03)
+# ---------------------------------------------------------------------------
+
+def test_short_datagram_layout():
+    [d] = lw.encode_datagrams("CHAN", b"payload", seq=5)
+    magic, seq = struct.unpack_from(">II", d)
+    assert magic == 0x4C433032 and seq == 5
+    assert d[8:] == b"CHAN\0payload"
+
+
+def test_fragmented_roundtrip():
+    payload = bytes(np.random.default_rng(0).integers(0, 256, 200_000, np.uint8))
+    dgrams = lw.encode_datagrams("big", payload, seq=9)
+    assert len(dgrams) > 1
+    assert struct.unpack_from(">I", dgrams[0])[0] == 0x4C433033
+    # total reassembled size matches msg_size in every header
+    for d in dgrams:
+        _, seq, msg_size, *_ = struct.unpack_from(">IIIIHH", d)
+        assert (seq, msg_size) == (9, len(payload))
+    r = lw.Reassembler()
+    out = None
+    for d in dgrams:
+        out = r.push(("1.2.3.4", 1111), d) or out
+    assert out == ("big", payload)
+
+
+def test_reassembly_is_keyed_per_sender():
+    # Two senders using the same msg_seq must not interleave.
+    pa = bytes([1]) * 150_000
+    pb = bytes([2]) * 150_000
+    da = lw.encode_datagrams("c", pa, seq=1)
+    db = lw.encode_datagrams("c", pb, seq=1)
+    r = lw.Reassembler()
+    outs = []
+    for x, y in zip(da, db):  # interleaved arrival
+        for sender, d in ((("A", 1), x), (("B", 2), y)):
+            got = r.push(sender, d)
+            if got:
+                outs.append(got[1])
+    assert sorted(map(bytes, outs)) == sorted([pa, pb])
+
+
+def test_out_of_order_fragments():
+    payload = bytes(range(256)) * 1000
+    dgrams = lw.encode_datagrams("c", payload, seq=3)
+    r = lw.Reassembler()
+    out = None
+    for d in reversed(dgrams):
+        out = r.push(("A", 1), d) or out
+    assert out == ("c", payload)
+
+
+# ---------------------------------------------------------------------------
+# Bridge: our dataclasses <-> vehicle.* lcmtypes
+# ---------------------------------------------------------------------------
+
+def _roundtrip(msg):
+    sd, values = lw.to_lcm(msg)
+    buf = sd.encode(values)
+    sd2, v2 = lt.decode_by_fingerprint(buf)
+    assert sd2 is sd
+    return lw.from_lcm(sd2, v2)
+
+
+def test_bridge_imu():
+    m = ms.ImuMessage(12345, np.array([0.1, -0.2, 0.3]), np.array([9.0, 0.5, -1.0]))
+    b = _roundtrip(m)
+    assert b.timestamp == m.timestamp
+    np.testing.assert_allclose(b.angular_velocity, m.angular_velocity)
+    np.testing.assert_allclose(b.linear_acceleration, m.linear_acceleration)
+
+
+def test_bridge_depth_range_mag():
+    d = _roundtrip(ms.DepthMessage(5, 3.25))
+    assert (d.timestamp, d.depth) == (5, 3.25)
+    r = _roundtrip(ms.RangeMessage(6, 10.5, np.array([1.0, 2.0, 3.0]), beacon_id=2))
+    assert (r.timestamp, r.range, r.beacon_id) == (6, 10.5, 2)
+    np.testing.assert_allclose(r.point, [1.0, 2.0, 3.0])
+    g = _roundtrip(ms.MagMessage(7, np.array([22.0, 0.0, -45.0])))
+    np.testing.assert_allclose(g.field, [22.0, 0.0, -45.0])
+
+
+def test_bridge_pose():
+    pose = np.array([0.5, 0.5, 0.5, 0.5, 1.0, -2.0, 3.0])
+    p = _roundtrip(ms.PoseStampedMessage(9, "world", pose))
+    assert p.frame_id == "world"
+    np.testing.assert_allclose(p.pose, pose)
+
+
+def test_bridge_stereo_image_u8():
+    rng = np.random.default_rng(0)
+    img = rng.random((8, 10)).astype(np.float32)
+    m = ms.StereoImageMessage(
+        42, 1, ms.ImageMessage.from_array(42, img), ms.ImageMessage.from_array(42, img)
+    )
+    b = _roundtrip(m)
+    assert (b.timestamp, b.camera_id) == (42, 1)
+    # float32 quantizes to u8 on the reference's 8-bit image_t wire.
+    np.testing.assert_allclose(b.left.to_array(), img, atol=1.0 / 255.0 + 1e-6)
+
+
+def test_bridge_mesh():
+    verts = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]])
+    tris = np.array([[0, 1, 2]], np.int32)
+    b = _roundtrip(ms.MeshMessage(3, verts, tris))
+    np.testing.assert_allclose(b.vertices, verts)
+    np.testing.assert_array_equal(b.triangles, tris)
+
+
+# ---------------------------------------------------------------------------
+# The bus over real sockets
+# ---------------------------------------------------------------------------
+
+LCM_TEST_PORT = 7971
+
+
+def test_lcm_bus_loopback_small_and_fragmented():
+    tx = lw.LcmUdpBus(port=LCM_TEST_PORT)
+    rx = lw.LcmUdpBus(port=LCM_TEST_PORT)
+    got = []
+    raw = []
+    try:
+        rx.subscribe("imu", lambda ch, m: got.append((ch, m)))
+        rx.subscribe("cam", lambda ch, m: got.append((ch, m)))
+        rx.subscribe_lcm("imu", lambda ch, sd, v: raw.append(sd.full_name))
+        time.sleep(0.1)
+
+        tx.publish("imu", ms.ImuMessage(1, np.zeros(3), np.array([0.0, 0.0, -9.81])))
+        big = np.zeros((120, 160), np.float32)  # 76 KB raw -> u8 -> still LC02? 19KB u8
+        hi = np.tile(np.linspace(0, 1, 160, dtype=np.float32), (300, 1))  # 300x160
+        frame = ms.StereoImageMessage(
+            2, 0,
+            ms.ImageMessage.from_array(2, np.tile(hi, (2, 3))),  # 600x480 -> 288KB u8
+            ms.ImageMessage.from_array(2, big),
+        )
+        tx.publish("cam", frame)
+
+        deadline = time.time() + 5
+        while time.time() < deadline and len(got) < 2:
+            time.sleep(0.05)
+        assert len(got) == 2, got
+        chans = {ch for ch, _ in got}
+        assert chans == {"imu", "cam"}
+        assert raw == ["vehicle.imu_measurement_t"]
+        stereo = next(m for ch, m in got if ch == "cam")
+        assert (stereo.left.height, stereo.left.width) == (600, 480)
+    finally:
+        tx.close()
+        rx.close()
+
+
+def test_lcm_bus_ignores_foreign_payloads():
+    """A non-LCM datagram or unknown fingerprint must not kill the rx loop."""
+    tx = lw.LcmUdpBus(port=LCM_TEST_PORT + 1)
+    rx = lw.LcmUdpBus(port=LCM_TEST_PORT + 1)
+    got = []
+    try:
+        rx.subscribe("d", lambda ch, m: got.append(m))
+        time.sleep(0.1)
+        # Garbage datagram straight to the socket.
+        tx._tx.sendto(b"\xde\xad\xbe\xef junk", (tx.group, tx.port))
+        # Unknown-fingerprint payload on a watched channel.
+        tx.publish_encoded("d", b"\x01\x02\x03\x04\x05\x06\x07\x08rest")
+        # Then a valid message still arrives.
+        tx.publish("d", ms.DepthMessage(11, 4.5))
+        deadline = time.time() + 5
+        while time.time() < deadline and not got:
+            time.sleep(0.05)
+        assert len(got) == 1 and got[0].depth == 4.5
+    finally:
+        tx.close()
+        rx.close()

@@ -25,9 +25,17 @@ PORT = 7911  # distinct from DEFAULT_PORT to avoid cross-talk
 
 
 @pytest.mark.slow
-def test_vio_over_udp_two_processes():
+@pytest.mark.parametrize("transport", ["custom", "lcm"])
+def test_vio_over_udp_two_processes(transport):
+    """transport="custom" drives the in-house wire format; transport="lcm"
+    runs the identical mission with BOTH processes speaking real LCM wire
+    (fabric/lcm_wire.py) — the reference ecosystem's protocol."""
+    from ocean_perception_tpu.fabric.lcm_wire import LcmUdpBus
     from ocean_perception_tpu.fabric.nodes.dataset_player import publish_sensors
     from ocean_perception_tpu.fabric.pubsub import UdpMulticastBus
+
+    port = PORT if transport == "custom" else PORT + 1
+    bus_cls = UdpMulticastBus if transport == "custom" else LcmUdpBus
 
     tmp = tempfile.mkdtemp()
     write_synthetic_euroc(tmp, n_frames=16)
@@ -45,9 +53,9 @@ def test_vio_over_udp_two_processes():
         [
             sys.executable, "-m",
             "ocean_perception_tpu.fabric.nodes.state_estimator_node",
-            "--config", node_path, "--shared", shared_path, "--port", str(PORT),
+            "--config", node_path, "--shared", shared_path, "--port", str(port),
             "--trajectory-out", os.path.join(tmp, "trajectory.csv"),
-        ],
+        ] + (["--lcm"] if transport == "lcm" else []),
         env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
@@ -73,7 +81,7 @@ def test_vio_over_udp_two_processes():
             f"node never came up; output: {''.join(child_lines)[-2000:]!r}"
         )
 
-        bus = UdpMulticastBus(port=PORT)
+        bus = bus_cls(port=port)
         filter_poses, smoother_poses = [], []
         lock = threading.Lock()
         bus.subscribe(

@@ -252,6 +252,36 @@ def from_lcm(sd: lt.LcmStructDef, v: dict):
     return None
 
 
+class MmfReader:
+    """Inbound mmf_image_t support: reads the byte block a descriptor points
+    at from the publisher's memory-mapped file (ImageSubscriber parity,
+    image_subscriber.cpp:29-91 — open once per filename, seek offset, read
+    size, decode by encoding)."""
+
+    def __init__(self):
+        self._files: Dict[str, object] = {}
+
+    def read(self, v: dict) -> Optional[ms.ImageMessage]:
+        if v["offset"] < 0 or v["size"] <= 0:
+            return None
+        f = self._files.get(v["mm_filename"])
+        if f is None:
+            try:
+                f = open(v["mm_filename"], "rb")
+            except OSError:
+                return None  # file not visible from this host
+            self._files[v["mm_filename"]] = f
+        f.seek(v["offset"])
+        data = f.read(v["size"])
+        enc = "jpg" if v["encoding"] == "jpg" else "u8"
+        return ms.ImageMessage(0, v["width"], v["height"], v["channels"], enc, data)
+
+    def close(self) -> None:
+        for f in self._files.values():
+            f.close()
+        self._files.clear()
+
+
 # ---------------------------------------------------------------------------
 # The bus
 # ---------------------------------------------------------------------------
@@ -277,6 +307,7 @@ class LcmUdpBus(PubSub):
 
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
         self._raw_subs: Dict[str, List[Callable]] = defaultdict(list)
+        self._mmf = MmfReader()
         self._reasm = Reassembler()
         self._seq = 0
         self._lock = threading.Lock()
@@ -331,11 +362,26 @@ class LcmUdpBus(PubSub):
         for cb in raw_cbs or ():
             cb(channel, sd, values)
         if cbs:
-            msg = from_lcm(sd, values)
+            msg = self._from_lcm_with_mmf(sd, values)
             if msg is None:
                 return
             for cb in cbs:
                 cb(channel, msg)
+
+    def _from_lcm_with_mmf(self, sd: lt.LcmStructDef, v: dict):
+        """from_lcm plus the two mmf descriptor types, which need this bus's
+        file-reader state (reference-era publishers ship images this way)."""
+        if sd is lt.MMF_STEREO_IMAGE_T:
+            left = self._mmf.read(v["img_left"])
+            right = self._mmf.read(v["img_right"])
+            if left is None or right is None:
+                return None
+            ts = v["header"]["timestamp"]
+            left.timestamp = right.timestamp = ts
+            return ms.StereoImageMessage(ts, int(v["header"]["seq"]), left, right)
+        if sd is lt.MMF_IMAGE_T:
+            return self._mmf.read(v)
+        return from_lcm(sd, v)
 
     def _rx_loop(self) -> None:
         while self._running.is_set():
@@ -360,3 +406,4 @@ class LcmUdpBus(PubSub):
             self._thread.join(timeout=1)
         self._tx.close()
         self._rx.close()
+        self._mmf.close()

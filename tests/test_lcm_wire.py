@@ -279,6 +279,50 @@ def test_lcm_bus_loopback_small_and_fragmented():
         rx.close()
 
 
+def test_lcm_bus_mmf_stereo_inbound(tmp_path):
+    """A reference-era publisher ships frames as mmf_stereo_image_t: a
+    descriptor pointing into a memory-mapped file (image_subscriber.cpp:29-91).
+    Our bus must read the blocks and deliver a normal StereoImageMessage."""
+    rng = np.random.default_rng(3)
+    left = (rng.random((6, 8)) * 255).astype(np.uint8)
+    right = (rng.random((6, 8)) * 255).astype(np.uint8)
+    mm = tmp_path / "images.mm"
+    pad = b"\xAA" * 16
+    mm.write_bytes(pad + left.tobytes() + right.tobytes())
+
+    def desc(offset, arr):
+        return {
+            "width": arr.shape[1], "height": arr.shape[0], "channels": 1,
+            "format": "mono8", "encoding": "raw",
+            "mm_filename": str(mm), "offset": offset, "size": arr.nbytes,
+        }
+
+    v = {
+        "header": lt.make_header(77, 3),
+        "img_left": desc(16, left),
+        "img_right": desc(16 + left.nbytes, right),
+    }
+    tx = lw.LcmUdpBus(port=LCM_TEST_PORT + 2)
+    rx = lw.LcmUdpBus(port=LCM_TEST_PORT + 2)
+    got = []
+    try:
+        rx.subscribe("stereo", lambda ch, m: got.append(m))
+        time.sleep(0.1)
+        tx.publish_lcm("stereo", lt.MMF_STEREO_IMAGE_T, v)
+        deadline = time.time() + 5
+        while time.time() < deadline and not got:
+            time.sleep(0.05)
+        assert got, "mmf stereo frame never arrived"
+        m = got[0]
+        assert isinstance(m, ms.StereoImageMessage)
+        assert (m.timestamp, m.camera_id) == (77, 3)
+        np.testing.assert_allclose(m.left.to_array(), left / 255.0)
+        np.testing.assert_allclose(m.right.to_array(), right / 255.0)
+    finally:
+        tx.close()
+        rx.close()
+
+
 def test_lcm_bus_ignores_foreign_payloads():
     """A non-LCM datagram or unknown fingerprint must not kill the rx loop."""
     tx = lw.LcmUdpBus(port=LCM_TEST_PORT + 1)

@@ -307,6 +307,7 @@ class LcmUdpBus(PubSub):
 
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
         self._raw_subs: Dict[str, List[Callable]] = defaultdict(list)
+        self._patterns: List[Tuple[str, object]] = []
         self._mmf = MmfReader()
         self._reasm = Reassembler()
         self._seq = 0
@@ -333,17 +334,40 @@ class LcmUdpBus(PubSub):
             self._tx.sendto(dgram, (self.group, self.port))
 
     # -- subscribe -----------------------------------------------------------
+    #
+    # LCM semantics: the subscription string is an ANCHORED REGEX over channel
+    # names (lcm_subscribe; how lcm-spy watches ".*"). Plain channel names
+    # contain no metacharacters and behave as exact matches.
 
     def subscribe(self, channel: str, callback: Callable) -> None:
         """callback(channel, our_message) — LCM payloads with a dataclass
         mapping arrive as the same classes the other buses deliver."""
         self._subs[channel].append(callback)
+        self._compile_patterns()
         self._ensure_rx()
 
     def subscribe_lcm(self, channel: str, callback: Callable) -> None:
         """callback(channel, struct_def, value_dict) — every known lcmtype."""
         self._raw_subs[channel].append(callback)
+        self._compile_patterns()
         self._ensure_rx()
+
+    def _compile_patterns(self) -> None:
+        import re
+
+        self._patterns = []
+        for p in set(self._subs) | set(self._raw_subs):
+            try:
+                self._patterns.append((p, re.compile(p)))
+            except re.error:
+                pass  # non-regex channel name: exact matching still applies
+
+    def _matching(self, table: Dict[str, List[Callable]], channel: str) -> List[Callable]:
+        cbs = list(table.get(channel, ()))  # exact match fast path
+        for pat, rx in self._patterns:
+            if pat != channel and pat in table and rx.fullmatch(channel):
+                cbs.extend(table[pat])
+        return cbs
 
     def _ensure_rx(self) -> None:
         if self._thread is None:
@@ -352,8 +376,8 @@ class LcmUdpBus(PubSub):
             self._thread.start()
 
     def _dispatch(self, channel: str, payload: bytes) -> None:
-        cbs = self._subs.get(channel)
-        raw_cbs = self._raw_subs.get(channel)
+        cbs = self._matching(self._subs, channel)
+        raw_cbs = self._matching(self._raw_subs, channel)
         if not cbs and not raw_cbs:
             return
         sd, values = lt.decode_by_fingerprint(payload)

@@ -323,6 +323,56 @@ def test_lcm_bus_mmf_stereo_inbound(tmp_path):
         rx.close()
 
 
+def test_lcm_bus_regex_subscription():
+    """LCM subscriptions are anchored regexes (lcm_subscribe semantics; how
+    lcm-spy watches \".*\")."""
+    tx = lw.LcmUdpBus(port=LCM_TEST_PORT + 3)
+    rx = lw.LcmUdpBus(port=LCM_TEST_PORT + 3)
+    all_msgs, vio_only = [], []
+    try:
+        rx.subscribe_lcm(".*", lambda ch, sd, v: all_msgs.append(ch))
+        rx.subscribe("vio/.*", lambda ch, m: vio_only.append(ch))
+        time.sleep(0.1)
+        tx.publish("vio/pose/filter", ms.DepthMessage(1, 1.0))
+        tx.publish("sensors/depth", ms.DepthMessage(2, 2.0))
+        deadline = time.time() + 5
+        while time.time() < deadline and len(all_msgs) < 2:
+            time.sleep(0.05)
+        assert sorted(all_msgs) == ["sensors/depth", "vio/pose/filter"]
+        # anchored: "vio/.*" matches the vio channel only, not a substring.
+        assert vio_only == ["vio/pose/filter"]
+    finally:
+        tx.close()
+        rx.close()
+
+
+def test_channel_spy_smoke(capsys):
+    """The lcm-spy-parity monitor sees traffic on both transports."""
+    import threading as th
+
+    from ocean_perception_tpu.fabric.nodes import channel_spy
+
+    port = LCM_TEST_PORT + 4
+    t = th.Thread(
+        target=channel_spy.main,
+        args=(["--lcm", "--port", str(port), "--interval", "0.5", "--duration", "3"],),
+        daemon=True,
+    )
+    t.start()
+    tx = lw.LcmUdpBus(port=port)
+    try:
+        time.sleep(0.5)
+        for i in range(5):
+            tx.publish("sensors/imu", ms.ImuMessage(i, np.zeros(3), np.zeros(3)))
+            time.sleep(0.1)
+        t.join(timeout=10)
+        assert not t.is_alive()
+        out = capsys.readouterr().out
+        assert "sensors/imu" in out and "vehicle.imu_measurement_t" in out
+    finally:
+        tx.close()
+
+
 def test_lcm_bus_ignores_foreign_payloads():
     """A non-LCM datagram or unknown fingerprint must not kill the rx loop."""
     tx = lw.LcmUdpBus(port=LCM_TEST_PORT + 1)

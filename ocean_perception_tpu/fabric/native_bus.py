@@ -45,6 +45,8 @@ def _load_native():
             return None
         lib.udp_bus_create.restype = ctypes.c_void_p
         lib.udp_bus_create.argtypes = [ctypes.c_char_p, ctypes.c_uint16, ctypes.c_int]
+        lib.udp_bus_create_lcm.restype = ctypes.c_void_p
+        lib.udp_bus_create_lcm.argtypes = [ctypes.c_char_p, ctypes.c_uint16, ctypes.c_int]
         lib.udp_bus_close.argtypes = [ctypes.c_void_p]
         lib.udp_bus_send.restype = ctypes.c_int
         lib.udp_bus_send.argtypes = [
@@ -66,12 +68,14 @@ def native_available() -> bool:
 class NativeUdpBus(PubSub):
     """PubSub over the C++ transport. Drop-in for UdpMulticastBus."""
 
+    _CREATE = "udp_bus_create"
+
     def __init__(self, group: str = DEFAULT_GROUP, port: int = DEFAULT_PORT, ttl: int = 0):
         lib = _load_native()
         if lib is None:
             raise RuntimeError("native fabric library unavailable (g++/make missing?)")
         self._lib = lib
-        self._h = lib.udp_bus_create(group.encode(), port, ttl)
+        self._h = getattr(lib, self._CREATE)(group.encode(), port, ttl)
         if not self._h:
             raise OSError(f"udp_bus_create failed for {group}:{port}")
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
@@ -81,8 +85,16 @@ class NativeUdpBus(PubSub):
         self._thread: Optional[threading.Thread] = None
         self._send_lock = threading.Lock()
 
+    # Payload codec — the transport carries opaque bytes; subclasses swap
+    # the encoding (NativeLcmBus uses the LCM type encoding).
+    def _encode(self, message) -> bytes:
+        return encode_message(message)
+
+    def _decode(self, payload: bytes):
+        return decode_message(payload)
+
     def publish(self, channel: str, message) -> None:
-        payload = encode_message(message)
+        payload = self._encode(message)
         with self._send_lock:
             rc = self._lib.udp_bus_send(self._h, channel.encode(), payload, len(payload))
         if rc != 0:
@@ -107,7 +119,9 @@ class NativeUdpBus(PubSub):
                 cbs = self._subs.get(channel)
                 if not cbs:
                     continue
-                msg = decode_message(self._buf.raw[:n])
+                msg = self._decode(self._buf.raw[:n])
+                if msg is None:
+                    continue  # unmapped/foreign payload type
                 for cb in cbs:
                     cb(channel, msg)
             except Exception:  # noqa: BLE001 — the rx thread must survive
@@ -126,3 +140,28 @@ class NativeUdpBus(PubSub):
         if self._h:
             self._lib.udp_bus_close(self._h)
             self._h = None
+
+
+class NativeLcmBus(NativeUdpBus):
+    """C++ transport speaking the REAL LCM wire protocol (LC02/LC03 framing
+    in udp_bus.cpp, vehicle.* lcmtypes payloads via fabric/lcm_wire.py's
+    bridge) — the native-runtime path into a session with unmodified LCM
+    peers. mmf image descriptors are a Python-side feature; use
+    fabric.lcm_wire.LcmUdpBus where inbound mmf frames are expected."""
+
+    _CREATE = "udp_bus_create_lcm"
+
+    def _encode(self, message) -> bytes:
+        from .lcm_wire import to_lcm
+
+        sd, values = to_lcm(message)
+        return sd.encode(values)
+
+    def _decode(self, payload: bytes):
+        from .lcm_types import decode_by_fingerprint
+        from .lcm_wire import from_lcm
+
+        sd, values = decode_by_fingerprint(payload)
+        if sd is None:
+            return None
+        return from_lcm(sd, values)

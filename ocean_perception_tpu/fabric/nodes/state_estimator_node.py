@@ -245,9 +245,11 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     bus_cls = UdpMulticastBus
-    if args.native_bus:
+    if args.native_bus and args.lcm:
+        from ..native_bus import NativeLcmBus as bus_cls
+    elif args.native_bus:
         from ..native_bus import NativeUdpBus as bus_cls
-    if args.lcm:
+    elif args.lcm:
         from ..lcm_wire import LcmUdpBus as bus_cls
     bus = bus_cls(port=args.port) if args.port else bus_cls()
     if args.config and args.shared:

@@ -1,0 +1,144 @@
+"""Parse LCM IDL (.lcm) files into LcmStructDef objects — lcm-gen's front end.
+
+The reference generates its bindings with lcm-gen at build time
+(lcmtypes/CMakeLists.txt); users migrating with their own .lcm schemas can
+load them directly:
+
+    defs = parse_lcm_dir("my_lcmtypes/")          # {"pkg.type": LcmStructDef}
+    bus.publish_lcm("chan", defs["pkg.foo_t"], {...})
+
+Supported IDL subset (everything the reference's 16 schemas use, plus
+consts): ``package``, ``struct`` with primitive/nested members, fixed and
+variable array dimensions, ``const`` declarations (parsed and exposed,
+not hashed — same as lcm-gen), ``//`` and ``/* */`` comments.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Tuple
+
+from .lcm_types import PRIMITIVES, Dim, LcmStructDef, Member
+
+_TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*|-?\d+(?:\.\d+)?|[{}\[\];=,]|\S")
+
+
+def _strip_comments(text: str) -> str:
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    return re.sub(r"//[^\n]*", " ", text)
+
+
+def parse_lcm_source(text: str) -> List[dict]:
+    """Parse one .lcm file's text into raw struct descriptions:
+    [{package, name, members: [(name, typename, dims)], consts: {...}}].
+    Type references are left as names — resolve_structs links them."""
+    toks = _TOKEN.findall(_strip_comments(text))
+    i = 0
+    package = ""
+    out: List[dict] = []
+
+    def expect(t: str) -> None:
+        nonlocal i
+        if i >= len(toks) or toks[i] != t:
+            got = toks[i] if i < len(toks) else "<eof>"
+            raise ValueError(f"LCM parse error: expected {t!r}, got {got!r}")
+        i += 1
+
+    while i < len(toks):
+        tok = toks[i]
+        if tok == "package":
+            package = toks[i + 1]
+            i += 2
+            expect(";")
+        elif tok == "struct":
+            name = toks[i + 1]
+            i += 2
+            expect("{")
+            members: List[Tuple[str, str, Tuple[Dim, ...]]] = []
+            consts: Dict[str, object] = {}
+            while toks[i] != "}":
+                if toks[i] == "const":
+                    # const int32_t FOO = 7, BAR = 9;
+                    ctype = toks[i + 1]
+                    i += 2
+                    while True:
+                        cname = toks[i]
+                        expect_eq = toks[i + 1]
+                        if expect_eq != "=":
+                            raise ValueError("LCM parse error: const without =")
+                        cval = toks[i + 2]
+                        consts[cname] = float(cval) if ctype in ("float", "double") else int(cval)
+                        i += 3
+                        if toks[i] == ",":
+                            i += 1
+                            continue
+                        expect(";")
+                        break
+                    continue
+                mtype = toks[i]
+                mname = toks[i + 1]
+                i += 2
+                dims: List[Dim] = []
+                while toks[i] == "[":
+                    size = toks[i + 1]
+                    dims.append(
+                        ("const", int(size)) if size.isdigit() else ("var", size)
+                    )
+                    i += 2
+                    expect("]")
+                expect(";")
+                members.append((mname, mtype, tuple(dims)))
+            i += 1  # consume }
+            out.append(
+                {"package": package, "name": name, "members": members, "consts": consts}
+            )
+        elif tok == ";":
+            i += 1
+        else:
+            raise ValueError(f"LCM parse error: unexpected token {tok!r}")
+    return out
+
+
+def resolve_structs(raw: List[dict]) -> Dict[str, LcmStructDef]:
+    """Link raw struct descriptions into LcmStructDefs (nested types resolved
+    by short or fully-qualified name; forward references allowed)."""
+    by_name: Dict[str, dict] = {}
+    for r in raw:
+        by_name[r["name"]] = r
+        by_name[f"{r['package']}.{r['name']}"] = r
+
+    resolved: Dict[str, LcmStructDef] = {}
+
+    def build(r: dict, stack: Tuple[str, ...]) -> LcmStructDef:
+        full = f"{r['package']}.{r['name']}"
+        if full in resolved:
+            return resolved[full]
+        if full in stack:
+            raise ValueError(f"recursive LCM type {full} is not supported")
+        members = []
+        for mname, mtype, dims in r["members"]:
+            if mtype in PRIMITIVES:
+                members.append(Member(mname, mtype, dims))
+            elif mtype in by_name:
+                members.append(Member(mname, build(by_name[mtype], stack + (full,)), dims))
+            else:
+                raise ValueError(f"unknown LCM type {mtype!r} in {full}")
+        sd = LcmStructDef(r["package"], r["name"], tuple(members))
+        resolved[full] = sd
+        return sd
+
+    for r in raw:
+        build(r, ())
+    # Return only fully-qualified keys.
+    return {k: v for k, v in resolved.items() if "." in k}
+
+
+def parse_lcm_dir(path: str) -> Dict[str, LcmStructDef]:
+    """Parse every .lcm file under ``path`` into linked LcmStructDefs."""
+    raw: List[dict] = []
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".lcm"):
+            with open(os.path.join(path, fname)) as f:
+                raw.extend(parse_lcm_source(f.read()))
+    return resolve_structs(raw)

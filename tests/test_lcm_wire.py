@@ -14,6 +14,8 @@ import time
 import numpy as np
 import pytest
 
+from conftest import REFERENCE_DIR, requires_reference
+from ocean_perception_tpu.fabric import lcm_gen
 from ocean_perception_tpu.fabric import lcm_types as lt
 from ocean_perception_tpu.fabric import lcm_wire as lw
 from ocean_perception_tpu.fabric import messages as ms
@@ -125,6 +127,56 @@ def test_decode_rejects_wrong_fingerprint():
         lt.IMU_MEASUREMENT_T.decode(buf)
     sd, v = lt.decode_by_fingerprint(b"\0" * 16)
     assert sd is None and v is None
+
+
+# ---------------------------------------------------------------------------
+# IDL parser (lcm-gen front-end parity)
+# ---------------------------------------------------------------------------
+
+@requires_reference
+def test_parser_matches_hand_declared_schemas():
+    """Parse the reference's ACTUAL .lcm files and require byte-identical
+    fingerprints with the hand-declared table — two independent routes to
+    every schema must agree on the wire contract."""
+    import os
+
+    defs = lcm_gen.parse_lcm_dir(os.path.join(REFERENCE_DIR, "lcmtypes"))
+    assert len(defs) == 16
+    for sd in lt.ALL_TYPES:
+        parsed = defs[sd.full_name]
+        assert parsed.fingerprint() == sd.fingerprint(), sd.full_name
+        assert [m.name for m in parsed.members] == [m.name for m in sd.members]
+
+
+def test_parser_consts_and_comments():
+    src = """
+    package demo;
+    /* block
+       comment */
+    struct thing_t {
+      const int32_t MODE_A = 1, MODE_B = 2;
+      const double SCALE = 1.5;
+      int64_t utime;    // trailing comment
+      double grid[4][4];
+      int32_t n;
+      byte data[n];
+    }
+    """
+    raw = lcm_gen.parse_lcm_source(src)
+    assert raw[0]["consts"] == {"MODE_A": 1, "MODE_B": 2, "SCALE": 1.5}
+    defs = lcm_gen.resolve_structs(raw)
+    sd = defs["demo.thing_t"]
+    grid = [[float(r * 4 + c) for c in range(4)] for r in range(4)]
+    v = {"utime": 7, "grid": grid, "n": 3, "data": b"\x01\x02\x03"}
+    back = sd.decode(sd.encode(v))
+    assert back == v
+
+
+def test_parser_rejects_unknown_type():
+    with pytest.raises(ValueError, match="unknown LCM type"):
+        lcm_gen.resolve_structs(
+            lcm_gen.parse_lcm_source("package p; struct a_t { missing_t x; }")
+        )
 
 
 # ---------------------------------------------------------------------------

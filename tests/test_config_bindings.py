@@ -134,6 +134,36 @@ def test_state_estimator_node_from_config():
     assert len(poses) >= 1  # rate-limited filter pose published
 
 
+def test_nodes_build_from_the_reference_own_yaml():
+    """Drop-in migration: BOTH nodes construct directly from the reference
+    repo's UNMODIFIED config files (config/auv/lcm_nodes/*.yaml + the shared
+    rig), picking up its channel names, queue sizes, and algorithm params —
+    a reference-era deployment's configs keep working verbatim."""
+    from conftest import REFERENCE_DIR, has_reference
+    from ocean_perception_tpu.fabric.nodes.object_mesher_node import from_config
+    from ocean_perception_tpu.fabric.nodes.state_estimator_node import StateEstimatorNode
+    from ocean_perception_tpu.fabric.pubsub import InProcessBus
+
+    if not has_reference():
+        import pytest
+
+        pytest.skip("reference repo not mounted")
+    ref_cfg = os.path.join(REFERENCE_DIR, "config")
+    est = StateEstimatorNode.from_config(
+        InProcessBus(),
+        os.path.join(ref_cfg, "auv/lcm_nodes/StateEstimatorLcm.yaml"),
+        os.path.join(ref_cfg, "shared/Farmsim.yaml"),
+    )
+    assert est._channels["channel_input_imu"] == "sim/auv/imu"
+    assert est._channels["channel_output_filter_pose"] == "vio/filter/world_P_body"
+    mesher = from_config(
+        InProcessBus(),
+        os.path.join(ref_cfg, "auv/lcm_nodes/ObjectMesherLcm.yaml"),
+        os.path.join(ref_cfg, "shared/Farmsim.yaml"),
+    )
+    assert mesher.mesher.params.device.foreground_ksize == 15
+
+
 def test_object_mesher_node_from_config():
     """ObjectMesher node builds fully from the shipped YAML pair, including
     mesher_input_height rig rescaling and channel names."""

@@ -153,7 +153,34 @@ def oracle_parity_matrix():
     return per_pair, worst_constrained, fsl1
 
 
+def wait_for_backend(max_wait_s: float = 900.0) -> bool:
+    """The axon TPU tunnel occasionally drops; a bare jax.devices() then
+    HANGS (not errors). Probe it in a bounded subprocess and retry so a
+    transient outage delays the bench instead of killing it."""
+    import subprocess
+
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > max_wait_s:
+            print("warning: TPU backend still unreachable; proceeding anyway",
+                  file=sys.stderr)
+            return False
+        print("TPU backend unreachable; retrying in 60 s...", file=sys.stderr)
+        time.sleep(60)
+
+
 def main() -> None:
+    wait_for_backend()
+
     from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
     from ocean_perception_tpu.models.perception import (
         PerceptionConfig,

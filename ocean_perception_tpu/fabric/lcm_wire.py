@@ -252,6 +252,58 @@ def from_lcm(sd: lt.LcmStructDef, v: dict):
     return None
 
 
+class MmfPublisher:
+    """Outbound mmf image transport: frames go into a preallocated
+    memory-mapped slot file; only the small mmf_stereo_image_t descriptor
+    rides the bus — the reference's zero-copy image path, usable by its
+    unmodified ImageSubscriber consumers.
+
+    Slots rotate round-robin; a descriptor is published AFTER its slot is
+    fully written, and consumers read promptly (same liveness contract the
+    reference's single-writer mmf file has)."""
+
+    def __init__(self, bus: "LcmUdpBus", path: str, slot_bytes: int = 1 << 20,
+                 n_slots: int = 16):
+        self.bus = bus
+        self.path = path
+        self.slot_bytes = slot_bytes
+        self.n_slots = n_slots
+        self._next = 0
+        self._f = open(path, "wb+")
+        self._f.truncate(slot_bytes * n_slots)
+
+    def _write_block(self, data: bytes) -> int:
+        if len(data) > self.slot_bytes:
+            raise ValueError(f"frame {len(data)} B > slot {self.slot_bytes} B")
+        off = self._next * self.slot_bytes
+        self._next = (self._next + 1) % self.n_slots
+        self._f.seek(off)
+        self._f.write(data)
+        return off
+
+    def _desc(self, img: ms.ImageMessage) -> dict:
+        v = _image_to_lcm(img)
+        off = self._write_block(v["data"])
+        return {
+            "width": v["width"], "height": v["height"], "channels": v["channels"],
+            "format": v["format"], "encoding": v["encoding"],
+            "mm_filename": self.path, "offset": off, "size": v["size"],
+        }
+
+    def publish_stereo(self, channel: str, msg: ms.StereoImageMessage) -> None:
+        left = self._desc(msg.left)
+        right = self._desc(msg.right)
+        self._f.flush()
+        h = lt.make_header(msg.timestamp, msg.camera_id)
+        self.bus.publish_lcm(
+            channel, lt.MMF_STEREO_IMAGE_T,
+            {"header": h, "img_left": left, "img_right": right},
+        )
+
+    def close(self) -> None:
+        self._f.close()
+
+
 class MmfReader:
     """Inbound mmf_image_t support: reads the byte block a descriptor points
     at from the publisher's memory-mapped file (ImageSubscriber parity,

@@ -482,6 +482,42 @@ def test_native_lcm_bus_interop():
         py.close()
 
 
+def test_mmf_publisher_roundtrip(tmp_path):
+    """Outbound zero-copy path: frames into a slot file + tiny descriptors on
+    the LCM bus; our own subscriber (= the reference's ImageSubscriber role)
+    reconstructs the frames. Two frames exercise slot rotation."""
+    port = LCM_TEST_PORT + 6
+    tx = lw.LcmUdpBus(port=port)
+    rx = lw.LcmUdpBus(port=port)
+    pub = lw.MmfPublisher(tx, str(tmp_path / "frames.mm"), slot_bytes=1 << 16)
+    got = []
+    rng = np.random.default_rng(5)
+    try:
+        rx.subscribe("stereo", lambda ch, m: got.append(m))
+        time.sleep(0.1)
+        frames = [rng.random((20, 30)).astype(np.float32) for _ in range(2)]
+        for i, f in enumerate(frames):
+            pub.publish_stereo(
+                "stereo",
+                ms.StereoImageMessage(
+                    i, 0, ms.ImageMessage.from_array(i, f),
+                    ms.ImageMessage.from_array(i, f[::-1].copy()),
+                ),
+            )
+        deadline = time.time() + 5
+        while time.time() < deadline and len(got) < 2:
+            time.sleep(0.05)
+        assert len(got) == 2
+        for i, f in enumerate(frames):
+            m = next(g for g in got if g.timestamp == i)
+            np.testing.assert_allclose(m.left.to_array(), f, atol=1 / 255 + 1e-6)
+            np.testing.assert_allclose(m.right.to_array(), f[::-1], atol=1 / 255 + 1e-6)
+    finally:
+        pub.close()
+        tx.close()
+        rx.close()
+
+
 def test_lcm_bus_ignores_foreign_payloads():
     """A non-LCM datagram or unknown fingerprint must not kill the rx loop."""
     tx = lw.LcmUdpBus(port=LCM_TEST_PORT + 1)

@@ -518,6 +518,59 @@ def test_mmf_publisher_roundtrip(tmp_path):
         rx.close()
 
 
+@requires_reference
+def test_estimator_from_reference_yaml_over_lcm_wire():
+    """The full drop-in scenario: our estimator node built from the
+    REFERENCE's unmodified StateEstimatorLcm.yaml (its channel names), fed
+    over REAL LCM wire exactly as its retired C++ counterpart was — IMU +
+    init pose in on sim/auv/*, filter poses out on vio/filter/world_P_body."""
+    import os
+
+    from ocean_perception_tpu.fabric.nodes.state_estimator_node import StateEstimatorNode
+
+    port = LCM_TEST_PORT + 7
+    node_bus = lw.LcmUdpBus(port=port)
+    sensor_bus = lw.LcmUdpBus(port=port)
+    poses = []
+    try:
+        node = StateEstimatorNode.from_config(
+            node_bus,
+            os.path.join(REFERENCE_DIR, "config/auv/lcm_nodes/StateEstimatorLcm.yaml"),
+            os.path.join(REFERENCE_DIR, "config/shared/Farmsim.yaml"),
+        )
+        sensor_bus.subscribe("vio/filter/world_P_body", lambda ch, m: poses.append(m))
+        time.sleep(0.2)
+
+        sensor_bus.publish(
+            "sim/auv/pose/world_P_body_initial",
+            ms.PoseStampedMessage(timestamp=0, pose=np.array([1.0, 0, 0, 0, 0, 0, 0])),
+        )
+        deadline = time.time() + 10
+        while time.time() < deadline and not node.est.ekf_state:
+            time.sleep(0.05)
+        assert node.est.ekf_state is not None, "init pose never arrived over LCM"
+
+        g = np.asarray(node.est.params.n_gravity, np.float64)
+        for k in range(20):
+            sensor_bus.publish(
+                "sim/auv/imu",
+                ms.ImuMessage(
+                    timestamp=int((k + 1) * 1e7),
+                    angular_velocity=np.zeros(3),
+                    linear_acceleration=-g,  # at rest: specific force cancels gravity
+                ),
+            )
+            time.sleep(0.01)
+        deadline = time.time() + 10
+        while time.time() < deadline and not poses:
+            time.sleep(0.05)
+        assert poses, "no filter pose came back on the reference's output channel"
+        assert np.linalg.norm(np.asarray(poses[-1].pose[4:7])) < 0.5
+    finally:
+        node_bus.close()
+        sensor_bus.close()
+
+
 def test_lcm_bus_ignores_foreign_payloads():
     """A non-LCM datagram or unknown fingerprint must not kill the rx loop."""
     tx = lw.LcmUdpBus(port=LCM_TEST_PORT + 1)

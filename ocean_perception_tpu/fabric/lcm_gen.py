@@ -142,3 +142,22 @@ def parse_lcm_dir(path: str) -> Dict[str, LcmStructDef]:
             with open(os.path.join(path, fname)) as f:
                 raw.extend(parse_lcm_source(f.read()))
     return resolve_structs(raw)
+
+
+def main(argv=None) -> int:
+    """``python -m ocean_perception_tpu.fabric.lcm_gen <dir>`` — list every
+    parsed type with its wire fingerprint (compare against a peer's lcm-gen
+    output when debugging interop)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("path", help="directory of .lcm files")
+    args = ap.parse_args(argv)
+    for name, sd in sorted(parse_lcm_dir(args.path).items()):
+        members = ", ".join(m.name for m in sd.members)
+        print(f"{name:<40} 0x{sd.fingerprint().hex()}  ({members})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

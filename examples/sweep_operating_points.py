@@ -55,6 +55,15 @@ def main():
         "farm4_B4": (4, PerceptionConfig(max_disp=128, internal_scale=4)),
         "farm4_B8_unroll1": (8, PerceptionConfig(max_disp=128, internal_scale=4, scan_unroll=1)),
         "B6": (6, PerceptionConfig(max_disp=128, internal_scale=2)),
+        # Whole-frame fused Pallas PatchMatch (interior fori_loop variant) —
+        # single-kernel-win measured 2.81 vs 3.60 ms/frame; these decide the
+        # end-to-end production default (bench_fused_perception.py overlaps).
+        "B1_fused": (1, PerceptionConfig(max_disp=128, internal_scale=2,
+                                         use_pallas_fused=True)),
+        "B2_fused": (2, PerceptionConfig(max_disp=128, internal_scale=2,
+                                         use_pallas_fused=True)),
+        "B8_fused": (8, PerceptionConfig(max_disp=128, internal_scale=2,
+                                         use_pallas_fused=True)),
     }
     sel = [s.strip() for s in args.points.split(",") if s.strip()] or list(points)
 

@@ -116,13 +116,20 @@ def _image_to_lcm(img: ms.ImageMessage) -> dict:
     """image_t is an 8-bit type ("mono8"/"bgr8" x "jpg"/"raw",
     mmf_image_t.lcm comments); our float32 frames quantize to u8 on this
     wire, jpg/u8 payloads pass through."""
+    def to_bgr(u8: np.ndarray) -> bytes:
+        # The wire formats are "mono8"/"bgr8": swap our RGB channel order.
+        if img.channels == 3:
+            u8 = u8.reshape(img.height, img.width, 3)[..., ::-1]
+        return np.ascontiguousarray(u8).tobytes()
+
     if img.encoding == "jpg":
         enc, data = "jpg", img.data
     elif img.encoding == "u8":
-        enc, data = "raw", img.data
+        enc, data = "raw", to_bgr(np.frombuffer(img.data, np.uint8))
     elif img.encoding == "raw":
         arr = np.frombuffer(img.data, np.float32)
-        enc, data = "raw", (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8).tobytes()
+        u8 = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        enc, data = "raw", to_bgr(u8)
     else:
         raise ValueError(img.encoding)
     return {
@@ -134,8 +141,12 @@ def _image_to_lcm(img: ms.ImageMessage) -> dict:
 
 def _image_from_lcm(v: dict, timestamp: int) -> ms.ImageMessage:
     enc = "jpg" if v["encoding"] == "jpg" else "u8"
+    data = bytes(v["data"])
+    if enc == "u8" and v["format"] == "bgr8":
+        arr = np.frombuffer(data, np.uint8).reshape(v["height"], v["width"], 3)
+        data = np.ascontiguousarray(arr[..., ::-1]).tobytes()  # wire BGR -> RGB
     return ms.ImageMessage(
-        timestamp, v["width"], v["height"], v["channels"], enc, bytes(v["data"])
+        timestamp, v["width"], v["height"], v["channels"], enc, data
     )
 
 

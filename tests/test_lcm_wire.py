@@ -281,6 +281,23 @@ def test_bridge_stereo_image_u8():
     np.testing.assert_allclose(b.left.to_array(), img, atol=1.0 / 255.0 + 1e-6)
 
 
+def test_bridge_color_image_channel_order():
+    """3-channel frames ride the wire as bgr8 (the reference's convention);
+    our RGB arrays must roundtrip unswapped AND the wire bytes must actually
+    be BGR so a reference consumer sees correct colors."""
+    rgb = np.zeros((2, 2, 3), np.float32)
+    rgb[..., 0] = 1.0  # pure red
+    m = ms.StereoImageMessage(
+        1, 0, ms.ImageMessage.from_array(1, rgb), ms.ImageMessage.from_array(1, rgb)
+    )
+    sd, values = lw.to_lcm(m)
+    wire = np.frombuffer(bytes(values["img_left"]["data"]), np.uint8).reshape(2, 2, 3)
+    assert values["img_left"]["format"] == "bgr8"
+    assert (wire[..., 2] == 255).all() and (wire[..., 0] == 0).all()  # red in BGR slot
+    back = lw.from_lcm(sd, sd.decode(sd.encode(values)))
+    np.testing.assert_allclose(back.left.to_array(), rgb, atol=1 / 255 + 1e-6)
+
+
 def test_bridge_mesh():
     verts = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]])
     tris = np.array([[0, 1, 2]], np.int32)

@@ -113,7 +113,14 @@ class LcmStructDef:
         return (((h << 1) & _U64) + (h >> 63)) & _U64
 
     def fingerprint(self) -> bytes:
-        return _struct.pack(">Q", self.hash_recursive())
+        # Cached: encode() prefixes and decode() checks it on EVERY message,
+        # and the per-character hash walk over the whole type tree is far too
+        # slow for a 200 Hz hot path. The def is frozen, so it never changes.
+        fp = self.__dict__.get("_fp")
+        if fp is None:
+            fp = _struct.pack(">Q", self.hash_recursive())
+            object.__setattr__(self, "_fp", fp)
+        return fp
 
     # -- encode --------------------------------------------------------------
 

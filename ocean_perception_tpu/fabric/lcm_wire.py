@@ -123,7 +123,19 @@ def _image_to_lcm(img: ms.ImageMessage) -> dict:
         return np.ascontiguousarray(u8).tobytes()
 
     if img.encoding == "jpg":
-        enc, data = "jpg", img.data
+        data = img.data
+        if img.channels == 3:
+            # Our jpg bytes hold RGB-in-BGR-slots (from_array_jpg encodes the
+            # RGB array with cv2); a reference consumer decodes jpg to a BGR
+            # Mat, so transcode to true-BGR content or its colors swap.
+            import cv2
+
+            arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+            ok, buf = cv2.imencode(".jpg", arr[..., ::-1])
+            if not ok:
+                raise ValueError("JPEG transcode failed")
+            data = buf.tobytes()
+        enc = "jpg"
     elif img.encoding == "u8":
         enc, data = "raw", to_bgr(np.frombuffer(img.data, np.uint8))
     elif img.encoding == "raw":
@@ -140,11 +152,22 @@ def _image_to_lcm(img: ms.ImageMessage) -> dict:
 
 
 def _image_from_lcm(v: dict, timestamp: int) -> ms.ImageMessage:
-    enc = "jpg" if v["encoding"] == "jpg" else "u8"
     data = bytes(v["data"])
-    if enc == "u8" and v["format"] == "bgr8":
+    if v["format"] != "bgr8":
+        enc = "jpg" if v["encoding"] == "jpg" else "u8"
+    elif v["encoding"] == "jpg":
+        # True-BGR jpg content from a reference publisher: decode, swap to
+        # our RGB convention, deliver as u8 (re-encoding would just burn CPU
+        # and quality).
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+        data = np.ascontiguousarray(arr[..., ::-1]).tobytes()
+        enc = "u8"
+    else:
         arr = np.frombuffer(data, np.uint8).reshape(v["height"], v["width"], 3)
         data = np.ascontiguousarray(arr[..., ::-1]).tobytes()  # wire BGR -> RGB
+        enc = "u8"
     return ms.ImageMessage(
         timestamp, v["width"], v["height"], v["channels"], enc, data
     )
@@ -285,7 +308,14 @@ class MmfPublisher:
 
     def _write_block(self, data: bytes) -> int:
         if len(data) > self.slot_bytes:
-            raise ValueError(f"frame {len(data)} B > slot {self.slot_bytes} B")
+            # First oversized frame (e.g. 720p bgr8 raw is ~2.8 MB): regrow
+            # the slot layout. Readers address blocks by absolute
+            # offset+size, so relayout is safe; in-flight descriptors from
+            # the old layout stay readable until their bytes are overwritten.
+            while self.slot_bytes < len(data):
+                self.slot_bytes *= 2
+            self._next = 0
+            self._f.truncate(self.slot_bytes * self.n_slots)
         off = self._next * self.slot_bytes
         self._next = (self._next + 1) % self.n_slots
         self._f.seek(off)
@@ -336,8 +366,7 @@ class MmfReader:
             self._files[v["mm_filename"]] = f
         f.seek(v["offset"])
         data = f.read(v["size"])
-        enc = "jpg" if v["encoding"] == "jpg" else "u8"
-        return ms.ImageMessage(0, v["width"], v["height"], v["channels"], enc, data)
+        return _image_from_lcm({**v, "data": data}, 0)
 
     def close(self) -> None:
         for f in self._files.values():
@@ -355,25 +384,19 @@ class LcmUdpBus(PubSub):
     so reference-era tools and nodes can join the session)."""
 
     def __init__(self, group: str = DEFAULT_GROUP, port: int = DEFAULT_PORT, ttl: int = 0):
+        from .pubsub import open_multicast_pair
+
         self.group = group
         self.port = port
-        self._tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, ttl)
-        self._tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
-        self._rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
-        self._rx.bind(("", port))
-        mreq = struct.pack("4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0"))
-        self._rx.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
-        self._rx.settimeout(0.2)
-
+        self._tx, self._rx = open_multicast_pair(group, port, ttl)
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
         self._raw_subs: Dict[str, List[Callable]] = defaultdict(list)
         self._patterns: List[Tuple[str, object]] = []
+        self._tap: Optional[Callable] = None
         self._mmf = MmfReader()
         self._reasm = Reassembler()
         self._seq = 0
+        self._foreign_drops = 0
         self._lock = threading.Lock()
         self._running = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -410,20 +433,31 @@ class LcmUdpBus(PubSub):
         self._ensure_rx()
 
     def subscribe_lcm(self, channel: str, callback: Callable) -> None:
-        """callback(channel, struct_def, value_dict) — every known lcmtype."""
+        """callback(channel, struct_def, value_dict) for every known lcmtype;
+        for a FOREIGN type (unknown fingerprint) it is called as
+        callback(channel, None, payload_bytes) so traffic stays visible
+        (lcm-spy counts undecodable messages too)."""
         self._raw_subs[channel].append(callback)
         self._compile_patterns()
         self._ensure_rx()
 
+    def set_tap(self, callback: Optional[Callable]) -> None:
+        self._tap = callback
+        if callback is not None:
+            self._ensure_rx()
+
     def _compile_patterns(self) -> None:
         import re
 
-        self._patterns = []
+        patterns = []
         for p in set(self._subs) | set(self._raw_subs):
             try:
-                self._patterns.append((p, re.compile(p)))
+                patterns.append((p, re.compile(p)))
             except re.error:
                 pass  # non-regex channel name: exact matching still applies
+        # Single atomic rebind: the rx thread must never observe a partial
+        # list (subscribe() on a live bus would otherwise drop messages).
+        self._patterns = patterns
 
     def _matching(self, table: Dict[str, List[Callable]], channel: str) -> List[Callable]:
         cbs = list(table.get(channel, ()))  # exact match fast path
@@ -441,17 +475,23 @@ class LcmUdpBus(PubSub):
     def _dispatch(self, channel: str, payload: bytes) -> None:
         cbs = self._matching(self._subs, channel)
         raw_cbs = self._matching(self._raw_subs, channel)
-        if not cbs and not raw_cbs:
+        if not cbs and not raw_cbs and self._tap is None:
             return
         sd, values = lt.decode_by_fingerprint(payload)
         if sd is None:
-            return  # foreign type on a channel we watch: skip, stay alive
-        for cb in raw_cbs or ():
+            # Foreign type on a watched channel: raw subscribers still get to
+            # see it (lcm-spy counts undecodable traffic); typed ones don't.
+            for cb in raw_cbs:
+                cb(channel, None, payload)
+            return
+        for cb in raw_cbs:
             cb(channel, sd, values)
-        if cbs:
+        if cbs or self._tap is not None:
             msg = self._from_lcm_with_mmf(sd, values)
             if msg is None:
                 return
+            if self._tap is not None:
+                self._tap(channel, msg)
             for cb in cbs:
                 cb(channel, msg)
 
@@ -482,6 +522,21 @@ class LcmUdpBus(PubSub):
                 done = self._reasm.push(sender, pkt)
                 if done is not None:
                     self._dispatch(*done)
+            except ValueError:
+                # Non-LCM datagram (e.g. the in-house bus sharing this
+                # group:port). liblcm drops these silently; warn once and
+                # then only at wide intervals so a mixed session doesn't
+                # flood stderr at image-fragment rates.
+                self._foreign_drops += 1
+                if self._foreign_drops == 1 or self._foreign_drops % 100000 == 0:
+                    import sys
+
+                    print(
+                        f"LcmUdpBus: dropped {self._foreign_drops} non-LCM "
+                        f"datagram(s) on {self.group}:{self.port} (another "
+                        "transport on this endpoint?)",
+                        file=sys.stderr,
+                    )
             except Exception:  # noqa: BLE001 — the rx thread must survive
                 import traceback
 

@@ -79,6 +79,7 @@ class NativeUdpBus(PubSub):
         if not self._h:
             raise OSError(f"udp_bus_create failed for {group}:{port}")
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
+        self._tap: Optional[Callable] = None
         self._buf = ctypes.create_string_buffer(32 << 20)
         self._ch = ctypes.create_string_buffer(512)
         self._running = threading.Event()
@@ -102,6 +103,14 @@ class NativeUdpBus(PubSub):
 
     def subscribe(self, channel: str, callback: Callable) -> None:
         self._subs[channel].append(callback)
+        self._start_rx()
+
+    def set_tap(self, callback: Optional[Callable]) -> None:
+        self._tap = callback
+        if callback is not None:
+            self._start_rx()
+
+    def _start_rx(self) -> None:
         if self._thread is None:
             self._running.set()
             self._thread = threading.Thread(target=self._rx_loop, daemon=True)
@@ -117,12 +126,14 @@ class NativeUdpBus(PubSub):
             try:
                 channel = self._ch.value.decode()
                 cbs = self._subs.get(channel)
-                if not cbs:
+                if not cbs and self._tap is None:
                     continue
                 msg = self._decode(self._buf.raw[:n])
                 if msg is None:
                     continue  # unmapped/foreign payload type
-                for cb in cbs:
+                if self._tap is not None:
+                    self._tap(channel, msg)
+                for cb in cbs or ():
                     cb(channel, msg)
             except Exception:  # noqa: BLE001 — the rx thread must survive
                 # A decode failure or subscriber exception must not kill the

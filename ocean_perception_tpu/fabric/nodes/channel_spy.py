@@ -42,42 +42,28 @@ def main(argv=None) -> int:
             st["type"] = type_name
             st["ts"] = timestamp
             st["t_wall"].append(time.time())
-            del st["t_wall"][:-50]  # rate window
+            del st["t_wall"][:-512]  # rate window (bounded memory)
+
+    def on_lcm(ch, sd, v):
+        if sd is None:  # foreign fingerprint: count it like lcm-spy does
+            record(ch, f"unknown(0x{bytes(v[:8]).hex()})", None)
+        else:
+            record(ch, sd.full_name, (v.get("header") or {}).get("timestamp"))
 
     if args.lcm:
         from ..lcm_wire import LcmUdpBus
 
         bus = LcmUdpBus(port=args.port) if args.port else LcmUdpBus()
-        bus.subscribe_lcm(
-            args.pattern,
-            lambda ch, sd, v: record(
-                ch, sd.full_name, (v.get("header") or {}).get("timestamp")
-            ),
-        )
+        bus.subscribe_lcm(args.pattern, on_lcm)
     else:
         from ..pubsub import UdpMulticastBus
 
         bus = UdpMulticastBus(port=args.port) if args.port else UdpMulticastBus()
-        # The in-house bus has no wildcard; tap the dispatcher instead so
-        # every decoded message is observed regardless of channel.
-        orig = bus._dispatch
-
-        def spy_dispatch(data: bytes) -> None:
-            import struct as _s
-
-            (n_ch,) = _s.unpack_from("<H", data)
-            channel = data[2 : 2 + n_ch].decode()
-            try:
-                from ..messages import decode_message
-
-                msg = decode_message(data[2 + n_ch :])
-                record(channel, type(msg).__name__, getattr(msg, "timestamp", None))
-            except Exception:  # noqa: BLE001 — unknown payloads still count
-                record(channel, "?", None)
-            orig(data)
-
-        bus._dispatch = spy_dispatch
-        bus.subscribe("\0never", lambda *_: None)  # start the rx thread
+        # Supported observability hook: fires for every decoded message
+        # regardless of subscriptions (works on the native bus too).
+        bus.set_tap(
+            lambda ch, m: record(ch, type(m).__name__, getattr(m, "timestamp", None))
+        )
 
     print("spying... (ctrl-c to stop)", flush=True)
     t0 = time.time()
@@ -90,7 +76,10 @@ def main(argv=None) -> int:
                 now = time.time()
                 for ch, st in rows:
                     w = [t for t in st["t_wall"] if now - t <= 5.0]
-                    hz = len(w) / 5.0
+                    # Rate over the ACTUAL window span (a fixed divisor would
+                    # clamp fast channels once the sample buffer saturates).
+                    span = (now - w[0]) if w else 1.0
+                    hz = len(w) / max(span, 1e-3) if len(w) > 1 else len(w) / 5.0
                     lines.append(
                         f"{ch:<28} {st['type']:<30} {st['n']:>7} {hz:>7.1f}  {st['ts']}"
                     )

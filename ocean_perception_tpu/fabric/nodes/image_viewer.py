@@ -36,7 +36,10 @@ class ImageViewerNode:
     def _on_message(self, channel, msg) -> None:
         safe_ch = channel.replace("/", "_")
         if isinstance(msg, ImageMessage):
-            self._save(f"{safe_ch}_{msg.timestamp}.png", msg.to_array())
+            # LCM image_t carries no timestamp (always 0): fall back to the
+            # frame counter so frames don't overwrite one file.
+            stamp = msg.timestamp if msg.timestamp else f"n{self._count:06d}"
+            self._save(f"{safe_ch}_{stamp}.png", msg.to_array())
         elif isinstance(msg, StereoImageMessage):
             self._save(f"{safe_ch}_{msg.timestamp}_L.png", msg.left.to_array())
             self._save(f"{safe_ch}_{msg.timestamp}_R.png", msg.right.to_array())

@@ -33,8 +33,31 @@ class PubSub:
     def subscribe(self, channel: str, callback: Callable) -> None:
         raise NotImplementedError
 
+    def set_tap(self, callback: Optional[Callable]) -> None:
+        """Observability hook: callback(channel, message) for EVERY decoded
+        message regardless of subscriptions (channel_spy uses this)."""
+        self._tap = callback
+
     def close(self) -> None:
         pass
+
+
+def open_multicast_pair(group: str, port: int, ttl: int):
+    """(tx, rx) UDP multicast sockets with the fabric's standard options —
+    shared by the in-house and LCM-wire buses so socket fixes land in both."""
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, ttl)
+    tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    # Fragment bursts (large images) overflow the default ~208 KB buffer.
+    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
+    rx.bind(("", port))
+    mreq = struct.pack("4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0"))
+    rx.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+    rx.settimeout(0.2)
+    return tx, rx
 
 
 class InProcessBus(PubSub):
@@ -42,11 +65,14 @@ class InProcessBus(PubSub):
 
     def __init__(self):
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
+        self._tap: Optional[Callable] = None
 
     def publish(self, channel: str, message) -> None:
         # Encode/decode round trip preserves wire semantics.
         data = encode_message(message)
         decoded = decode_message(data)
+        if self._tap is not None:
+            self._tap(channel, decoded)
         for cb in self._subs.get(channel, []):
             cb(channel, decoded)
 
@@ -60,19 +86,8 @@ class UdpMulticastBus(PubSub):
     def __init__(self, group: str = DEFAULT_GROUP, port: int = DEFAULT_PORT, ttl: int = 0):
         self.group = group
         self.port = port
-        self._tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, ttl)
-        self._tx.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
-
-        self._rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        # Fragment bursts (large images) overflow the default ~208 KB buffer.
-        self._rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
-        self._rx.bind(("", port))
-        mreq = struct.pack("4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0"))
-        self._rx.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
-        self._rx.settimeout(0.2)
-
+        self._tx, self._rx = open_multicast_pair(group, port, ttl)
+        self._tap: Optional[Callable] = None
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
         # Reassembly keyed by (sender addr, seq): every publisher's seq
         # counter starts at 1, so seq alone interleaves chunks from two
@@ -100,6 +115,14 @@ class UdpMulticastBus(PubSub):
 
     def subscribe(self, channel: str, callback: Callable) -> None:
         self._subs[channel].append(callback)
+        self._start_rx()
+
+    def set_tap(self, callback: Optional[Callable]) -> None:
+        self._tap = callback
+        if callback is not None:
+            self._start_rx()
+
+    def _start_rx(self) -> None:
         if self._thread is None:
             self._running.set()
             self._thread = threading.Thread(target=self._rx_loop, daemon=True)
@@ -110,10 +133,12 @@ class UdpMulticastBus(PubSub):
         channel = data[2 : 2 + n_ch].decode()
         payload = data[2 + n_ch :]
         cbs = self._subs.get(channel)
-        if not cbs:
+        if not cbs and self._tap is None:
             return
         msg = decode_message(payload)
-        for cb in cbs:
+        if self._tap is not None:
+            self._tap(channel, msg)
+        for cb in cbs or ():
             cb(channel, msg)
 
     def _rx_loop(self) -> None:

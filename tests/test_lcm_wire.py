@@ -298,6 +298,52 @@ def test_bridge_color_image_channel_order():
     np.testing.assert_allclose(back.left.to_array(), rgb, atol=1 / 255 + 1e-6)
 
 
+def test_bridge_color_jpg_channel_order():
+    """3-channel JPEG content must be true BGR on the wire (a reference
+    consumer cv2-decodes it as a BGR Mat) and come back as RGB on ours."""
+    import cv2
+
+    rgb = np.zeros((16, 16, 3), np.float32)
+    rgb[..., 0] = 1.0  # pure red
+    m = ms.StereoImageMessage(
+        1, 0,
+        ms.ImageMessage.from_array_jpg(1, rgb),
+        ms.ImageMessage.from_array_jpg(1, rgb),
+    )
+    sd, values = lw.to_lcm(m)
+    wire = cv2.imdecode(
+        np.frombuffer(bytes(values["img_left"]["data"]), np.uint8),
+        cv2.IMREAD_UNCHANGED,
+    )
+    # Decoded as the reference would (BGR Mat): red must sit in channel 2.
+    assert wire[..., 2].mean() > 200 and wire[..., 0].mean() < 50
+    back = lw.from_lcm(sd, sd.decode(sd.encode(values)))
+    np.testing.assert_allclose(back.left.to_array(), rgb, atol=0.1)
+
+
+def test_bus_tap_sees_all_channels():
+    """set_tap observes every decoded message with no subscriptions — the
+    supported observability hook channel_spy rides."""
+    from ocean_perception_tpu.fabric.pubsub import UdpMulticastBus
+
+    port = LCM_TEST_PORT + 8
+    tx = UdpMulticastBus(port=port)
+    rx = UdpMulticastBus(port=port)
+    seen = []
+    try:
+        rx.set_tap(lambda ch, m: seen.append((ch, type(m).__name__)))
+        time.sleep(0.1)
+        tx.publish("a/b", ms.DepthMessage(1, 1.0))
+        tx.publish("c/d", ms.MagMessage(2, np.zeros(3)))
+        deadline = time.time() + 5
+        while time.time() < deadline and len(seen) < 2:
+            time.sleep(0.05)
+        assert sorted(seen) == [("a/b", "DepthMessage"), ("c/d", "MagMessage")]
+    finally:
+        tx.close()
+        rx.close()
+
+
 def test_bridge_mesh():
     verts = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0], [6.0, 7.0, 8.0]])
     tris = np.array([[0, 1, 2]], np.int32)

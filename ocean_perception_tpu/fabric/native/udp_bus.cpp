@@ -239,8 +239,15 @@ void* udp_bus_create(const char* group, uint16_t port, int ttl) {
 
   int reuse = 1;
   ::setsockopt(b->rx, SOL_SOCKET, SO_REUSEADDR, &reuse, sizeof(reuse));
-  int rcvbuf = 8 << 20;  // fragment bursts (images) overflow the default
-  ::setsockopt(b->rx, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  // Fragment bursts (images) overflow the default buffer, and plain
+  // SO_RCVBUF is silently capped at net.core.rmem_max (4 MB here — below
+  // one raw 720p stereo message). SO_RCVBUFFORCE lifts the cap when the
+  // process has CAP_NET_ADMIN; fall back to the capped request otherwise.
+  int rcvbuf = 32 << 20;
+  if (::setsockopt(b->rx, SOL_SOCKET, SO_RCVBUFFORCE, &rcvbuf, sizeof(rcvbuf)) != 0) {
+    rcvbuf = 8 << 20;
+    ::setsockopt(b->rx, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
+  }
 
   sockaddr_in addr{};
   addr.sin_family = AF_INET;

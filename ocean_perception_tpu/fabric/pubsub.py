@@ -51,8 +51,16 @@ def open_multicast_pair(group: str, port: int, ttl: int):
 
     rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     rx.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    # Fragment bursts (large images) overflow the default ~208 KB buffer.
-    rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
+    # Fragment bursts (large images) overflow the default ~208 KB buffer —
+    # and the kernel SILENTLY CAPS SO_RCVBUF at net.core.rmem_max (4 MB on
+    # this image), below ONE raw-f32 720p stereo message (7.4 MB ≈ 124
+    # fragments). SO_RCVBUFFORCE (CAP_NET_ADMIN) lifts the cap; fall back to
+    # the capped request otherwise.
+    SO_RCVBUFFORCE = 33  # linux/socket.h
+    try:
+        rx.setsockopt(socket.SOL_SOCKET, SO_RCVBUFFORCE, 32 << 20)
+    except OSError:
+        rx.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
     rx.bind(("", port))
     mreq = struct.pack("4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0"))
     rx.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)

@@ -95,6 +95,27 @@ def main():
     for name, cls in buses:
         run_one(name, cls, args.small, args.large)
 
+    # Zero-copy reference point: the shm ring (descriptor on the bus, pixels
+    # through the seqlock ring) — the reference's mmf transport role.
+    import tempfile
+
+    from ocean_perception_tpu.fabric.shm_ring import ShmRingReader, ShmRingWriter
+
+    frame = np.zeros((720, 1280), np.float32)
+    path = os.path.join(tempfile.mkdtemp(), "ring.shm")
+    w = ShmRingWriter(path)
+    r = ShmRingReader(path)
+    n = max(args.large * 10, 100)
+    t0 = time.perf_counter()
+    ok = 0
+    for i in range(n):
+        seq = w.write(i, frame)
+        got = r.read(seq)
+        ok += got is not None
+    dt = time.perf_counter() - t0
+    print(f"  {'ShmRing (native)':16s} stereo-720p single image: {n / dt:8.1f} fps "
+          f"write+read ({ok}/{n} reads ok)")
+
 
 if __name__ == "__main__":
     main()

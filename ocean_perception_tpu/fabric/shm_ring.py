@@ -141,7 +141,9 @@ class ShmRingReader:
         )
         if n == 0:
             return None
-        raw = bytes(self._buf[:n])
+        # NOT bytes(self._buf[:n]) — slicing a c_uint8 array materializes a
+        # Python int PER BYTE (measured: 3.7 MB frame -> ~50 ms, 17 fps).
+        raw = ctypes.string_at(self._buf, n)
         if dt.value == DTYPE_U8:
             arr = np.frombuffer(raw, np.uint8)
         else:

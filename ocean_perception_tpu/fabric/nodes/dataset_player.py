@@ -118,11 +118,16 @@ def publish_sensors(
     channel_prefix: str = "",
     publish_init_pose: bool = True,
     max_steps: Optional[int] = None,
+    image_encoding: str = "f32",
 ) -> int:
     """Replay the dataset as raw SENSOR messages on the bus (no estimator in
     this process) — the multi-process half of the reference's
     vio_dataset_player → LCM → state_estimator_lcm wiring. Channels match
-    StateEstimatorNode defaults. Returns the number of steps published."""
+    StateEstimatorNode defaults. Returns the number of steps published.
+
+    image_encoding: "f32" ships lossless float frames (default; 4x the
+    bytes), "u8" quantizes to 8-bit (the reference's own image depth),
+    "jpg" compresses (the reference's mmf default, ~20x smaller)."""
     from ...core.quaternion import matrix_to_quat
     import jax.numpy as jnp
 
@@ -142,13 +147,25 @@ def publish_sensors(
             PoseStampedMessage(timestamp=t0, pose=np.concatenate([q, T0[:3, 3]])),
         )
 
+    if image_encoding == "jpg":
+        pack_image = ImageMessage.from_array_jpg
+    elif image_encoding == "u8":
+        def pack_image(ts, arr):
+            u8 = (np.clip(arr, 0, 1) * 255 + 0.5).astype(np.uint8)
+            c = 1 if u8.ndim == 2 else u8.shape[2]
+            return ImageMessage(ts, u8.shape[1], u8.shape[0], c, "u8", u8.tobytes())
+    elif image_encoding == "f32":
+        pack_image = ImageMessage.from_array
+    else:
+        raise ValueError(f"image_encoding {image_encoding!r}")
+
     def on_stereo(img: StereoImage):
         bus.publish(
             p + "sensors/stereo",
             StereoImageMessage(
                 timestamp=img.timestamp, camera_id=img.camera_id,
-                left=ImageMessage.from_array(img.timestamp, np.asarray(img.left)),
-                right=ImageMessage.from_array(img.timestamp, np.asarray(img.right)),
+                left=pack_image(img.timestamp, np.asarray(img.left)),
+                right=pack_image(img.timestamp, np.asarray(img.right)),
             ),
         )
         n[0] += 1
@@ -202,6 +219,11 @@ def main(argv=None) -> int:
         "--publish-sensors", action="store_true",
         help="publish raw sensor messages instead of running the estimator inline",
     )
+    ap.add_argument(
+        "--image-encoding", default="f32", choices=["f32", "u8", "jpg"],
+        help="stereo frame wire encoding (f32 lossless, u8 = the reference's "
+             "8-bit depth, jpg = the reference's mmf default)",
+    )
     args = ap.parse_args(argv)
 
     if args.udp or args.native_bus or args.lcm:
@@ -217,7 +239,8 @@ def main(argv=None) -> int:
         bus = InProcessBus()
     if args.publish_sensors:
         n = publish_sensors(
-            args.dataset, args.path, bus, speed=args.speed, max_steps=args.max_steps
+            args.dataset, args.path, bus, speed=args.speed,
+            max_steps=args.max_steps, image_encoding=args.image_encoding,
         )
         print(f"published dataset; {n} stereo frames")
         return 0

@@ -27,7 +27,7 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--interval", type=float, default=2.0, help="print period (s)")
     ap.add_argument("--duration", type=float, default=None, help="exit after N seconds")
-    ap.add_argument("--pattern", default=".*", help="channel regex (LCM mode)")
+    ap.add_argument("--pattern", default=".*", help="anchored channel regex")
     args = ap.parse_args(argv)
 
     stats: dict = {}
@@ -58,12 +58,18 @@ def main(argv=None) -> int:
     else:
         from ..pubsub import UdpMulticastBus
 
+        import re
+
         bus = UdpMulticastBus(port=args.port) if args.port else UdpMulticastBus()
         # Supported observability hook: fires for every decoded message
         # regardless of subscriptions (works on the native bus too).
-        bus.set_tap(
-            lambda ch, m: record(ch, type(m).__name__, getattr(m, "timestamp", None))
-        )
+        pat = re.compile(args.pattern)
+
+        def tap(ch, m):
+            if pat.fullmatch(ch):
+                record(ch, type(m).__name__, getattr(m, "timestamp", None))
+
+        bus.set_tap(tap)
 
     print("spying... (ctrl-c to stop)", flush=True)
     t0 = time.time()

@@ -634,6 +634,23 @@ def test_estimator_from_reference_yaml_over_lcm_wire():
         sensor_bus.close()
 
 
+def test_image_viewer_counter_fallback_for_timestampless_frames(tmp_path):
+    """LCM image_t has no timestamp; the viewer must not overwrite one PNG."""
+    import os
+
+    from ocean_perception_tpu.fabric.nodes.image_viewer import ImageViewerNode
+    from ocean_perception_tpu.fabric.pubsub import InProcessBus
+
+    bus = InProcessBus()
+    ImageViewerNode(bus, "viz", str(tmp_path))
+    img = np.zeros((4, 4), np.float32)
+    for _ in range(3):
+        m = ms.ImageMessage.from_array(0, img)  # timestamp 0, like image_t
+        bus.publish("viz", m)
+    files = sorted(os.listdir(tmp_path))
+    assert len(files) == 3, files
+
+
 def test_lcm_bus_ignores_foreign_payloads():
     """A non-LCM datagram or unknown fingerprint must not kill the rx loop."""
     tx = lw.LcmUdpBus(port=LCM_TEST_PORT + 1)

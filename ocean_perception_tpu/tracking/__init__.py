@@ -18,3 +18,4 @@ from .lk import LKParams, pyramidal_lk, track_points  # noqa: F401
 from .stripe_match import StripeMatcherParams, match_rectified  # noqa: F401
 from .tracks import TrackTable, LandmarkObservation  # noqa: F401
 from .stereo_tracker import StereoTrackerParams, StereoTrackerState, track_and_triangulate  # noqa: F401
+from .apriltags import TagFamily, TagDetection, detect_tags, render_tag, tag_pose  # noqa: F401

@@ -56,6 +56,8 @@ __all__ = [
     "detect_tags",
     "render_tag",
     "tag_pose",
+    "tag_corners_world",
+    "estimate_camera_pose",
 ]
 
 
@@ -535,6 +537,82 @@ def tag_pose(
     T[:3, :3] = R
     T[:3, 3] = t
     return T
+
+
+def tag_corners_world(world_T_tag: np.ndarray, tag_size_m: float) -> np.ndarray:
+    """(4, 3) world coordinates of a tag's black-border corners.
+
+    Row order matches ``TagDetection.corners``: tag-frame (-1,-1), (+1,-1),
+    (+1,+1), (-1,+1) scaled by half the border edge length.
+    """
+    s = tag_size_m / 2.0
+    local = np.array(
+        [[-s, -s, 0.0], [s, -s, 0.0], [s, s, 0.0], [-s, s, 0.0]]
+    )
+    return local @ world_T_tag[:3, :3].T + world_T_tag[:3, 3]
+
+
+def estimate_camera_pose(
+    detections: Sequence[TagDetection],
+    world_T_tags: "dict[int, np.ndarray]",
+    tag_size_m: float,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    sigma_px: float = 0.5,
+    max_corners: int = 64,
+):
+    """Localize the camera from a map of known tag poses.
+
+    All corners of every detected tag with a known ``world_T_tags`` entry
+    become 3D->2D correspondences, refined jointly by the same Cauchy-robust
+    LM pose solver the VIO odometry uses (vio/odometry.optimize_odometry) —
+    initialized from the first tag's homography pose. This is the fiducial
+    relocalization capability the reference's vendored AprilTags library was
+    meant for but was never wired to (SURVEY §2.3).
+
+    Returns ``(world_T_cam, result)`` or ``None`` if no detected tag is in
+    the map. ``result.success`` is False when fewer than 4 corner
+    correspondences survive the outlier pass. Correspondence arrays are
+    padded to ``max_corners`` so repeated calls share one jit cache entry.
+    """
+    import jax.numpy as jnp
+
+    from ..core.cameras import PinholeCamera, StereoCamera
+    from ..vio.odometry import OdometryParams, optimize_odometry
+
+    known = [d for d in detections if d.tag_id in world_T_tags]
+    if not known:
+        return None
+    P_w = np.concatenate(
+        [tag_corners_world(world_T_tags[d.tag_id], tag_size_m) for d in known]
+    )
+    p_obs = np.concatenate([d.corners for d in known])
+    n = min(P_w.shape[0], max_corners)
+    P = np.zeros((max_corners, 3), np.float32)
+    q = np.zeros((max_corners, 2), np.float32)
+    m = np.zeros((max_corners,), np.float32)
+    P[:n], q[:n], m[:n] = P_w[:n], p_obs[:n], 1.0
+
+    # Init: single-tag homography pose composed into cam_T_world.
+    cam_T_tag = tag_pose(known[0], tag_size_m, fx, fy, cx, cy)
+    T0 = cam_T_tag @ np.linalg.inv(world_T_tags[known[0].tag_id])
+
+    cam = PinholeCamera.create(fx, fy, cx, cy)
+    rig = StereoCamera.create(cam, cam, baseline=0.1)  # baseline unused here
+    res = optimize_odometry(
+        jnp.asarray(P),
+        jnp.asarray(q),
+        jnp.full((max_corners,), sigma_px, jnp.float32),
+        jnp.asarray(m),
+        rig,
+        T_init=jnp.asarray(T0, jnp.float32),
+        params=OdometryParams(min_inliers=4),
+    )
+    cam_T_world = np.asarray(res.T_10, np.float64)
+    world_T_cam = np.linalg.inv(cam_T_world)
+    return world_T_cam, res
 
 
 # ---------------------------------------------------------------------------

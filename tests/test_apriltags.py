@@ -274,3 +274,120 @@ def test_pose_depth_scaling():
         assert len(dets) == 1
         T = tag_pose(dets[0], s, fx, fy, cx, cy)
         assert abs(T[2, 3] - z) < 0.01 * z
+
+
+# ---------------------------------------------------------------------------
+# Fiducial localization (estimate_camera_pose)
+# ---------------------------------------------------------------------------
+
+from ocean_perception_tpu.tracking.apriltags import (  # noqa: E402
+    TagDetection,
+    estimate_camera_pose,
+    tag_corners_world,
+)
+
+
+def _board_world_tags(s):
+    """Four identity-rotation tags on the z=0 world plane (tag z = world +z)."""
+    return {
+        0: _pose_rt(np.eye(3), [0.0, 0.0, 0.0]),
+        7: _pose_rt(np.eye(3), [0.55, 0.0, 0.0]),
+        23: _pose_rt(np.eye(3), [0.0, 0.45, 0.0]),
+        42: _pose_rt(np.eye(3), [0.55, 0.45, 0.0]),
+    }
+
+
+def _pose_rt(R, t):
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+def _board_camera(extra_rot=None):
+    """Camera above the board looking down world -z, board upright in image."""
+    R = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    if extra_rot is not None:
+        R = extra_rot @ R
+    c = np.array([0.28, 0.22, 1.4])
+    cam_T_world = _pose_rt(R, -R @ c)
+    return cam_T_world
+
+
+def _project_w(cam_T_world, Pw, fx, fy, cx, cy):
+    Pc = Pw @ cam_T_world[:3, :3].T + cam_T_world[:3, 3]
+    return np.stack(
+        [fx * Pc[:, 0] / Pc[:, 2] + cx, fy * Pc[:, 1] / Pc[:, 2] + cy], -1
+    )
+
+
+def test_tag_corners_world_order():
+    s = 0.2
+    world_T_tag = _pose_rt(np.eye(3), [1.0, 2.0, 3.0])
+    P = tag_corners_world(world_T_tag, s)
+    exp = np.array(
+        [[0.9, 1.9, 3.0], [1.1, 1.9, 3.0], [1.1, 2.1, 3.0], [0.9, 2.1, 3.0]]
+    )
+    assert np.allclose(P, exp)
+
+
+def test_estimate_camera_pose_exact_corners():
+    """Exact projected corners -> pose recovered to mm/mrad (multi-tag LM)."""
+    s, fx, fy, cx, cy = 0.19, 600.0, 600.0, 320.0, 240.0
+    tags = _board_world_tags(s)
+    cam_T_world = _board_camera(_rotm("y", 0.12) @ _rotm("x", -0.08))
+    dets = []
+    for tid, wTt in tags.items():
+        corners = _project_w(cam_T_world, tag_corners_world(wTt, s), fx, fy, cx, cy)
+        cTt = cam_T_world @ wTt
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        Hm = K @ np.stack(
+            [cTt[:3, 0] * s / 2, cTt[:3, 1] * s / 2, cTt[:3, 3]], axis=1
+        )
+        dets.append(
+            TagDetection(
+                tag_id=tid, hamming=0, family="tag36h11",
+                corners=corners, center=corners.mean(0), H=Hm / Hm[2, 2], code=0,
+            )
+        )
+    out = estimate_camera_pose(dets, tags, s, fx, fy, cx, cy)
+    assert out is not None
+    world_T_cam, res = out
+    assert bool(res.success)
+    err = np.linalg.inv(cam_T_world) @ np.linalg.inv(world_T_cam)
+    assert np.linalg.norm(err[:3, 3] - 0) < 2e-3
+    assert np.abs(err[:3, :3] - np.eye(3)).max() < 2e-3
+
+
+def test_estimate_camera_pose_unknown_tags_none():
+    assert estimate_camera_pose([], {}, 0.2, 600, 600, 320, 240) is None
+
+
+@pytest.mark.slow
+def test_estimate_camera_pose_render_detect():
+    """Full loop: ray-cast the 4-tag board, detect, localize the camera."""
+    fam = TagFamily.create("tag36h11")
+    s, fx, fy = 0.19, 600.0, 600.0
+    cx, cy, H, W = 320.0, 240.0, 480, 640
+    tags = _board_world_tags(s)
+    cam_T_world = _board_camera(_rotm("y", 0.10) @ _rotm("x", -0.07))
+
+    img = np.ones((H, W))
+    for tid, wTt in tags.items():
+        cTt = cam_T_world @ wTt
+        tag_img = _render_projected(
+            fam, tid, s, cTt[:3, :3], cTt[:3, 3], fx, fy, cx, cy, H, W, noise=0.0
+        )
+        img = np.minimum(img, tag_img)
+    rng = np.random.default_rng(3)
+    img = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
+
+    dets = detect_tags(img, fam)
+    assert len(dets) >= 3  # oblique view; at least 3 of 4 decode
+    out = estimate_camera_pose(dets, tags, s, fx, fy, cx, cy)
+    assert out is not None
+    world_T_cam, res = out
+    assert bool(res.success)
+    err = np.linalg.inv(cam_T_world) @ np.linalg.inv(world_T_cam)
+    assert np.linalg.norm(err[:3, 3]) < 0.02, err[:3, 3]
+    assert np.abs(err[:3, :3] - np.eye(3)).max() < 0.02

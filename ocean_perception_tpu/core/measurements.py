@@ -58,6 +58,18 @@ class GroundtruthPose:
     world_T_body: np.ndarray  # (4, 4)
 
 
+@dataclasses.dataclass(frozen=True)
+class PoseMeasurement:
+    """External absolute pose fix (fiducial relocalization, USBL, surface
+    GPS). Not a reference type — its only external pose is the one-shot
+    initialization message (state_estimator_lcm.cpp:137-176); this carries
+    the same payload as a continuous aiding measurement."""
+
+    timestamp: int
+    world_T_body: np.ndarray  # (4, 4)
+    covariance: "np.ndarray | None" = None  # (6, 6) [t, theta], None = default
+
+
 def imu_window_to_array(measurements) -> np.ndarray:
     """Pack ImuMeasurements → (N, 7) float64 [t_sec, w(3), a(3)] for lax.scan."""
     out = np.zeros((len(measurements), 7), dtype=np.float64)

@@ -24,6 +24,7 @@ from ...core.measurements import (
     DepthMeasurement,
     ImuMeasurement,
     MagMeasurement,
+    PoseMeasurement,
     RangeMeasurement,
     StereoImage,
 )
@@ -50,6 +51,7 @@ DEFAULT_CHANNELS = {
     "channel_input_range": "sensors/range",
     "channel_input_mag": "sensors/mag",
     "channel_input_stereo": "sensors/stereo",
+    "channel_input_pose": "vio/external_pose",
     "channel_output_filter_pose": "vio/pose/filter",
     "channel_output_smoother_pose": "vio/pose/smoother",
 }
@@ -80,6 +82,7 @@ class StateEstimatorNode:
         bus.subscribe(p + ch["channel_input_depth"], self._on_depth)
         bus.subscribe(p + ch["channel_input_range"], self._on_range)
         bus.subscribe(p + ch["channel_input_mag"], self._on_mag)
+        bus.subscribe(p + ch["channel_input_pose"], self._on_pose)
         bus.subscribe(p + ch["channel_input_stereo"], self._on_stereo)
         bus.subscribe(p + ch["channel_input_stereo"] + "_shm_left", self._on_shm("left"))
         bus.subscribe(p + ch["channel_input_stereo"] + "_shm_right", self._on_shm("right"))
@@ -151,6 +154,20 @@ class StateEstimatorNode:
     def _on_mag(self, _ch, m: MagMessage):
         if self._init.is_set():
             self.est.receive_mag(MagMeasurement(m.timestamp, m.field))
+
+    def _on_pose(self, _ch, msg: PoseStampedMessage):
+        """External absolute pose fix (fiducial relocalization / USBL):
+        applied as a filter pose measurement (core receive_pose)."""
+        if not self._init.is_set():
+            return
+        from ...core.quaternion import quat_to_matrix
+        import jax.numpy as jnp
+
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(msg.pose[:4])))
+        T[:3, 3] = msg.pose[4:7]
+        cov = msg.covariance if msg.covariance is not None else None
+        self.est.receive_pose(PoseMeasurement(msg.timestamp, T, cov))
 
     def _on_stereo(self, _ch, m: StereoImageMessage):
         if not self._init.is_set():

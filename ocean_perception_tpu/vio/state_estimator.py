@@ -317,6 +317,38 @@ class StateEstimator:
     def receive_mag(self, m: MagMeasurement) -> None:
         self.mag_manager.push(m)
 
+    def receive_pose(self, m) -> None:
+        """External absolute pose aiding (core.measurements.PoseMeasurement:
+        a fiducial relocalization fix from tracking.apriltags
+        .estimate_camera_pose, a USBL fix, a surface GPS pose).
+
+        Applied as a manifold pose measurement at the EKF snapshot closest
+        before the fix's timestamp, then IMU is replayed — the identical
+        rewind/update/replay path a smoother soft correction takes. Exceeds
+        the reference, whose only external pose input is the one-shot
+        initialization (state_estimator_lcm.cpp:137-176).
+        """
+        if self.ekf_state is None:
+            return
+        cov = (
+            np.eye(6) * 1e-4 if m.covariance is None
+            else np.asarray(m.covariance, np.float64)
+        )
+        T = np.asarray(m.world_T_body, np.float64)
+        q_meas = jnp.asarray(np.asarray(matrix_to_quat(jnp.asarray(T[:3, :3]))))
+        t_meas = jnp.asarray(T[:3, 3])
+        rewind = self._ekf_history.closest_before(m.timestamp)
+        if rewind is None:
+            # No snapshot at/before the fix: update the current state in
+            # place without replay (a replay from an already-advanced state
+            # would double-apply IMU — same guard as _sync_filter_locked).
+            self.ekf_state = ekf_update_pose(
+                self.ekf_state, t_meas, q_meas, jnp.asarray(cov)
+            )
+            return
+        state = ekf_update_pose(rewind[1], t_meas, q_meas, jnp.asarray(cov))
+        self._commit_rewound_state(state, m.timestamp)
+
     def receive_stereo(self, m: StereoImage) -> None:
         self._last_stereo_t = m.timestamp
         vo = self.frontend.track(m.left, m.right)
@@ -659,9 +691,13 @@ class StateEstimator:
         else:
             return  # filter agrees; nothing to do
 
-        # Replay IMU newer than the rewind point — one lax.scan dispatch over
-        # a power-of-two-padded batch (vs 2 dispatches/sample; see
-        # ekf.ekf_replay_imu). Pow-2 buckets bound the compile count.
+        self._commit_rewound_state(state, timestamp)
+
+    def _commit_rewound_state(self, state, timestamp: int) -> None:
+        """Replay IMU newer than the rewind point onto `state` and commit —
+        one lax.scan dispatch over a power-of-two-padded batch (vs 2
+        dispatches/sample; see ekf.ekf_replay_imu). Pow-2 buckets bound the
+        compile count."""
         self._ekf_history.discard_after(timestamp)
         times, items = self._imu_items_after(timestamp)
         t_cur = timestamp

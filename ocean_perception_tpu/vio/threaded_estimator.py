@@ -36,6 +36,7 @@ from ..core.measurements import (
     DepthMeasurement,
     ImuMeasurement,
     MagMeasurement,
+    PoseMeasurement,
     RangeMeasurement,
     StereoImage,
 )
@@ -117,6 +118,9 @@ class ThreadedStateEstimator:
     def receive_mag(self, m: MagMeasurement) -> None:
         self._fast_q.push(m)
 
+    def receive_pose(self, m: PoseMeasurement) -> None:
+        self._fast_q.push(m)
+
     # -- workers ----------------------------------------------------------------
 
     def _vision_loop(self) -> None:
@@ -164,6 +168,10 @@ class ThreadedStateEstimator:
                     self.core.receive_range(m)
                 elif isinstance(m, MagMeasurement):
                     self.core.receive_mag(m)
+                elif isinstance(m, PoseMeasurement):
+                    # External pose fix: brief rewind/update/replay on the
+                    # EKF — filter-lock scope, like the smoother sync commit.
+                    self.core.receive_pose(m)
             self._filter_busy = False
 
     # -- outputs ---------------------------------------------------------------

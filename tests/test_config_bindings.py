@@ -133,6 +133,19 @@ def test_state_estimator_node_from_config():
     assert node.est.ekf_state is not None
     assert len(poses) >= 1  # rate-limited filter pose published
 
+    # External pose fix channel: a relocalization pose snaps the filter back.
+    drifted = np.linalg.norm(node.est.filter_state().world_T_body[:3, 3] - 0)
+    bus.publish(
+        "vio/external_pose",
+        PoseStampedMessage(
+            timestamp=int(5.5e7),
+            pose=np.array([1.0, 0, 0, 0, 0.0, 0.0, 0.0]),
+            covariance=np.eye(6) * 1e-6,
+        ),
+    )
+    fixed = np.linalg.norm(node.est.filter_state().world_T_body[:3, 3] - 0)
+    assert fixed <= drifted + 1e-12
+
 
 def test_nodes_build_from_the_reference_own_yaml():
     """Drop-in migration: BOTH nodes construct directly from the reference

@@ -192,3 +192,86 @@ def test_ekf_hard_reset_on_divergence():
     est._sync_filter(100, fake)
     # Hard reset: filter snapped to the smoother position.
     np.testing.assert_allclose(np.asarray(est.ekf_state.t), np.zeros(3), atol=1e-9)
+
+
+def test_external_pose_aiding_bounds_drift():
+    """External absolute pose fixes (fiducial relocalization / USBL,
+    receive_pose) rewind-update-replay the filter and bound IMU drift;
+    unaided the same biased-IMU stream diverges. Exceeds the reference
+    (only a one-shot init pose, state_estimator_lcm.cpp:137-176)."""
+    from ocean_perception_tpu.core.measurements import PoseMeasurement
+
+    cam = PinholeCamera.create(200.0, 200.0, 80.0, 60.0, 120, 160)
+    rig = StereoCamera.create(cam, cam, 0.2)
+    params = StateEstimatorParams(
+        n_gravity=GRAVITY.copy(),
+        # Keyposes/smoother suppressed: isolate the filter pose-aiding path.
+        min_sec_btw_keyposes=1e6,
+        max_sec_btw_keyposes=2e6,
+    )
+    bias = np.array([0.12, -0.08, 0.0])
+
+    def run(aided: bool) -> float:
+        est = StateEstimator(params, rig)
+        est.initialize(0, np.eye(4))
+        for i in range(1, 401):  # 4 s at 100 Hz, body at rest
+            t_ns = int(i * 1e7)
+            est.receive_imu(
+                ImuMeasurement(t_ns, np.zeros(3), -GRAVITY + bias),
+                check_keypose=False,
+            )
+            if aided and i % 50 == 0:
+                # Fix timestamped slightly BEFORE the newest sample: the
+                # rewind + replay path must engage (closest_before + scan).
+                est.receive_pose(
+                    PoseMeasurement(t_ns - int(2.5e6), np.eye(4), np.eye(6) * 1e-4)
+                )
+        return float(np.linalg.norm(est.filter_state().world_T_body[:3, 3]))
+
+    err_free = run(False)
+    err_aided = run(True)
+    assert err_free > 0.3, err_free  # biased IMU alone drifts
+    assert err_aided < 0.05, err_aided  # half-second fixes bound it
+    assert err_aided < 0.1 * err_free
+
+
+def test_external_pose_aiding_threaded_matches_sync():
+    """The threaded wrapper routes PoseMeasurement through the fast queue in
+    ingest order — the result must equal the synchronous core's."""
+    from ocean_perception_tpu.core.measurements import PoseMeasurement
+    from ocean_perception_tpu.vio.threaded_estimator import ThreadedStateEstimator
+
+    cam = PinholeCamera.create(200.0, 200.0, 80.0, 60.0, 120, 160)
+    rig = StereoCamera.create(cam, cam, 0.2)
+    params = StateEstimatorParams(
+        n_gravity=GRAVITY.copy(),
+        min_sec_btw_keyposes=1e6,
+        max_sec_btw_keyposes=2e6,
+    )
+    bias = np.array([0.05, 0.02, 0.0])
+
+    def feed(est, check_keypose_kw: bool):
+        for i in range(1, 151):
+            t_ns = int(i * 1e7)
+            m = ImuMeasurement(t_ns, np.zeros(3), -GRAVITY + bias)
+            if check_keypose_kw:
+                est.receive_imu(m, check_keypose=False)
+            else:
+                est.receive_imu(m)
+            if i % 50 == 0:
+                est.receive_pose(
+                    PoseMeasurement(t_ns - int(2.5e6), np.eye(4), np.eye(6) * 1e-4)
+                )
+
+    sync = StateEstimator(params, rig)
+    sync.initialize(0, np.eye(4))
+    feed(sync, True)
+
+    thr = ThreadedStateEstimator(params, rig)
+    thr.initialize(0, np.eye(4))
+    feed(thr, False)
+    assert thr.wait_idle(timeout=60.0)
+    p_sync = sync.filter_state().world_T_body[:3, 3]
+    p_thr = thr.filter_state().world_T_body[:3, 3]
+    thr.shutdown()
+    np.testing.assert_allclose(p_thr, p_sync, atol=1e-9)

@@ -79,6 +79,16 @@ def main() -> int:
     ap.add_argument("--dataset", default=None, help="EuRoC-layout dataset dir (default: synthesize)")
     ap.add_argument("--out", default="/tmp/vio_mission", help="output dir")
     ap.add_argument("--frames", type=int, default=16, help="synthetic dataset length")
+    ap.add_argument(
+        "--pose-fix-every", type=float, default=0.0,
+        help="simulate external absolute pose fixes (USBL/fiducial "
+        "relocalization) from groundtruth every SEC seconds; they aid the "
+        "filter (receive_pose) AND become smoother fix factors",
+    )
+    ap.add_argument(
+        "--pose-fix-noise", type=float, default=0.01,
+        help="fix position noise stdev, meters",
+    )
     args = ap.parse_args()
 
     from ocean_perception_tpu.datasets.euroc import EurocDataset
@@ -114,12 +124,32 @@ def main() -> int:
             traj.append((s.timestamp, np.asarray(s.world_T_body, np.float64)))
 
     est.smoother_callbacks.append(on_solve)
+    if args.pose_fix_every > 0 and ds.pose_data:
+        from ocean_perception_tpu.core.measurements import PoseMeasurement
+
+        fix_rng = np.random.default_rng(0)
+        period_ns = int(args.pose_fix_every * 1e9)
+        fix_state = {"last": -(1 << 62), "n": 0}
+
+        def on_gt(gt):
+            if gt.timestamp - fix_state["last"] < period_ns:
+                return
+            fix_state["last"] = gt.timestamp
+            fix_state["n"] += 1
+            T = np.array(gt.world_T_body, np.float64)
+            T[:3, 3] += fix_rng.normal(0, args.pose_fix_noise, 3)
+            cov = np.eye(6) * max(args.pose_fix_noise, 1e-3) ** 2
+            est.receive_pose(PoseMeasurement(gt.timestamp, T, cov))
+
+        ds.register_groundtruth_callback(on_gt)
     ds.register_stereo_callback(est.receive_stereo)
     ds.register_imu_callback(est.receive_imu)
     ds.register_depth_callback(est.receive_depth)
     ds.register_range_callback(est.receive_range)
     n = ds.play_all()
     print(f"played {n} measurements; {len(traj)} smoother poses")
+    if args.pose_fix_every > 0 and ds.pose_data:
+        print(f"injected {fix_state['n']} simulated external pose fixes")
 
     # Trajectory CSV (same EuRoC state format the estimator node's
     # --trajectory-out writes, readable by vio.evaluation's CLI).

@@ -65,7 +65,10 @@ def load_estimator(est, path: str) -> None:
         new_leaves = []
         for path_, leaf in leaves:
             key = prefix + jax.tree_util.keystr(path_)
-            arr = data[key]
+            # Fields added after a checkpoint was written (e.g. the window's
+            # fix_* pose-fix factors) keep the fresh template's defaults —
+            # semantically "no such measurements recorded".
+            arr = data.get(key, np.asarray(leaf))
             new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

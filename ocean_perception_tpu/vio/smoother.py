@@ -112,6 +112,14 @@ class KeyposeWindow(NamedTuple):
     range_valid: jnp.ndarray   # (M, B)
     mag: jnp.ndarray           # (M, 3) measured field, sensor==body frame
     mag_valid: jnp.ndarray     # (M,)
+    # Absolute pose fix factors (external aiding: fiducial relocalization,
+    # USBL, surface GPS). No reference equivalent — its absolute inputs are
+    # depth/range/mag only; this is what lets external fixes correct the
+    # SMOOTHED trajectory, not just the filter (receive_pose).
+    fix_R: jnp.ndarray         # (M, 3, 3) measured world_R_body
+    fix_p: jnp.ndarray         # (M, 3) measured world position
+    fix_sigma: jnp.ndarray     # (M, 6) stdevs [rot(3), trans(3)]
+    fix_valid: jnp.ndarray     # (M,)
     # Landmark observations: column l holds ONE landmark's pixel track
     # across the window (host keeps the id→column assignment).
     lmk_uv: jnp.ndarray        # (M, L, 2)
@@ -153,6 +161,10 @@ def make_window(config: SmootherConfig, n_imu: int, dtype=None) -> KeyposeWindow
         range_valid=jnp.zeros((M, B), bool),
         mag=jnp.zeros((M, 3), dtype),
         mag_valid=jnp.zeros(M, bool),
+        fix_R=eye,
+        fix_p=jnp.zeros((M, 3), dtype),
+        fix_sigma=jnp.ones((M, 6), dtype),
+        fix_valid=jnp.zeros(M, bool),
         lmk_uv=jnp.zeros((M, max(config.max_landmarks, 1), 2), dtype),
         lmk_disp=jnp.zeros((M, max(config.max_landmarks, 1)), dtype),
         lmk_valid=jnp.zeros((M, max(config.max_landmarks, 1)), bool),
@@ -280,6 +292,16 @@ def _residuals(
     mag_pred = mag_pred + jnp.asarray(config.mag_bias, dtype)
     r_mag = (mag_pred - win.mag) / config.mag_sigma
     res.append((r_mag * (win.mag_valid & win.valid).astype(dtype)[:, None]).reshape(-1))
+
+    # -- absolute pose fix factors (external aiding) ---------------------------
+    # 6-DoF unary prior on a keypose from an external absolute fix
+    # (fiducial relocalization / USBL / GPS): r = [log(fix_Rᵀ·R), p − fix_p]
+    # whitened per-axis by the fix's own sigmas. This is the between-world
+    # analog of the reference's one-shot init pose, attached continuously.
+    fix_ok = (win.fix_valid & win.valid).astype(dtype)[:, None]
+    r_fix_rot = jax.vmap(so3_log)(jnp.einsum("mji,mjk->mik", win.fix_R, w.R))
+    r_fix = jnp.concatenate([r_fix_rot, w.p - win.fix_p], axis=1)
+    res.append((r_fix / jnp.maximum(win.fix_sigma, 1e-9) * fix_ok).reshape(-1))
 
     # -- landmark projection factors (structureless smart factors) ------------
     if config.max_landmarks > 0:
@@ -488,6 +510,8 @@ def slide_window(win: KeyposeWindow, cov_slot1: jnp.ndarray) -> KeyposeWindow:
         ranges=shift(win.ranges), range_beacons=shift(win.range_beacons),
         range_valid=shift(win.range_valid),
         mag=shift(win.mag), mag_valid=shift(win.mag_valid),
+        fix_R=shift(win.fix_R), fix_p=shift(win.fix_p),
+        fix_sigma=shift(win.fix_sigma), fix_valid=shift(win.fix_valid),
         lmk_uv=shift(win.lmk_uv), lmk_disp=shift(win.lmk_disp),
         lmk_valid=shift(win.lmk_valid),
     )
@@ -499,6 +523,7 @@ def slide_window(win: KeyposeWindow, cov_slot1: jnp.ndarray) -> KeyposeWindow:
         depth_valid=out.depth_valid.at[-1].set(False),
         range_valid=out.range_valid.at[-1].set(False),
         mag_valid=out.mag_valid.at[-1].set(False),
+        fix_valid=out.fix_valid.at[-1].set(False),
         lmk_valid=out.lmk_valid.at[-1].set(False),
     )
     # New anchor: slot 0's state with sqrt information from its marginal.

@@ -87,6 +87,9 @@ class StateEstimatorParams:
     max_sec_btw_keyposes: float = 1.0
     # Misalignment tolerances for attaching measurements to a keypose (sec).
     depth_tolerance: float = 0.1
+    # External pose fixes attach to a keypose only within this window (a
+    # 6-DoF fix Δt away is biased by v·Δt, unlike slowly-varying depth).
+    fix_tolerance: float = 0.05
     range_tolerance: float = 0.2
     # Filter divergence thresholds vs smoother (soft = measurement update,
     # hard = re-initialize; state_estimator.cpp:507-543).
@@ -142,6 +145,7 @@ class StateEstimator:
         self.depth_manager: DataManager[DepthMeasurement] = DataManager(max_size=1000)
         self.range_manager: DataManager[RangeMeasurement] = DataManager(max_size=1000)
         self.mag_manager: DataManager[MagMeasurement] = DataManager(max_size=1000)
+        self.pose_manager: DataManager = DataManager(max_size=200)  # external fixes
 
         # Sensor extrinsics (identity on all shipped rigs). VO is conjugated
         # into the body frame at intake; the EKF rotates IMU samples and
@@ -322,14 +326,19 @@ class StateEstimator:
         a fiducial relocalization fix from tracking.apriltags
         .estimate_camera_pose, a USBL fix, a surface GPS pose).
 
-        Applied as a manifold pose measurement at the EKF snapshot closest
-        before the fix's timestamp, then IMU is replayed — the identical
-        rewind/update/replay path a smoother soft correction takes. Exceeds
-        the reference, whose only external pose input is the one-shot
-        initialization (state_estimator_lcm.cpp:137-176).
+        Applied twice, like the reference treats depth/range: (1) as a
+        manifold pose measurement at the EKF snapshot closest before the
+        fix's timestamp, then IMU is replayed — the identical
+        rewind/update/replay path a smoother soft correction takes; and
+        (2) queued for the smoother, where the keypose nearest the fix gets
+        a 6-DoF absolute factor (KeyposeWindow.fix_*), so the SMOOTHED
+        trajectory is corrected too. Exceeds the reference, whose only
+        external pose input is the one-shot initialization
+        (state_estimator_lcm.cpp:137-176).
         """
         if self.ekf_state is None:
             return
+        self.pose_manager.push(m)
         cov = (
             np.eye(6) * 1e-4 if m.covariance is None
             else np.asarray(m.covariance, np.float64)
@@ -522,6 +531,67 @@ class StateEstimator:
         items = self.mag_manager.pop_until(t + tol)
         return np.asarray(items[-1].field, np.float64) if items else None
 
+    def _fix_tuple(self, m, dt_sec: float):
+        """PoseMeasurement → (R, p, sigma6) for the window's fix factor.
+
+        PoseMeasurement covariance order is [t, theta]; the window's
+        fix_sigma order is [rot, trans] (matching the residual layout). A
+        fix measured Δt away from its keypose is biased by the body's
+        motion over Δt, so the translational sigma is inflated by
+        |Δt|·speed (current EKF velocity) — a misaligned fix can't drag a
+        well-tracked keypose off by v·Δt."""
+        T = np.asarray(m.world_T_body, np.float64)
+        cov = (
+            np.eye(6) * 1e-4 if m.covariance is None
+            else np.asarray(m.covariance, np.float64)
+        )
+        sig = np.sqrt(np.clip(np.diag(cov), 1e-12, None))
+        sigma6 = np.concatenate([sig[3:6], sig[0:3]])
+        if dt_sec > 0 and self.ekf_state is not None:
+            speed = float(np.linalg.norm(np.asarray(self.ekf_state.v)))
+            sigma6[3:6] = np.sqrt(sigma6[3:6] ** 2 + (dt_sec * speed) ** 2)
+        return T[:3, :3], T[:3, 3], sigma6
+
+    def _attach_pending_fixes(self) -> None:
+        """Attach queued external pose fixes to their closest keypose slot
+        (within ±fix_tolerance).
+
+        A fix normally arrives AFTER the keypose for its frame exists (the
+        fiducial detector / USBL solver has latency), so attachment is
+        retroactive: this runs before every solve, on the window-owning
+        thread (the filter thread's receive_pose must not mutate the
+        window). Fixes newer than the newest keypose stay queued for the
+        keypose still to come; first fix per slot wins."""
+        if self._n_keyposes == 0 or self._last_keypose_t is None:
+            return
+        tol = self.params.fix_tolerance
+        ts = np.asarray(self.window.timestamps)   # seconds
+        valid = np.asarray(self.window.valid)
+        win = self.window
+        fix_valid = np.asarray(win.fix_valid).copy()
+        changed = False
+        bound = self._last_keypose_t + int(tol * 1e9)
+        for m in self.pose_manager.pop_until(bound):
+            t_s = m.timestamp * 1e-9
+            cand = [
+                k for k in range(ts.shape[0])
+                if valid[k] and not fix_valid[k] and abs(float(ts[k]) - t_s) <= tol
+            ]
+            if not cand:
+                continue  # no matching keypose: the filter already used it
+            k = min(cand, key=lambda i: abs(float(ts[i]) - t_s))
+            R, p, sigma6 = self._fix_tuple(m, abs(float(ts[k]) - t_s))
+            win = win._replace(
+                fix_R=win.fix_R.at[k].set(jnp.asarray(R)),
+                fix_p=win.fix_p.at[k].set(jnp.asarray(p)),
+                fix_sigma=win.fix_sigma.at[k].set(jnp.asarray(sigma6)),
+                fix_valid=win.fix_valid.at[k].set(True),
+            )
+            fix_valid[k] = True
+            changed = True
+        if changed:
+            self.window = win
+
     def _attach_landmarks(self, vo: VoResult) -> None:
         """Write this keypose's landmark pixel observations into the window
         (structureless projection factors; legacy Smoother landmark parity).
@@ -623,6 +693,9 @@ class StateEstimator:
             range_valid=win.range_valid.at[slot].set(jnp.asarray(rng_valid)),
             mag=win.mag.at[slot].set(jnp.asarray(mag if mag is not None else np.zeros(3))),
             mag_valid=win.mag_valid.at[slot].set(mag is not None),
+            # External pose fixes attach RETROACTIVELY (_attach_pending_fixes
+            # before each solve) — a fresh slot starts fix-less.
+            fix_valid=win.fix_valid.at[slot].set(False),
         )
         if prior_anchor:
             win = win._replace(
@@ -643,6 +716,7 @@ class StateEstimator:
         import time as _time
 
         t0 = _time.perf_counter()
+        self._attach_pending_fixes()
         pims = preintegrate_window(self.window, self.params.imu_calib)
         slot = jnp.asarray(self._newest_slot(), jnp.int32)
         self.window, result = self._solve(self.window, pims, slot)

@@ -235,6 +235,50 @@ def test_external_pose_aiding_bounds_drift():
     assert err_aided < 0.1 * err_free
 
 
+@pytest.mark.slow
+def test_external_pose_fix_corrects_smoother_trajectory():
+    """External fixes become absolute factors on the nearest keypose
+    (KeyposeWindow.fix_*): with vision dead and a biased IMU, the SMOOTHED
+    trajectory stays pinned — a relative-only graph cannot make that
+    correction. (The filter-level effect is covered separately above.)"""
+    from ocean_perception_tpu.core.measurements import PoseMeasurement
+
+    cam = PinholeCamera.create(200.0, 200.0, 80.0, 60.0, 120, 160)
+    rig = StereoCamera.create(cam, cam, 0.2)
+    bias = np.array([0.3, -0.2, 0.0])
+
+    def run(aided: bool) -> float:
+        params = StateEstimatorParams(
+            n_gravity=GRAVITY.copy(),
+            smoother=SmootherConfig(window=8, iterations=3),
+            max_imu_per_keypose=128,
+            min_sec_btw_keyposes=0.5,
+            max_sec_btw_keyposes=1.0,
+        )
+        est = StateEstimator(params, rig)
+        est.initialize(0, np.eye(4))
+        n_fix_slots = 0
+        for i in range(1, 401):  # 4 s at 100 Hz, body at rest
+            t_ns = int(i * 1e7)
+            if aided and i % 25 == 0:  # 4 Hz fixes: every keypose gets one
+                est.receive_pose(
+                    PoseMeasurement(t_ns - int(2.5e6), np.eye(4), np.eye(6) * 1e-4)
+                )
+            est.receive_imu(ImuMeasurement(t_ns, np.zeros(3), -GRAVITY + bias))
+        if aided:
+            n_fix_slots = int(np.asarray(est.window.fix_valid).sum())
+            assert n_fix_slots >= 3, "fixes never reached the window"
+        s = est.smoother_state()
+        assert s is not None
+        return float(np.linalg.norm(s.world_T_body[:3, 3]))
+
+    err_free = run(False)
+    err_aided = run(True)
+    assert err_free > 0.5, err_free  # biased IMU smoother drifts unaided
+    assert err_aided < 0.05, err_aided  # fixes pin the smoothed trajectory
+    assert err_aided < 0.05 * err_free
+
+
 def test_external_pose_aiding_threaded_matches_sync():
     """The threaded wrapper routes PoseMeasurement through the fast queue in
     ingest order — the result must equal the synchronous core's."""

@@ -172,6 +172,61 @@ def test_slide_window(config):
     np.testing.assert_allclose(si.T @ si, np.linalg.inv(cov1), rtol=1e-4)
 
 
+def test_pose_fix_factor_pins_global_offset(config):
+    """Absolute pose fix factors (external aiding) pull a globally-offset,
+    internally-consistent VO chain back onto the true trajectory — the
+    correction a relative-only graph cannot make."""
+    states, imu_windows = simulate()
+    offset = np.array([0.5, -0.3, 0.2])
+    win = build_window(
+        states, imu_windows, config, with_imu=False, with_depth=False
+    )
+    # Shift EVERY state estimate and the anchor by a constant world offset:
+    # VO between factors are all still perfectly satisfied.
+    win = win._replace(
+        p=win.p + jnp.asarray(offset),
+        prior_p=win.prior_p + jnp.asarray(offset),
+        prior_sqrt_info=jnp.eye(15) * 1.0,  # soft anchor: fixes may override
+    )
+    w0, _ = _solve(win, config)
+    # Without fixes the offset persists (nothing absolute in the graph).
+    assert np.linalg.norm(np.asarray(w0.p[5]) - states[5][1]) > 0.4
+
+    fix_R = np.asarray(win.fix_R).copy()
+    fix_p = np.asarray(win.fix_p).copy()
+    fix_valid = np.zeros(win.fix_valid.shape[0], bool)
+    for k in (2, 4):
+        fix_R[k], fix_p[k] = states[k][0], states[k][1]
+        fix_valid[k] = True
+    win_fix = win._replace(
+        fix_R=jnp.asarray(fix_R),
+        fix_p=jnp.asarray(fix_p),
+        fix_sigma=jnp.full_like(win.fix_sigma, 1e-3),
+        fix_valid=jnp.asarray(fix_valid),
+    )
+    w, _ = _solve(win_fix, config)
+    for k, (Rk, pk, _vk) in enumerate(states):
+        np.testing.assert_allclose(np.asarray(w.p[k]), pk, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(w.R[k]), Rk, atol=2e-2)
+
+
+def test_slide_preserves_fix_fields(config):
+    states, imu_windows = simulate()
+    win = build_window(states, imu_windows, config)
+    sig = np.full(6, 0.01)
+    win = win._replace(
+        fix_R=win.fix_R.at[3].set(jnp.asarray(states[3][0])),
+        fix_p=win.fix_p.at[3].set(jnp.asarray(states[3][1])),
+        fix_sigma=win.fix_sigma.at[3].set(jnp.asarray(sig)),
+        fix_valid=win.fix_valid.at[3].set(True),
+    )
+    slid = slide_window(win, jnp.asarray(np.eye(15) * 1e-4))
+    assert bool(slid.fix_valid[2]) and not bool(slid.fix_valid[3])
+    np.testing.assert_allclose(np.asarray(slid.fix_p[2]), states[3][1])
+    np.testing.assert_allclose(np.asarray(slid.fix_sigma[2]), sig)
+    assert not bool(slid.fix_valid[-1])
+
+
 def test_smoother_jit_compiles(config):
     states, imu_windows = simulate()
     win = build_window(states, imu_windows, config, state_noise=0.05)

@@ -62,7 +62,12 @@ class FiducialLocalizerNode:
         family: str = "tag36h11",
         body_T_cam: Optional[np.ndarray] = None,
         min_period_sec: float = 0.5,
-        min_tags: int = 1,
+        # Single-tag homography poses carry the classic two-fold planar
+        # ambiguity that the LM refinement cannot escape (it only polishes
+        # the branch it started on), so by default a fix needs >=2 mapped
+        # tags in view. Drop to 1 only with large/close tags where the
+        # wrong branch can't pass max_error_px.
+        min_tags: int = 2,
         max_error_px: float = 2.0,
         corner_sigma_px: float = 0.5,
         pose_sigma_t: float = 0.02,
@@ -181,7 +186,7 @@ def from_config(bus: PubSub, node_config_path: str, shared_config_path: str) -> 
         family=p.get("family", "tag36h11"),
         body_T_cam=body_T_cam,
         min_period_sec=float(p.get("min_period_sec", 0.5)),
-        min_tags=int(p.get("min_tags", 1)),
+        min_tags=int(p.get("min_tags", 2)),
         max_error_px=float(p.get("max_error_px", 2.0)),
         pose_sigma_t=float(p.get("pose_sigma_t", 0.02)),
         pose_sigma_r=float(p.get("pose_sigma_r", 0.02)),
@@ -209,10 +214,12 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     bus_cls = UdpMulticastBus
-    if args.lcm:
-        from ..lcm_wire import LcmUdpBus as bus_cls
+    if args.native_bus and args.lcm:
+        from ..native_bus import NativeLcmBus as bus_cls
     elif args.native_bus:
         from ..native_bus import NativeUdpBus as bus_cls
+    elif args.lcm:
+        from ..lcm_wire import LcmUdpBus as bus_cls
     bus = bus_cls(port=args.port) if args.port else bus_cls()
     node = from_config(bus, args.config, args.shared)
     print(f"fiducial_localizer listening ({len(node.tag_map)} mapped tags)...")

@@ -166,8 +166,7 @@ class StateEstimatorNode:
         T = np.eye(4)
         T[:3, :3] = np.asarray(quat_to_matrix(jnp.asarray(msg.pose[:4])))
         T[:3, 3] = msg.pose[4:7]
-        cov = msg.covariance if msg.covariance is not None else None
-        self.est.receive_pose(PoseMeasurement(msg.timestamp, T, cov))
+        self.est.receive_pose(PoseMeasurement(msg.timestamp, T, msg.covariance))
 
     def _on_stereo(self, _ch, m: StereoImageMessage):
         if not self._init.is_set():

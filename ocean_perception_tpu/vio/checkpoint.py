@@ -33,6 +33,12 @@ def save_estimator(est, path: str) -> None:
         "last_keypose_t": np.asarray(est._last_keypose_t if est._last_keypose_t is not None else -1),
         "ekf_time": np.asarray(est._ekf_time if est._ekf_time is not None else -1),
         "mode": np.asarray(est.mode.value),
+        # Host int-ns keypose times (exact; the window's f32 timestamps
+        # cannot reconstruct these at epoch scale). Fix attachment needs them.
+        "keypose_times_ns": np.asarray(est._keypose_times_ns, np.int64),
+        # Window timestamps are mission-relative seconds; the origin anchors
+        # them back to epoch ns.
+        "time_origin_ns": np.asarray(est._time_origin_ns),
     }
     _flatten(est.window, "window", data)
     if est.ekf_state is not None:
@@ -65,10 +71,14 @@ def load_estimator(est, path: str) -> None:
         new_leaves = []
         for path_, leaf in leaves:
             key = prefix + jax.tree_util.keystr(path_)
-            # Fields added after a checkpoint was written (e.g. the window's
-            # fix_* pose-fix factors) keep the fresh template's defaults —
-            # semantically "no such measurements recorded".
-            arr = data.get(key, np.asarray(leaf))
+            if key not in data and ".fix_" in key:
+                # The fix_* pose-fix fields postdate some checkpoints: keep
+                # the fresh template's defaults ("no fixes recorded"). Any
+                # OTHER missing key still raises — a torn/corrupted file
+                # must fail loudly, not silently reset state.
+                arr = np.asarray(leaf)
+            else:
+                arr = data[key]
             new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
@@ -80,6 +90,17 @@ def load_estimator(est, path: str) -> None:
             est.ekf_state = ekf_initialize(dtype=jnp.float64)
         est.ekf_state = _unflatten(est.ekf_state, "ekf")
     est._n_keyposes = int(data["n_keyposes"])
+    est._time_origin_ns = int(data.get("time_origin_ns", 0))
+    if "keypose_times_ns" in data:
+        est._keypose_times_ns = [int(t) for t in data["keypose_times_ns"]]
+    else:
+        # Pre-fix_* checkpoint: approximate from the window's (possibly f32)
+        # timestamps — fix attachment on resumed pre-upgrade missions may
+        # miss, but nothing else reads these.
+        ts = np.asarray(est.window.timestamps, np.float64)
+        est._keypose_times_ns = [
+            int(round(ts[k] * 1e9)) for k in range(est._n_keyposes)
+        ]
     lk = int(data["last_keypose_t"])
     est._last_keypose_t = lk if lk >= 0 else None
     et = int(data["ekf_time"])

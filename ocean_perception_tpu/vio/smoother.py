@@ -89,7 +89,10 @@ class SmootherConfig:
 class KeyposeWindow(NamedTuple):
     """Fixed M-slot state + factor storage. Slot i connects to slot i-1."""
 
-    timestamps: jnp.ndarray    # (M,) seconds
+    timestamps: jnp.ndarray    # (M,) MISSION-RELATIVE seconds (t - origin):
+    #                            epoch-scale seconds in f32 quantize to
+    #                            ~128 s, which would destroy the dt_pair
+    #                            differences in the bias random-walk factor
     R: jnp.ndarray             # (M, 3, 3)
     p: jnp.ndarray             # (M, 3)
     v: jnp.ndarray             # (M, 3)
@@ -221,8 +224,16 @@ def _residuals(
     res.append((w.prior_sqrt_info @ r_prior) * win.valid[0].astype(dtype))
 
     # -- VO between factors ---------------------------------------------------
-    R_rel = jnp.einsum("mji,mjk->mik", prev(w.R), w.R)      # R_{i-1}^T R_i
-    p_rel = jnp.einsum("mji,mj->mi", prev(w.R), w.p - prev(w.p))
+    # Masked-pair AD safety: invalid pairs — above all the slot-0 wraparound
+    # (prev = jnp.roll) — would feed so3_log an ARBITRARY relative rotation
+    # (e.g. a down-looking keypose vs an unfilled slot's identity = θ=π,
+    # where arccos' derivative is infinite and the ×0 mask yields NaN under
+    # jacfwd). Substitute the slot's own rotation so masked relative
+    # rotations are ≈identity, inside the θ² Taylor guard.
+    R_prev = jnp.where(pair_ok[:, None, None], prev(w.R), w.R)
+    p_prev = jnp.where(pair_ok[:, None], prev(w.p), w.p)
+    R_rel = jnp.einsum("mji,mjk->mik", R_prev, w.R)         # R_{i-1}^T R_i
+    p_rel = jnp.einsum("mji,mj->mi", R_prev, w.p - p_prev)
     r_rot = jax.vmap(so3_log)(jnp.einsum("mji,mjk->mik", win.vo_T[:, :3, :3], R_rel))
     r_trans = p_rel - win.vo_T[:, :3, 3]
     vo_ok = (win.vo_valid & pair_ok).astype(dtype)[:, None]
@@ -246,7 +257,9 @@ def _residuals(
 
     r_imu = jax.vmap(imu_res)(
         pims,
-        prev(w.R), prev(w.p), prev(w.v), prev(w.bg), prev(w.ba),
+        # R_prev (pair-masked) for the same θ=π AD-safety as the VO rows:
+        # imu_res's so3_log otherwise sees the raw wraparound rotation.
+        R_prev, prev(w.p), prev(w.v), prev(w.bg), prev(w.ba),
         w.R, w.p, w.v,
     )  # (M, 9)
     # Whiten with the FULL 9x9 preintegration covariance (Cholesky factor,
@@ -299,7 +312,13 @@ def _residuals(
     # whitened per-axis by the fix's own sigmas. This is the between-world
     # analog of the reference's one-shot init pose, attached continuously.
     fix_ok = (win.fix_valid & win.valid).astype(dtype)[:, None]
-    r_fix_rot = jax.vmap(so3_log)(jnp.einsum("mji,mjk->mik", win.fix_R, w.R))
+    # AD-safety: masked rows must NOT feed so3_log an arbitrary absolute
+    # rotation (fix_R=eye vs a 180° keypose puts the argument at θ=π, where
+    # arccos has an infinite derivative and jacfwd's inf·0 mask = NaN —
+    # CLAUDE.md AD rule). Substitute the keypose's own rotation so masked
+    # rows log ≈identity, inside the θ²-Taylor guard.
+    fix_R_eff = jnp.where(win.fix_valid[:, None, None], win.fix_R, w.R)
+    r_fix_rot = jax.vmap(so3_log)(jnp.einsum("mji,mjk->mik", fix_R_eff, w.R))
     r_fix = jnp.concatenate([r_fix_rot, w.p - win.fix_p], axis=1)
     res.append((r_fix / jnp.maximum(win.fix_sigma, 1e-9) * fix_ok).reshape(-1))
 
@@ -414,7 +433,8 @@ class SmootherResult(NamedTuple):
     v: jnp.ndarray
     bg: jnp.ndarray
     ba: jnp.ndarray
-    timestamp: jnp.ndarray
+    timestamp: jnp.ndarray   # mission-relative seconds (window convention);
+    #                          StateEstimator.smoother_state() restores epoch ns
     cov_newest: jnp.ndarray  # (15,15) marginal covariance of newest keypose
     cov_slot1: jnp.ndarray   # (15,15) marginal of slot 1 — the keypose that
     #                          becomes the anchor when the window next slides

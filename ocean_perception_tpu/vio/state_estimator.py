@@ -21,8 +21,10 @@ failure-handling semantics match the reference.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import enum
+import threading
 from typing import Callable, List, Optional
 
 import jax
@@ -145,7 +147,12 @@ class StateEstimator:
         self.depth_manager: DataManager[DepthMeasurement] = DataManager(max_size=1000)
         self.range_manager: DataManager[RangeMeasurement] = DataManager(max_size=1000)
         self.mag_manager: DataManager[MagMeasurement] = DataManager(max_size=1000)
-        self.pose_manager: DataManager = DataManager(max_size=200)  # external fixes
+        # External fixes queue host-side until smoother attachment. A plain
+        # deque + lock, NOT a DataManager: multi-source fixes (fiducial node
+        # stamps frame time, USBL stamps ping time) legitimately arrive out
+        # of order, and DataManager's monotonic push would drop them.
+        self._fix_queue: collections.deque = collections.deque(maxlen=200)
+        self._fix_lock = threading.Lock()
 
         # Sensor extrinsics (identity on all shipped rigs). VO is conjugated
         # into the body frame at intake; the EKF rotates IMU samples and
@@ -189,6 +196,18 @@ class StateEstimator:
         self.window = make_window(smoother_cfg, params.max_imu_per_keypose)
         self._lmk_columns: dict = {}  # landmark id -> window landmark column
         self._n_keyposes = 0
+        # Host-side int-ns keypose timestamps, one per filled slot. The
+        # window's own timestamps array is f32 on-chip (epoch-scale ns
+        # quantizes to ~hundreds of seconds there), so anything that must
+        # MATCH a keypose by time — external fix attachment — reads these.
+        self._keypose_times_ns: List[int] = []
+        # The window stores MISSION-RELATIVE seconds (t - origin): f32 epoch
+        # seconds quantize to ~128 s, which destroys dt_pair differences in
+        # the bias random-walk whitening and the result timestamp. The
+        # origin is the initialization time; relative seconds stay f32-exact
+        # to sub-ms over multi-hour missions.
+        self._time_origin_ns: int = 0
+        self._last_smoother_t_ns: Optional[int] = None
         self._last_keypose_t: Optional[int] = None
         self._last_smoother_result: Optional[SmootherResult] = None
 
@@ -280,6 +299,7 @@ class StateEstimator:
         q0 = matrix_to_quat(jnp.asarray(R0))
         self.ekf_state = ekf_initialize(t0=p0, q0=np.asarray(q0), dtype=jnp.float64)
         self._ekf_time = timestamp
+        self._time_origin_ns = timestamp
         self._push_keypose(
             timestamp, R0, p0, np.zeros(3),
             vo_T=None, imu_rows=None, depth=None, ranges=(),
@@ -338,7 +358,8 @@ class StateEstimator:
         """
         if self.ekf_state is None:
             return
-        self.pose_manager.push(m)
+        with self._fix_lock:
+            self._fix_queue.append(m)
         cov = (
             np.eye(6) * 1e-4 if m.covariance is None
             else np.asarray(m.covariance, np.float64)
@@ -356,7 +377,12 @@ class StateEstimator:
             )
             return
         state = ekf_update_pose(rewind[1], t_meas, q_meas, jnp.asarray(cov))
-        self._commit_rewound_state(state, m.timestamp)
+        # Replay from the SNAPSHOT's time, not the fix's: snapshots live at
+        # IMU sample times while fix stamps are camera/ping times, and
+        # replaying from the later stamp would silently drop the
+        # (t_snap, t_fix] propagation interval (up to one IMU period) on
+        # every fix.
+        self._commit_rewound_state(state, rewind[0])
 
     def receive_stereo(self, m: StereoImage) -> None:
         self._last_stereo_t = m.timestamp
@@ -561,26 +587,35 @@ class StateEstimator:
         retroactive: this runs before every solve, on the window-owning
         thread (the filter thread's receive_pose must not mutate the
         window). Fixes newer than the newest keypose stay queued for the
-        keypose still to come; first fix per slot wins."""
+        keypose still to come; first fix per slot wins.
+
+        Matching uses the HOST int-ns keypose times (_keypose_times_ns) —
+        the window's own f32 timestamps quantize epoch-scale ns far coarser
+        than fix_tolerance on-chip."""
         if self._n_keyposes == 0 or self._last_keypose_t is None:
             return
-        tol = self.params.fix_tolerance
-        ts = np.asarray(self.window.timestamps)   # seconds
-        valid = np.asarray(self.window.valid)
+        tol_ns = int(self.params.fix_tolerance * 1e9)
+        times = self._keypose_times_ns
+        bound = self._last_keypose_t + tol_ns
+        with self._fix_lock:
+            take = [m for m in self._fix_queue if m.timestamp <= bound]
+            if not take:
+                return
+            keep = [m for m in self._fix_queue if m.timestamp > bound]
+            self._fix_queue.clear()
+            self._fix_queue.extend(keep)
         win = self.window
         fix_valid = np.asarray(win.fix_valid).copy()
         changed = False
-        bound = self._last_keypose_t + int(tol * 1e9)
-        for m in self.pose_manager.pop_until(bound):
-            t_s = m.timestamp * 1e-9
+        for m in take:
             cand = [
-                k for k in range(ts.shape[0])
-                if valid[k] and not fix_valid[k] and abs(float(ts[k]) - t_s) <= tol
+                k for k in range(len(times))
+                if not fix_valid[k] and abs(times[k] - m.timestamp) <= tol_ns
             ]
             if not cand:
                 continue  # no matching keypose: the filter already used it
-            k = min(cand, key=lambda i: abs(float(ts[i]) - t_s))
-            R, p, sigma6 = self._fix_tuple(m, abs(float(ts[k]) - t_s))
+            k = min(cand, key=lambda i: abs(times[i] - m.timestamp))
+            R, p, sigma6 = self._fix_tuple(m, abs(times[k] - m.timestamp) * 1e-9)
             win = win._replace(
                 fix_R=win.fix_R.at[k].set(jnp.asarray(R)),
                 fix_p=win.fix_p.at[k].set(jnp.asarray(p)),
@@ -658,6 +693,8 @@ class StateEstimator:
             )
             win = slide_window(win, jnp.asarray(cov))
             self._n_keyposes = cfg.window - 1
+            if self._keypose_times_ns:
+                del self._keypose_times_ns[0]
         slot = self._n_keyposes
 
         n_imu = self.params.max_imu_per_keypose
@@ -676,7 +713,9 @@ class StateEstimator:
             rng_vals[i], rng_beacons[i], rng_valid[i] = rv, bp, True
 
         win = win._replace(
-            timestamps=win.timestamps.at[slot].set(timestamp * 1e-9),
+            timestamps=win.timestamps.at[slot].set(
+                (timestamp - self._time_origin_ns) * 1e-9
+            ),
             R=win.R.at[slot].set(jnp.asarray(R)),
             p=win.p.at[slot].set(jnp.asarray(p)),
             v=win.v.at[slot].set(jnp.asarray(v)),
@@ -706,6 +745,7 @@ class StateEstimator:
             )
         self.window = win
         self._n_keyposes += 1
+        self._keypose_times_ns.append(timestamp)
         self._last_keypose_t = timestamp
 
     # -- smoother + filter sync ----------------------------------------------
@@ -723,6 +763,9 @@ class StateEstimator:
         jax.block_until_ready(result.p)
         self.stats.add("smoother_update_ms", (_time.perf_counter() - t0) * 1e3, self.print_stats)
         self._last_smoother_result = result
+        # Exact host time of the solved keypose: smoother_state must not
+        # round-trip the timestamp through the window's f32 seconds.
+        self._last_smoother_t_ns = timestamp
         for cb in self.smoother_callbacks:
             cb(result)
         self._sync_filter(timestamp, result)
@@ -745,8 +788,10 @@ class StateEstimator:
         divergence = float(np.linalg.norm(p_s - p_f))
 
         q_s = matrix_to_quat(jnp.asarray(np.asarray(result.R)))
+        base_t = timestamp
         if divergence > self.params.hard_correction_pos:
-            # Hard: re-initialize the filter at the smoother state.
+            # Hard: re-initialize the filter at the smoother state. The new
+            # state is DEFINED at the keypose time, so replay starts there.
             state = ekf_initialize(t0=p_s, q0=np.asarray(q_s), dtype=jnp.float64)
             state = state._replace(v=jnp.asarray(np.asarray(result.v)))
         elif rewind is None:
@@ -762,10 +807,15 @@ class StateEstimator:
             state = ekf_update_pose(
                 state_at, jnp.asarray(p_s), jnp.asarray(np.asarray(q_s)), jnp.asarray(cov6)
             )
+            # Soft update was applied at the SNAPSHOT's state: replay from
+            # the snapshot time so the (t_snap, keypose] IMU interval (up to
+            # one period — keyposes carry camera stamps, snapshots IMU
+            # stamps) is not dropped.
+            base_t = rewind[0]
         else:
             return  # filter agrees; nothing to do
 
-        self._commit_rewound_state(state, timestamp)
+        self._commit_rewound_state(state, base_t)
 
     def _commit_rewound_state(self, state, timestamp: int) -> None:
         """Replay IMU newer than the rewind point onto `state` and commit —
@@ -844,7 +894,12 @@ class StateEstimator:
         T[:3, :3] = np.asarray(r.R)
         T[:3, 3] = np.asarray(r.p)
         return StateStamped(
-            timestamp=int(float(r.timestamp) * 1e9),
+            timestamp=(
+                self._last_smoother_t_ns
+                if self._last_smoother_t_ns is not None
+                # Fallback (pre-solve): window-relative f32 seconds + origin.
+                else int(round(float(r.timestamp) * 1e9)) + self._time_origin_ns
+            ),
             world_T_body=T,
             velocity=np.asarray(r.v),
             covariance=np.asarray(r.cov_newest),

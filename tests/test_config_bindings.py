@@ -133,18 +133,30 @@ def test_state_estimator_node_from_config():
     assert node.est.ekf_state is not None
     assert len(poses) >= 1  # rate-limited filter pose published
 
-    # External pose fix channel: a relocalization pose snaps the filter back.
-    drifted = np.linalg.norm(node.est.filter_state().world_T_body[:3, 3] - 0)
+    # External pose fix channel: drift the filter with biased IMU (x-accel
+    # on the at-rest ZEDMini rig), then a relocalization pose must snap it
+    # back — a strict-improvement assertion, so broken channel wiring fails.
+    for k in range(5, 35):  # 0.30 s more, below the min_sec keypose gate
+        bus.publish(
+            "sensors/imu",
+            ImuMessage(
+                timestamp=int((k + 1) * 1e7),
+                angular_velocity=np.zeros(3),
+                linear_acceleration=np.array([1.0, -9.81, 0.0]),
+            ),
+        )
+    drifted = np.linalg.norm(node.est.filter_state().world_T_body[:3, 3])
+    assert drifted > 0.01, drifted
     bus.publish(
         "vio/external_pose",
         PoseStampedMessage(
-            timestamp=int(5.5e7),
+            timestamp=int(34.5e7),
             pose=np.array([1.0, 0, 0, 0, 0.0, 0.0, 0.0]),
             covariance=np.eye(6) * 1e-6,
         ),
     )
-    fixed = np.linalg.norm(node.est.filter_state().world_T_body[:3, 3] - 0)
-    assert fixed <= drifted + 1e-12
+    fixed = np.linalg.norm(node.est.filter_state().world_T_body[:3, 3])
+    assert fixed < 0.5 * drifted, (fixed, drifted)
 
 
 def test_nodes_build_from_the_reference_own_yaml():

@@ -279,6 +279,45 @@ def test_external_pose_fix_corrects_smoother_trajectory():
     assert err_aided < 0.05 * err_free
 
 
+@pytest.mark.slow
+def test_epoch_scale_timestamps_stay_exact():
+    """Production datasets stamp ns since epoch (~1.6e18). The window must
+    store MISSION-RELATIVE seconds (f32 epoch seconds quantize to ~128 s,
+    silently breaking dt_pair whitening and fix time-matching on-chip), and
+    smoother output timestamps must round-trip exactly via the host."""
+    from ocean_perception_tpu.core.measurements import PoseMeasurement
+
+    cam = PinholeCamera.create(200.0, 200.0, 80.0, 60.0, 120, 160)
+    rig = StereoCamera.create(cam, cam, 0.2)
+    params = StateEstimatorParams(
+        n_gravity=GRAVITY.copy(),
+        smoother=SmootherConfig(window=6, iterations=3),
+        max_imu_per_keypose=128,
+        min_sec_btw_keyposes=0.5,
+        max_sec_btw_keyposes=1.0,
+    )
+    est = StateEstimator(params, rig)
+    T0 = 1_600_000_000_000_000_000  # Sep 2020, ns since epoch
+    est.initialize(T0, np.eye(4))
+    for i in range(1, 201):  # 2 s at 100 Hz
+        t_ns = T0 + int(i * 1e7)
+        if i % 50 == 0:
+            est.receive_pose(
+                PoseMeasurement(t_ns - int(2.5e6), np.eye(4), np.eye(6) * 1e-4)
+            )
+        est.receive_imu(ImuMeasurement(t_ns, np.zeros(3), -GRAVITY))
+    # Window times are mission-relative seconds, not epoch seconds.
+    ts = np.asarray(est.window.timestamps)[: est._n_keyposes]
+    assert ts.max() < 10.0, ts
+    # Fixes time-matched at epoch scale (host int-ns matching).
+    assert int(np.asarray(est.window.fix_valid).sum()) >= 2
+    # The smoother output timestamp is the EXACT keypose stamp.
+    s = est.smoother_state()
+    assert s is not None and s.timestamp == est._last_keypose_t
+    assert s.timestamp > T0
+    assert np.isfinite(s.world_T_body).all()
+
+
 def test_external_pose_aiding_threaded_matches_sync():
     """The threaded wrapper routes PoseMeasurement through the fast queue in
     ingest order — the result must equal the synchronous core's."""

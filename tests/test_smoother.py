@@ -210,6 +210,23 @@ def test_pose_fix_factor_pins_global_offset(config):
         np.testing.assert_allclose(np.asarray(w.R[k]), Rk, atol=2e-2)
 
 
+def test_no_fix_at_180_degree_attitude_stays_finite(config):
+    """AD trap: masked fix rows must not feed so3_log an arbitrary absolute
+    rotation. A down-looking rig (R = diag(1,-1,-1), θ=π vs the identity
+    fix_R placeholder) with NO fixes attached must solve finite — arccos'
+    derivative at cosθ=-1 is infinite and inf·0 = NaN under jacfwd."""
+    states, imu_windows = simulate(yaw_rate=0.0, vel=np.array([0.1, 0.0, 0.0]))
+    flip = np.diag([1.0, -1.0, -1.0])
+    states = [(Rk @ flip, pk, vk) for Rk, pk, vk in states]
+    # Re-express the IMU specific force for the flipped body frame:
+    # simplest consistent graph = VO+depth only (no IMU factors).
+    win = build_window(states, imu_windows, config, with_imu=False)
+    w, result = _solve(win, config)
+    assert np.isfinite(np.asarray(w.p)).all()
+    assert np.isfinite(np.asarray(result.cov_newest)).all()
+    np.testing.assert_allclose(np.asarray(w.p[5]), states[5][1], atol=5e-2)
+
+
 def test_slide_preserves_fix_fields(config):
     states, imu_windows = simulate()
     win = build_window(states, imu_windows, config)

@@ -21,7 +21,9 @@ from typing import Dict, List, Tuple
 
 from .lcm_types import PRIMITIVES, Dim, LcmStructDef, Member
 
-_TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*|-?\d+(?:\.\d+)?|[{}\[\];=,]|\S")
+_TOKEN = re.compile(
+    r"[A-Za-z_][A-Za-z0-9_.]*|-?0[xX][0-9a-fA-F]+|-?\d+(?:\.\d+)?|[{}\[\];=,]|\S"
+)
 
 
 def _strip_comments(text: str) -> str:
@@ -68,7 +70,10 @@ def parse_lcm_source(text: str) -> List[dict]:
                         if expect_eq != "=":
                             raise ValueError("LCM parse error: const without =")
                         cval = toks[i + 2]
-                        consts[cname] = float(cval) if ctype in ("float", "double") else int(cval)
+                        consts[cname] = (
+                            float(cval) if ctype in ("float", "double")
+                            else int(cval, 0)  # base 0: hex consts (0x10) too
+                        )
                         i += 3
                         if toks[i] == ",":
                             i += 1
@@ -77,18 +82,32 @@ def parse_lcm_source(text: str) -> List[dict]:
                         break
                     continue
                 mtype = toks[i]
-                mname = toks[i + 1]
-                i += 2
-                dims: List[Dim] = []
-                while toks[i] == "[":
-                    size = toks[i + 1]
-                    dims.append(
-                        ("const", int(size)) if size.isdigit() else ("var", size)
-                    )
-                    i += 2
-                    expect("]")
-                expect(";")
-                members.append((mname, mtype, tuple(dims)))
+                i += 1
+                while True:  # double x, y, z;  — comma-separated declarators
+                    mname = toks[i]
+                    i += 1
+                    dims: List[Dim] = []
+                    while toks[i] == "[":
+                        size = toks[i + 1]
+                        if size.isdigit():
+                            dims.append(("const", int(size)))
+                        elif size in consts:
+                            # lcm-gen resolves a const-name dimension to a
+                            # CONST dim with the constant's value (the
+                            # fingerprint hashes the value string) — "var"
+                            # would both diverge from its hash and make
+                            # encode() look up a nonexistent member.
+                            dims.append(("const", int(consts[size])))
+                        else:
+                            dims.append(("var", size))
+                        i += 2
+                        expect("]")
+                    members.append((mname, mtype, tuple(dims)))
+                    if toks[i] == ",":
+                        i += 1
+                        continue
+                    expect(";")
+                    break
             i += 1  # consume }
             out.append(
                 {"package": package, "name": name, "members": members, "consts": consts}

@@ -189,7 +189,15 @@ class LcmStructDef:
                 values[m.name], off = self._decode_scalar(m.type, buf, off)
                 continue
             sizes = [d[1] if d[0] == "const" else int(values[d[1]]) for d in m.dims]
+            # A corrupt payload with a valid fingerprint can carry negative
+            # or oversized variable dims; a negative byte-count would slice
+            # to b'' and WALK off BACKWARD, silently decoding every later
+            # field from wrong offsets.
+            if any(s < 0 for s in sizes):
+                raise ValueError(f"negative array dim in {self.full_name}.{m.name}")
             if m.type == "byte" and len(sizes) == 1:
+                if off + sizes[0] > len(buf):
+                    raise ValueError(f"truncated {self.full_name}.{m.name}")
                 values[m.name] = bytes(buf[off : off + sizes[0]])
                 off += sizes[0]
                 continue
@@ -262,6 +270,18 @@ POSE3_T = LcmStructDef("vehicle", "pose3_t", (
 POSE3_STAMPED_T = LcmStructDef("vehicle", "pose3_stamped_t", (
     Member("header", HEADER_T),
     Member("pose", POSE3_T),
+))
+
+# EXTENSION (not in the reference's lcmtypes): an absolute pose fix WITH
+# covariance. pose3_stamped_t cannot carry the weight a fusion consumer
+# needs — dropping it on the wire would make receive_pose substitute its
+# default and fuse external fixes arbitrarily over/under-confident.
+# PoseStampedMessage with covariance=None still rides plain pose3_stamped_t,
+# so reference-era peers interoperate on the type they know.
+POSE3_COV_STAMPED_T = LcmStructDef("vehicle", "pose3_cov_stamped_t", (
+    Member("header", HEADER_T),
+    Member("pose", POSE3_T),
+    Member("covariance", "double", _d(36)),  # row-major 6x6, [t, theta]
 ))
 
 # lcmtypes/imu_measurement_t.lcm
@@ -348,6 +368,7 @@ MESH_STAMPED_T = LcmStructDef("vehicle", "mesh_stamped_t", (
 
 ALL_TYPES: Tuple[LcmStructDef, ...] = (
     HEADER_T, VECTOR3_T, QUATERNION_T, POSE3_T, POSE3_STAMPED_T,
+    POSE3_COV_STAMPED_T,
     IMU_MEASUREMENT_T, DEPTH_MEASUREMENT_T, RANGE_MEASUREMENT_T,
     MAG_MEASUREMENT_T, IMAGE_T, STEREO_IMAGE_T, MMF_IMAGE_T,
     MMF_STEREO_IMAGE_T, MESH_TRIANGLE_T, MESH_T, MESH_STAMPED_T,

@@ -88,6 +88,12 @@ class Reassembler:
             raise ValueError(f"bad LCM magic {magic:#x}")
         _, seq, msg_size, frag_off, frag_no, n_frags = _FRAG_HDR.unpack_from(dgram)
         data = dgram[_FRAG_HDR.size :]
+        # Corrupt-header guards (the C++ peer has both, udp_bus.cpp): an
+        # out-of-range frag_no could otherwise "complete" a message with
+        # zero-filled holes, and an oversized frag_off would silently APPEND
+        # past msg_size via bytearray slice assignment.
+        if n_frags <= 0 or frag_no >= n_frags or msg_size < 0 or frag_off < 0:
+            raise ValueError("bad LCM fragment header")
         key = (sender, seq)
         st = self._partials.get(key)
         if st is None:
@@ -99,6 +105,9 @@ class Reassembler:
             nul = data.index(b"\0")
             st["ch"] = data[:nul].decode("utf-8")
             data = data[nul + 1 :]
+        if frag_off + len(data) > len(st["buf"]):
+            del self._partials[key]
+            raise ValueError("LCM fragment exceeds declared message size")
         st["buf"][frag_off : frag_off + len(data)] = data
         st["got"].add(frag_no)
         if len(st["got"]) == st["n"] and st["ch"] is not None:
@@ -205,7 +214,7 @@ def to_lcm(msg) -> Tuple[lt.LcmStructDef, dict]:
     if isinstance(msg, ms.PoseStampedMessage):
         h["frame_id"] = msg.frame_id
         q, t = msg.pose[:4], msg.pose[4:7]
-        return lt.POSE3_STAMPED_T, {
+        v = {
             "header": h,
             "pose": {
                 "position": _vec3(t),
@@ -215,6 +224,15 @@ def to_lcm(msg) -> Tuple[lt.LcmStructDef, dict]:
                 },
             },
         }
+        if msg.covariance is not None:
+            # The covariance must survive the wire (receive_pose otherwise
+            # substitutes its own default and fuses the fix over/under-
+            # confident): ride the extension type.
+            v["covariance"] = [
+                float(x) for x in np.asarray(msg.covariance, np.float64).reshape(-1)
+            ]
+            return lt.POSE3_COV_STAMPED_T, v
+        return lt.POSE3_STAMPED_T, v
     if isinstance(msg, ms.StereoImageMessage):
         h["seq"] = int(msg.camera_id)
         return lt.STEREO_IMAGE_T, {
@@ -258,12 +276,18 @@ def from_lcm(sd: lt.LcmStructDef, v: dict):
         )
     if sd is lt.MAG_MEASUREMENT_T:
         return ms.MagMessage(v["header"]["timestamp"], _unvec3(v["field"]))
-    if sd is lt.POSE3_STAMPED_T:
+    if sd is lt.POSE3_STAMPED_T or sd is lt.POSE3_COV_STAMPED_T:
         q = v["pose"]["orientation"]
         t = v["pose"]["position"]
+        cov = (
+            np.asarray(v["covariance"], np.float64).reshape(6, 6)
+            if sd is lt.POSE3_COV_STAMPED_T
+            else None
+        )
         return ms.PoseStampedMessage(
             v["header"]["timestamp"], v["header"]["frame_id"],
             np.array([q["w"], q["x"], q["y"], q["z"], t["x"], t["y"], t["z"]]),
+            covariance=cov,
         )
     if sd is lt.STEREO_IMAGE_T:
         ts = v["header"]["timestamp"]
@@ -305,6 +329,12 @@ class MmfPublisher:
         self._next = 0
         self._f = open(path, "wb+")
         self._f.truncate(slot_bytes * n_slots)
+        # Blocks written but whose descriptor is not yet on the bus: a later
+        # write in the same publish (or a regrow relayout) must never land
+        # on these bytes — e.g. left written at offset 0, then right regrows
+        # and would otherwise also pick offset 0 before EITHER descriptor
+        # publishes, corrupting the left frame for every reader.
+        self._unpublished: list = []  # [(offset, length)]
 
     def _write_block(self, data: bytes) -> int:
         if len(data) > self.slot_bytes:
@@ -317,9 +347,16 @@ class MmfPublisher:
             self._next = 0
             self._f.truncate(self.slot_bytes * self.n_slots)
         off = self._next * self.slot_bytes
+        for _ in range(self.n_slots):
+            end = off + len(data)
+            if not any(off < po + pn and po < end for po, pn in self._unpublished):
+                break
+            self._next = (self._next + 1) % self.n_slots
+            off = self._next * self.slot_bytes
         self._next = (self._next + 1) % self.n_slots
         self._f.seek(off)
         self._f.write(data)
+        self._unpublished.append((off, len(data)))
         return off
 
     def _desc(self, img: ms.ImageMessage) -> dict:
@@ -340,6 +377,7 @@ class MmfPublisher:
             channel, lt.MMF_STEREO_IMAGE_T,
             {"header": h, "img_left": left, "img_right": right},
         )
+        self._unpublished.clear()
 
     def close(self) -> None:
         self._f.close()
@@ -522,9 +560,11 @@ class LcmUdpBus(PubSub):
                 done = self._reasm.push(sender, pkt)
                 if done is not None:
                     self._dispatch(*done)
-            except ValueError:
+            except (ValueError, struct.error, IndexError):
                 # Non-LCM datagram (e.g. the in-house bus sharing this
-                # group:port). liblcm drops these silently; warn once and
+                # group:port) or a truncated/corrupt one — struct.error
+                # covers packets shorter than the LC02/LC03 headers.
+                # liblcm drops these silently; warn once and
                 # then only at wide intervals so a mixed session doesn't
                 # flood stderr at image-fragment rates.
                 self._foreign_drops += 1

@@ -41,6 +41,10 @@ constexpr size_t kLcmFragChunk = 60000;
 
 struct Fragments {
   std::vector<std::vector<uint8_t>> chunks;
+  // Duplicate detection must NOT use chunks[idx].empty(): a zero-length
+  // fragment is legitimate wire data, and counting its duplicates would
+  // let `received` reach `total` with another chunk still missing.
+  std::vector<uint8_t> seen;
   uint16_t received = 0;
   uint16_t total = 0;
   uint64_t birth = 0;  // insertion counter, for stale-partial eviction
@@ -230,6 +234,8 @@ void* udp_bus_create(const char* group, uint16_t port, int ttl) {
   b->tx = ::socket(AF_INET, SOCK_DGRAM, 0);
   b->rx = ::socket(AF_INET, SOCK_DGRAM, 0);
   if (b->tx < 0 || b->rx < 0) {
+    if (b->tx >= 0) ::close(b->tx);
+    if (b->rx >= 0) ::close(b->rx);
     delete b;
     return nullptr;
   }
@@ -344,6 +350,7 @@ int64_t udp_bus_poll(void* handle, uint8_t* out, uint32_t cap,
     socklen_t from_len = sizeof(from);
     ssize_t n = ::recvfrom(b->rx, b->pkt.data(), b->pkt.size(), 0,
                            reinterpret_cast<sockaddr*>(&from), &from_len);
+    if (n < 0) return -1;  // closed/failed socket: never spin on POLLNVAL
     if (b->lcm) {
       int64_t r = lcm_handle_pkt(b, from, n, out, cap, out_channel, ch_cap);
       if (r != -3) return r;
@@ -378,9 +385,11 @@ int64_t udp_bus_poll(void* handle, uint8_t* out, uint32_t cap,
     if (f.total == 0) {
       f.total = total;
       f.chunks.resize(total);
+      f.seen.assign(total, 0);
       f.birth = ++b->rx_count;
     }
-    if (idx >= f.total || !f.chunks[idx].empty()) continue;
+    if (idx >= f.total || f.seen[idx]) continue;
+    f.seen[idx] = 1;
     f.chunks[idx].assign(b->pkt.data() + 10, b->pkt.data() + n);
     if (++f.received == f.total) {
       std::vector<uint8_t> data;

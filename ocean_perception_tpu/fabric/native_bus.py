@@ -147,10 +147,17 @@ class NativeUdpBus(PubSub):
 
     def close(self) -> None:
         self._running.clear()
+        stuck = False
         if self._thread is not None:
             self._thread.join(timeout=1)
+            stuck = self._thread.is_alive()
             self._thread = None
         if self._h:
+            if stuck:
+                # A subscriber callback is still running on the rx thread:
+                # freeing the bus under it is a use-after-free. Leak the
+                # handle instead (process exit reclaims it).
+                return
             self._lib.udp_bus_close(self._h)
             self._h = None
 

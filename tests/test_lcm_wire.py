@@ -143,6 +143,8 @@ def test_parser_matches_hand_declared_schemas():
     defs = lcm_gen.parse_lcm_dir(os.path.join(REFERENCE_DIR, "lcmtypes"))
     assert len(defs) == 16
     for sd in lt.ALL_TYPES:
+        if sd is lt.POSE3_COV_STAMPED_T:
+            continue  # our extension: deliberately NOT a reference schema
         parsed = defs[sd.full_name]
         assert parsed.fingerprint() == sd.fingerprint(), sd.full_name
         assert [m.name for m in parsed.members] == [m.name for m in sd.members]
@@ -672,3 +674,129 @@ def test_lcm_bus_ignores_foreign_payloads():
     finally:
         tx.close()
         rx.close()
+
+
+# ---------------------------------------------------------------------------
+# Hardening (round-3 review): covariance on the wire, corrupt-input guards,
+# mmf regrow safety, lcm_gen const dims.
+# ---------------------------------------------------------------------------
+
+def test_bridge_pose_covariance_survives_wire():
+    """A fix's covariance must ride the wire — dropping it would make
+    receive_pose substitute its default and fuse fixes over-confident."""
+    pose = np.array([1.0, 0, 0, 0, 1.0, -2.0, 3.0])
+    cov = np.diag([1e-4, 2e-4, 3e-4, 4e-4, 5e-4, 6e-4])
+    sd, v = lw.to_lcm(ms.PoseStampedMessage(9, "world", pose, covariance=cov))
+    assert sd is lt.POSE3_COV_STAMPED_T
+    p = _roundtrip(ms.PoseStampedMessage(9, "world", pose, covariance=cov))
+    np.testing.assert_allclose(p.covariance, cov)
+    # Covariance-less poses keep riding the REFERENCE type (init pose
+    # interop with reference-era peers).
+    sd2, _ = lw.to_lcm(ms.PoseStampedMessage(9, "world", pose))
+    assert sd2 is lt.POSE3_STAMPED_T
+
+
+def test_reassembler_rejects_corrupt_fragments():
+    payload = bytes(range(256)) * 1000
+    dgrams = lw.encode_datagrams("c", payload, seq=7)
+    hdr = lw._FRAG_HDR
+
+    # frag_no >= n_frags: would otherwise "complete" with zero-filled holes.
+    _, seq, msg_size, frag_off, frag_no, n_frags = hdr.unpack_from(dgrams[1])
+    bad = hdr.pack(lw.MAGIC_FRAG, seq, msg_size, frag_off, n_frags + 3, n_frags)
+    bad += dgrams[1][hdr.size:]
+    r = lw.Reassembler()
+    with pytest.raises(ValueError):
+        r.push(("A", 1), bad)
+
+    # frag_off past msg_size: bytearray slice assignment would APPEND.
+    bad2 = hdr.pack(lw.MAGIC_FRAG, seq, msg_size, msg_size + 1, frag_no, n_frags)
+    bad2 += dgrams[1][hdr.size:]
+    r2 = lw.Reassembler()
+    with pytest.raises(ValueError):
+        r2.push(("A", 1), bad2)
+
+    # A clean stream still reassembles after rejects on the same key.
+    r3 = lw.Reassembler()
+    with pytest.raises(ValueError):
+        r3.push(("A", 1), bad2)
+    out = None
+    for d in dgrams:
+        out = r3.push(("A", 1), d) or out
+    assert out == ("c", payload)
+
+
+def test_reassembler_rejects_truncated_datagram():
+    r = lw.Reassembler()
+    with pytest.raises((ValueError, struct.error)):
+        r.push(("A", 1), b"\x4c")  # shorter than any header
+
+
+def test_decode_rejects_negative_variable_dim():
+    sd = lt.LcmStructDef("t", "x_t", (
+        lt.Member("n", "int32_t"),
+        lt.Member("data", "byte", (("var", "n"),)),
+    ))
+    buf = sd.fingerprint() + struct.pack(">i", -5)
+    with pytest.raises(ValueError):
+        sd.decode(buf)
+    # Truncated declared length errors too (was: short bytes, silent).
+    buf2 = sd.fingerprint() + struct.pack(">i", 100) + b"short"
+    with pytest.raises(ValueError):
+        sd.decode(buf2)
+
+
+def test_mmf_regrow_never_overwrites_unpublished_block(tmp_path):
+    """Within one publish, a regrow triggered by the SECOND block must not
+    relocate onto the first block's bytes (its descriptor isn't out yet)."""
+
+    class _NullBus:
+        def publish_lcm(self, *a, **k):
+            pass
+
+    pub = lw.MmfPublisher(_NullBus(), str(tmp_path / "f.mm"), slot_bytes=64, n_slots=4)
+    a = bytes([1]) * 60          # fits the original slot, lands at offset 0
+    b = bytes([2]) * 200         # forces a regrow
+    off_a = pub._write_block(a)
+    off_b = pub._write_block(b)
+    assert not (off_b < off_a + len(a) and off_a < off_b + len(b)), (off_a, off_b)
+    pub._f.flush()
+    with open(tmp_path / "f.mm", "rb") as f:
+        raw = f.read()
+    assert raw[off_a:off_a + len(a)] == a
+    assert raw[off_b:off_b + len(b)] == b
+    pub._unpublished.clear()  # what publish_stereo does after the descriptor
+    pub.close()
+
+
+def test_lcm_gen_const_dims_hex_and_comma_declarations():
+    src = """
+    package p;
+    struct y_t {
+        const int32_t N = 8, FLAGS = 0x10;
+        double v[N];
+        double x, y, z;
+        int32_t m;
+        byte data[m];
+    }
+    """
+    defs = lcm_gen.resolve_structs(lcm_gen.parse_lcm_source(src))
+    sd = defs["p.y_t"]
+    names = [m.name for m in sd.members]
+    assert names == ["v", "x", "y", "z", "m", "data"]
+    # Const-name dim resolved to a CONST dim with the constant's VALUE
+    # (lcm-gen hashes the value string; "var" would diverge AND make
+    # encode() look up a nonexistent member).
+    assert sd.members[0].dims == (("const", 8),)
+    assert sd.members[5].dims == (("var", "m"),)
+    hand = lt.LcmStructDef("p", "y_t", (
+        lt.Member("v", "double", (("const", 8),)),
+        lt.Member("x", "double"), lt.Member("y", "double"), lt.Member("z", "double"),
+        lt.Member("m", "int32_t"),
+        lt.Member("data", "byte", (("var", "m"),)),
+    ))
+    assert sd.fingerprint() == hand.fingerprint()
+    # Encode works end to end (the old parser raised KeyError 'N').
+    buf = sd.encode({"v": [0.5] * 8, "x": 1, "y": 2, "z": 3, "m": 2, "data": b"ab"})
+    vals = sd.decode(buf)
+    assert vals["data"] == b"ab" and vals["v"][0] == 0.5

@@ -181,6 +181,10 @@ def wait_for_backend(max_wait_s: float = 900.0) -> bool:
 def main() -> None:
     wait_for_backend()
 
+    from ocean_perception_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()  # skip re-paying 1-5 min remote compiles across runs
+
     from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
     from ocean_perception_tpu.models.perception import (
         PerceptionConfig,

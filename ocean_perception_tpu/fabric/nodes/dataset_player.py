@@ -199,9 +199,10 @@ def publish_sensors(
 
 
 def main(argv=None) -> int:
-    from ...utils.platform import honor_jax_platforms_env
+    from ...utils.platform import enable_compile_cache, honor_jax_platforms_env
 
     honor_jax_platforms_env()  # axon overrides JAX_PLATFORMS; restore it
+    enable_compile_cache()  # mission restarts skip the 1-5 min recompiles
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", default="euroc")
     ap.add_argument("--path", required=True)

@@ -111,9 +111,10 @@ def from_config(bus: PubSub, node_config_path: str, shared_config_path: str) -> 
 
 
 def main(argv=None) -> int:
-    from ...utils.platform import honor_jax_platforms_env
+    from ...utils.platform import enable_compile_cache, honor_jax_platforms_env
 
     honor_jax_platforms_env()  # axon overrides JAX_PLATFORMS; restore it
+    enable_compile_cache()  # mission restarts skip the 1-5 min recompiles
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None, help="node YAML (ObjectMesherNode.yaml)")
     ap.add_argument("--shared", default=None, help="shared rig YAML (config/shared/*.yaml)")

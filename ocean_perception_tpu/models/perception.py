@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -42,10 +43,16 @@ class PerceptionConfig:
     # B>=8 multi-camera batches — compiles and runs.
     scan_unroll: int = struct.field(pytree_node=False, default=0)
     # Route PatchMatch through the whole-frame fused Pallas kernel
-    # (ops/pallas/fused_patchmatch.py): bit-identical, measured 1.2x the
-    # fully-unrolled XLA path at the production point on v5e. Costs a long
-    # (~9 min) one-time Mosaic compile, so it stays opt-in.
-    use_pallas_fused: bool = struct.field(pytree_node=False, default=False)
+    # (ops/pallas/fused_patchmatch.py): bit-identical, measured end-to-end
+    # at the production point on v5e: B=1 298.3 vs 255.9 fps, B=2 281.3 vs
+    # 227.5, B=4 275.0 vs 226.3 (1.17-1.24x; docs/PERFORMANCE.md). None =
+    # AUTO: on when the backend is a real TPU (the one-time Mosaic compile
+    # is ~126-141 s, cached persistently via utils/platform.
+    # enable_compile_cache), off elsewhere (interpret mode at production
+    # shapes is unusable). Outer camera-batch vmaps run the kernel
+    # sequentially per frame (sequential_vmap; a vmap-derived pallas grid
+    # double-buffers the VMEM-resident volumes past the 128 MB budget).
+    use_pallas_fused: bool | None = struct.field(pytree_node=False, default=None)
     # PatchMatch strip count (stereo.PatchMatchParams.chunks). 16 = the
     # reference's own decomposition and the measured single-frame/B=2
     # optimum (chunks=24/32 regress; docs/PERFORMANCE.md). Exposed because
@@ -89,10 +96,13 @@ def perception_step(
         # overhead was the latency floor; +35% pipeline fps), WTA right map
         # for the occlusion check, and a bf16 volume (halves the dominant
         # HBM stream). Quality verified <0.1 px median in tests/bench.
+        fused = config.use_pallas_fused
+        if fused is None:  # auto: real-TPU backends only (see field docstring)
+            fused = jax.default_backend() == "tpu"
         pm = PatchMatchParams(
             max_disp=d_small, chunks=config.chunks, right_wta=True,
             volume_bf16=True, scan_unroll=config.scan_unroll,
-            use_pallas_fused=config.use_pallas_fused,
+            use_pallas_fused=fused,
         )
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
     elif config.engine == "sgm":

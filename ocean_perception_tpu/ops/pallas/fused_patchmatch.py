@@ -527,7 +527,40 @@ def pallas_patchmatch_fused(
     inner_loop: bool = False,
 ) -> jnp.ndarray:
     """Returns the MaskBackground'd left disparity — drop-in replacement for
-    stereo.patchmatch._match_one_side, bit-identical."""
+    stereo.patchmatch._match_one_side, bit-identical.
+
+    Batching: an outer jax.vmap (multi-camera batch, or the non-right_wta
+    L/R lockstep) maps this to a SEQUENTIAL lax.map over the batch rather
+    than a pallas grid dimension. The kernel holds both strip-layout volume
+    copies (~59 MB at the production point) as whole-array VMEM blocks; a
+    vmap-derived grid dimension makes Pallas double-buffer those inputs for
+    pipelining — 150.5 MB scoped > the 128 MB v5e VMEM (measured B=2
+    RESOURCE_EXHAUSTED, docs/PERFORMANCE.md round-3). Sequential batching
+    keeps per-step VMEM at the single-frame budget at any B.
+    """
+    impl = functools.partial(
+        _fused_single, chunks=chunks, chunks_y=chunks_y, halo=halo, pr=pr,
+        iters=iters, noise_scale0=noise_scale0, improve=improve,
+        interpret=interpret, inner_loop=inner_loop,
+    )
+    return jax.custom_batching.sequential_vmap(impl)(C, seed, noise)
+
+
+def _fused_single(
+    C: jnp.ndarray,
+    seed: jnp.ndarray,
+    noise: jnp.ndarray,
+    *,
+    chunks: int,
+    chunks_y,
+    halo: int,
+    pr: int,
+    iters: int,
+    noise_scale0: float,
+    improve: float,
+    interpret: bool,
+    inner_loop: bool,
+) -> jnp.ndarray:
     H, W, D = C.shape
     g = fused_geometry(H, W, D, chunks, chunks_y, halo, pr)
     assert g.chunk_x > halo + 1 and g.chunk_y > halo + 1, (

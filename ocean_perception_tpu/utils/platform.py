@@ -16,6 +16,31 @@ from __future__ import annotations
 import os
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache (verified working through
+    the axon remote-compile tunnel: executables are serialized client-side,
+    so a cached program skips the 1-5 min remote Mosaic/XLA compile
+    entirely). Called by bench.py and the TPU-facing examples; tests and
+    CPU-only tools don't bother (CPU compiles are fast and the cache would
+    churn).
+
+    Default location: `<repo>/.jax_cache` (gitignored), overridable via
+    `JAX_COMPILATION_CACHE_DIR` or the argument."""
+    cache = path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        # Cache everything that took a remote round-trip (default 1 s
+        # threshold skips trivial programs, which is what we want).
+    except Exception:  # exotic jax version or read-only fs: best effort
+        pass
+
+
 def honor_jax_platforms_env() -> None:
     """If `JAX_PLATFORMS` is set, re-apply it over any plugin override.
 

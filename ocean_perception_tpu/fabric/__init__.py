@@ -28,4 +28,5 @@ from .messages import (  # noqa: F401
 )
 from .pubsub import PubSub, InProcessBus, UdpMulticastBus  # noqa: F401
 from .native_bus import NativeUdpBus  # noqa: F401
+from .chaos import ChaosBus  # noqa: F401
 from .shm_ring import ShmRingWriter, ShmRingReader, native_available  # noqa: F401

@@ -23,6 +23,7 @@ chaos actually happened.
 from __future__ import annotations
 
 import random
+import threading
 from typing import Callable, Iterable, Optional
 
 from .pubsub import PubSub
@@ -31,7 +32,11 @@ from .pubsub import PubSub
 class ChaosBus(PubSub):
     """Wraps `inner`; see module docstring. Probabilities are evaluated in
     order drop -> dup -> holdback on one uniform draw, so
-    p_drop + p_dup + p_hold must be <= 1."""
+    p_drop + p_dup + p_hold must be <= 1.
+
+    Thread-safe: concurrent publishers serialize on an internal lock (the
+    fault schedule then depends on arrival interleaving, so REPRODUCIBLE
+    runs additionally need a single-threaded publisher)."""
 
     def __init__(
         self,
@@ -51,40 +56,43 @@ class ChaosBus(PubSub):
         self._channels = set(channels) if channels is not None else None
         self._held: list = []  # (release_at_publish_index, channel, message)
         self._n = 0
+        self._lock = threading.Lock()
         self.stats = {"published": 0, "dropped": 0, "duplicated": 0, "held": 0}
 
     def publish(self, channel: str, message) -> None:
         if self._channels is not None and channel not in self._channels:
             self._inner.publish(channel, message)
             return
-        self.stats["published"] += 1
-        self._n += 1
-        # Release any held messages that have waited out their window (AFTER
-        # the current message goes out, so they arrive genuinely late).
-        due = [h for h in self._held if h[0] <= self._n]
-        self._held = [h for h in self._held if h[0] > self._n]
+        with self._lock:
+            self.stats["published"] += 1
+            self._n += 1
+            # Release any held messages that have waited out their window
+            # (AFTER the current message goes out, so they arrive late).
+            due = [h for h in self._held if h[0] <= self._n]
+            self._held = [h for h in self._held if h[0] > self._n]
 
-        r = self._rng.random()
-        if r < self._p_drop:
-            self.stats["dropped"] += 1
-        elif r < self._p_drop + self._p_dup:
-            self.stats["duplicated"] += 1
-            self._inner.publish(channel, message)
-            self._inner.publish(channel, message)
-        elif r < self._p_drop + self._p_dup + self._p_hold:
-            self.stats["held"] += 1
-            self._held.append((self._n + self._hold_count, channel, message))
-        else:
-            self._inner.publish(channel, message)
+            r = self._rng.random()
+            if r < self._p_drop:
+                self.stats["dropped"] += 1
+            elif r < self._p_drop + self._p_dup:
+                self.stats["duplicated"] += 1
+                self._inner.publish(channel, message)
+                self._inner.publish(channel, message)
+            elif r < self._p_drop + self._p_dup + self._p_hold:
+                self.stats["held"] += 1
+                self._held.append((self._n + self._hold_count, channel, message))
+            else:
+                self._inner.publish(channel, message)
 
-        for _, ch, m in due:
-            self._inner.publish(ch, m)
+            for _, ch, m in due:
+                self._inner.publish(ch, m)
 
     def flush(self) -> None:
         """Deliver everything still held (end of stream)."""
-        for _, ch, m in self._held:
+        with self._lock:
+            held, self._held = self._held, []
+        for _, ch, m in held:
             self._inner.publish(ch, m)
-        self._held = []
 
     def subscribe(self, channel: str, callback: Callable) -> None:
         self._inner.subscribe(channel, callback)

@@ -24,12 +24,29 @@ def enable_compile_cache(path: str | None = None) -> None:
     CPU-only tools don't bother (CPU compiles are fast and the cache would
     churn).
 
-    Default location: `<repo>/.jax_cache` (gitignored), overridable via
-    `JAX_COMPILATION_CACHE_DIR` or the argument."""
+    No-op (with a stderr note) when `JAX_PLATFORMS` pins a CPU-only run —
+    CPU compiles are fast and the cache would churn.
+
+    Default location: `<repo>/.jax_cache` for a source checkout; for an
+    installed package (platform.py under site-packages, possibly read-only)
+    the user cache dir `~/.cache/ocean_perception_tpu/jax_cache` instead.
+    Overridable via `JAX_COMPILATION_CACHE_DIR` or the argument."""
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and all(p.strip() == "cpu" for p in plat.split(",") if p.strip()):
+        return
     cache = path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not cache:
-        cache = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        if os.path.basename(repo_root) == "site-packages" or not os.access(
+            repo_root, os.W_OK
+        ):
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "ocean_perception_tpu",
+                "jax_cache",
+            )
+        else:
+            cache = os.path.join(repo_root, ".jax_cache")
     try:
         import jax
 
@@ -37,8 +54,11 @@ def enable_compile_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache)
         # Cache everything that took a remote round-trip (default 1 s
         # threshold skips trivial programs, which is what we want).
-    except Exception:  # exotic jax version or read-only fs: best effort
-        pass
+    except Exception as e:  # exotic jax version or read-only fs: best effort
+        import sys
+
+        print(f"warning: compile cache disabled ({cache}: {e})",
+              file=sys.stderr)
 
 
 def honor_jax_platforms_env() -> None:

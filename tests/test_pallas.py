@@ -63,9 +63,12 @@ def test_pallas_fused_bit_identical(rng):
 
 @pytest.mark.slow
 def test_pallas_fused_under_vmap(rng):
-    """The fused kernel must also be bit-identical under jax.vmap (the
-    multi-camera batch axis maps onto an extra pallas grid dimension) —
-    the B>1 production configuration bench_fused_perception.py measures."""
+    """The fused kernel must also be bit-identical under jax.vmap — the B>1
+    production configuration bench_fused_perception.py measures. The batch
+    axis lowers to a sequential lax.map (custom_batching.sequential_vmap):
+    a vmap-derived pallas grid dimension would double-buffer the
+    VMEM-resident volumes past the 128 MB cap (measured RESOURCE_EXHAUSTED,
+    docs/PERFORMANCE.md), so single-frame VMEM per step is the contract."""
     from ocean_perception_tpu.stereo import PatchMatchParams, patchmatch_disparity
 
     H, W, B = 48, 64, 2

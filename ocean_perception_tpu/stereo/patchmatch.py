@@ -393,6 +393,11 @@ def _full_cost_map(C: jnp.ndarray, disp: jnp.ndarray, pr: int) -> jnp.ndarray:
 def _fused_available(C: jnp.ndarray, p: PatchMatchParams) -> bool:
     from ..ops.pallas.fused_patchmatch import fused_supported
 
+    if p.iters < 1:
+        # The fused kernel's MaskBackground stage reads the front scratch
+        # written by the iteration loop; with iters=0 that scratch would be
+        # uninitialized VMEM. The XLA path masks the raw seed instead.
+        return False
     H, W, D = C.shape
     return fused_supported(
         H, W, D, p.chunks, p.chunks_y, p.halo, p.patch_radius,

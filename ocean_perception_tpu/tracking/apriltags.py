@@ -212,9 +212,8 @@ def _adaptive_binarize(img: np.ndarray, p: TagDetectorParams) -> np.ndarray:
     hi = dilate3(tmax, np.maximum)
     thresh = (lo + hi) * 0.5
     ok = (hi - lo) >= p.min_contrast
-    dark_t = ok & True
     thr_full = np.kron(thresh, np.ones((t, t)))[:H, :W]
-    ok_full = np.kron(dark_t, np.ones((t, t), bool))[:H, :W]
+    ok_full = np.kron(ok, np.ones((t, t), bool))[:H, :W]
     return ok_full & (img < thr_full)
 
 
@@ -393,7 +392,7 @@ def detect_tags(
         quad = _best_quad(hull)
         if quad is None:
             continue
-        hull_area = _quad_area(hull) if hull.shape[0] == 4 else _poly_area(hull)
+        hull_area = _quad_area(hull)  # shoelace: valid for any n-gon
         qa = _quad_area(quad)
         if hull_area <= 0 or qa < params.quad_hull_ratio * hull_area:
             continue
@@ -416,13 +415,16 @@ def detect_tags(
         ib, jb = np.meshgrid(np.arange(dd), np.arange(dd), indexing="ij")
         is_border = (ib == 0) | (ib == dd - 1) | (jb == 0) | (jb == dd - 1)
         buv = np.stack([(jb[is_border] + 0.5) / dd, (ib[is_border] + 0.5) / dd], -1)
+        # Cell indices -1 and dd on every edge; the (i + 0.5)/dd mapping
+        # below turns them into the half-cell-outside quiet-zone ring
+        # (-0.5/dd and (dd+0.5)/dd) — matching the arange(-1, dd+1) edges.
         wuv_i = np.concatenate(
-            [np.full(dd + 2, -0.5), np.full(dd + 2, dd + 0.5),
+            [np.full(dd + 2, -1.0), np.full(dd + 2, float(dd)),
              np.arange(-1, dd + 1), np.arange(-1, dd + 1)]
         )
         wuv_j = np.concatenate(
             [np.arange(-1, dd + 1), np.arange(-1, dd + 1),
-             np.full(dd + 2, -0.5), np.full(dd + 2, dd + 0.5)]
+             np.full(dd + 2, -1.0), np.full(dd + 2, float(dd))]
         )
         wuv = np.stack([(wuv_j + 0.5) / dd, (wuv_i + 0.5) / dd], -1)
         bpx = _project(Hs, buv)
@@ -490,11 +492,6 @@ def detect_tags(
         if not dup:
             kept.append(d)
     return kept
-
-
-def _poly_area(poly: np.ndarray) -> float:
-    x, y = poly[:, 0], poly[:, 1]
-    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
 
 
 # ---------------------------------------------------------------------------
@@ -601,6 +598,12 @@ def estimate_camera_pose(
 
     cam = PinholeCamera.create(fx, fy, cx, cy)
     rig = StereoCamera.create(cam, cam, baseline=0.1)  # baseline unused here
+    # min_inliers must scale with the tag count: with >=2 tags in view a
+    # wrong-planar-branch solve that fits ONE tag perfectly can have the
+    # outlier pass discard every other tag's corners — 4 surviving inliers
+    # must then mean FAILURE, or the localizer's min_tags guard is
+    # silently defeated (it checks tags *detected*, not tags *fit*).
+    min_inl = 4 if len(known) == 1 else max(6, (3 * n) // 4)
     res = optimize_odometry(
         jnp.asarray(P),
         jnp.asarray(q),
@@ -608,7 +611,7 @@ def estimate_camera_pose(
         jnp.asarray(m),
         rig,
         T_init=jnp.asarray(T0, jnp.float32),
-        params=OdometryParams(min_inliers=4),
+        params=OdometryParams(min_inliers=min_inl),
     )
     cam_T_world = np.asarray(res.T_10, np.float64)
     world_T_cam = np.linalg.inv(cam_T_world)

@@ -340,40 +340,61 @@ def evaluate_trajectory(
 
 
 def _load_tum_or_euroc_csv(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Load a trajectory file: EuRoC state CSV (ns, qw qx qy qz, tx ty tz —
-    the format datasets/euroc.py parses) or TUM (sec tx ty tz qx qy qz qw).
+    """Load a trajectory file. Three layouts are recognized:
 
-    The format is decided once per file: a fractional timestamp means TUM
-    (float seconds); with integer timestamps the column layout is picked by
-    which interpretation yields unit-norm quaternions (timestamp magnitude
+    - TUM: ``sec tx ty tz qx qy qz qw`` (qx-first, qw-LAST);
+    - real EuRoC groundtruth (``state_groundtruth_estimate0/data.csv``):
+      ``ns, px py pz, qw qx qy qz, v, bw, ba`` — position-first, qw-FIRST,
+      >8 columns (detected by width or the ``p_RS``/``q_RS`` header);
+    - this repo's imu0_poses state CSV (datasets/euroc.py):
+      ``ns, qw qx qy qz, tx ty tz``.
+
+    A fractional timestamp means TUM float seconds. Integer TUM stamps are
+    still SECONDS per the format spec and are scaled, unless their magnitude
+    (>= 1e12) already implies nanoseconds. For integer 8-column files the
+    quaternion-norm column test picks TUM vs imu0_poses (timestamp magnitude
     is NOT a safe signal — synthetic missions start near t=0)."""
-    rows, frac_ts = [], False
+    rows, widths, frac_ts, header_gt = [], [], False, False
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if not line or line.startswith("#"):
+            if not line:
+                continue
+            if line.startswith("#"):
+                if "p_RS" in line or "q_RS" in line:
+                    header_gt = True  # the EuRoC groundtruth header names
                 continue
             parts = [p for p in line.replace(",", " ").split() if p]
             if len(parts) < 8:
                 continue
             frac_ts = frac_ts or ("." in parts[0])
+            widths.append(len(parts))
             rows.append([float(v) for v in parts[:8]])
     if not rows:
         raise ValueError(f"no poses parsed from {path}")
     mat = np.asarray(rows, np.float64)
-    if frac_ts:
-        tum = True
-    else:  # integer stamps: both layouts exist — unit-quat norm decides
-        err_euroc = np.abs(np.linalg.norm(mat[:, 1:5], axis=1) - 1.0).mean()
-        err_tum = np.abs(np.linalg.norm(mat[:, 4:8], axis=1) - 1.0).mean()
-        tum = err_tum < err_euroc
+    if header_gt or (not frac_ts and min(widths) > 8):
+        layout = "euroc_gt"
+    elif frac_ts:
+        layout = "tum"
+    else:  # integer 8-column: quat-norm column decides
+        err_pose = np.abs(np.linalg.norm(mat[:, 1:5], axis=1) - 1.0).mean()
+        err_48 = np.abs(np.linalg.norm(mat[:, 4:8], axis=1) - 1.0).mean()
+        layout = "tum" if err_48 < err_pose else "imu0_poses"
     ts, poses = [], []
     for vals in mat:
-        if tum:
-            t = int(round(vals[0] * 1e9)) if frac_ts else int(vals[0])
+        if layout == "tum":
+            if frac_ts or vals[0] < 1e12:  # TUM stamps are seconds
+                t = int(round(vals[0] * 1e9))
+            else:  # already nanoseconds (nonstandard but unambiguous)
+                t = int(vals[0])
             tx, ty, tz = vals[1:4]
             qx, qy, qz, qw = vals[4:8]
-        else:
+        elif layout == "euroc_gt":
+            t = int(vals[0])
+            tx, ty, tz = vals[1:4]
+            qw, qx, qy, qz = vals[4:8]
+        else:  # imu0_poses
             t = int(vals[0])
             qw, qx, qy, qz = vals[1:5]
             tx, ty, tz = vals[5:8]

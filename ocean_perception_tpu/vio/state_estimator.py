@@ -450,9 +450,14 @@ class StateEstimator:
         if dt < self.params.min_sec_btw_keyposes:
             return
         imu_rows = self._gather_imu(self._last_keypose_t, timestamp)
-        R = np.asarray(quat_to_matrix(self.ekf_state.q))
-        p = np.asarray(self.ekf_state.t)
-        v = np.asarray(self.ekf_state.v)
+        # Snapshot ONCE: under the threaded wrapper the filter thread rebinds
+        # self.ekf_state concurrently (all EKF updates are functional); three
+        # separate dereferences could mix R from one state with p/v from a
+        # later one. A single reference read is consistent.
+        st = self.ekf_state
+        R = np.asarray(quat_to_matrix(st.q))
+        p = np.asarray(st.t)
+        v = np.asarray(st.v)
         self._push_keypose(
             timestamp, R, p, v,
             vo_T=None, imu_rows=imu_rows,
@@ -499,9 +504,10 @@ class StateEstimator:
             p = p_prev + R_prev @ T_rel[:3, 3]
             v = np.asarray(self.window.v[prev_slot])
         elif self.ekf_state is not None:
-            R = np.asarray(quat_to_matrix(self.ekf_state.q))
-            p = np.asarray(self.ekf_state.t)
-            v = np.asarray(self.ekf_state.v)
+            st = self.ekf_state  # one snapshot: filter thread rebinds concurrently
+            R = np.asarray(quat_to_matrix(st.q))
+            p = np.asarray(st.t)
+            v = np.asarray(st.v)
         else:
             R = np.asarray(self.window.R[prev_slot])
             p = np.asarray(self.window.p[prev_slot])

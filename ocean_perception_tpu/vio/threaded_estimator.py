@@ -126,26 +126,33 @@ class ThreadedStateEstimator:
     def _vision_loop(self) -> None:
         while not self._shutdown.is_set():
             m = self._stereo_q.pop(timeout=0.02)
-            if m is not None:
+            try:
                 self._vision_busy = True
+                if m is not None:
+                    with self._vision_lock:
+                        self.core.receive_stereo(m)
+                # Fallback keypose requests are serviced EVERY iteration,
+                # stereo frame or not — a sustained stereo backlog (faster-
+                # than-real-time ingest through a vision-denied segment) must
+                # not starve the VO-timeout / IMU-fallback path.
+                t_req = self._kp_q.pop(timeout=0.0)
                 with self._vision_lock:
-                    self.core.receive_stereo(m)
+                    if t_req is not None:
+                        # Execute a filter-requested fallback keypose check
+                        # at its MEASUREMENT timestamp (exact min_sec cadence
+                        # even under faster-than-real-time ingest).
+                        self.core._maybe_imu_keypose(t_req)
+                    elif m is None:
+                        # Idle tick: the VO-timeout / IMU-fallback check (the
+                        # reference's smoother thread does the same on its
+                        # queue timeout, state_estimator.cpp:336-397).
+                        self.core.poll_imu_keypose()
+            except Exception:  # noqa: BLE001 — worker must survive bad input
+                import traceback
+
+                traceback.print_exc()
+            finally:
                 self._vision_busy = False
-                continue
-            t_req = self._kp_q.pop(timeout=0.0)
-            self._vision_busy = True
-            with self._vision_lock:
-                if t_req is not None:
-                    # Execute a filter-requested fallback keypose check at
-                    # its MEASUREMENT timestamp (exact min_sec cadence even
-                    # under faster-than-real-time ingest).
-                    self.core._maybe_imu_keypose(t_req)
-                else:
-                    # Idle tick: the VO-timeout / IMU-fallback check (the
-                    # reference's smoother thread does the same on its queue
-                    # timeout, state_estimator.cpp:336-397).
-                    self.core.poll_imu_keypose()
-            self._vision_busy = False
 
     def _filter_loop(self) -> None:
         min_gap = self.core.params.min_sec_btw_keyposes
@@ -153,26 +160,33 @@ class ThreadedStateEstimator:
             m = self._fast_q.pop(timeout=0.1)
             if m is None:
                 continue
-            self._filter_busy = True
-            with self._filter_lock:
-                if isinstance(m, ImuMeasurement):
-                    # Filter path only — keyposing runs on the vision thread.
-                    self.core.receive_imu(m, check_keypose=False)
-                    t_sec = m.timestamp * 1e-9
-                    if t_sec - self._last_kp_request_t >= min_gap:
-                        self._last_kp_request_t = t_sec
-                        self._kp_q.push(m.timestamp)
-                elif isinstance(m, DepthMeasurement):
-                    self.core.receive_depth(m)
-                elif isinstance(m, RangeMeasurement):
-                    self.core.receive_range(m)
-                elif isinstance(m, MagMeasurement):
-                    self.core.receive_mag(m)
-                elif isinstance(m, PoseMeasurement):
-                    # External pose fix: brief rewind/update/replay on the
-                    # EKF — filter-lock scope, like the smoother sync commit.
-                    self.core.receive_pose(m)
-            self._filter_busy = False
+            try:
+                self._filter_busy = True
+                with self._filter_lock:
+                    if isinstance(m, ImuMeasurement):
+                        # Filter path only — keyposing runs on the vision thread.
+                        self.core.receive_imu(m, check_keypose=False)
+                        t_sec = m.timestamp * 1e-9
+                        if t_sec - self._last_kp_request_t >= min_gap:
+                            self._last_kp_request_t = t_sec
+                            self._kp_q.push(m.timestamp)
+                    elif isinstance(m, DepthMeasurement):
+                        self.core.receive_depth(m)
+                    elif isinstance(m, RangeMeasurement):
+                        self.core.receive_range(m)
+                    elif isinstance(m, MagMeasurement):
+                        self.core.receive_mag(m)
+                    elif isinstance(m, PoseMeasurement):
+                        # External pose fix: brief rewind/update/replay on the
+                        # EKF — filter-lock scope, like the smoother sync commit.
+                        self.core.receive_pose(m)
+            except Exception:  # noqa: BLE001 — one bad measurement must not
+                # silently kill the filter thread for the process lifetime
+                import traceback
+
+                traceback.print_exc()
+            finally:
+                self._filter_busy = False
 
     # -- outputs ---------------------------------------------------------------
 

@@ -169,3 +169,61 @@ def test_csv_loader_euroc_and_tum(tmp_path):
     np.testing.assert_array_equal(ts_t, ts)
     ate = absolute_trajectory_error(ts_e, poses_e, ts_e, poses, align="none")
     assert ate.rmse < 1e-9
+
+
+def test_csv_loader_real_euroc_groundtruth_layout(tmp_path):
+    """A genuine EuRoC state_groundtruth_estimate0/data.csv: position-FIRST,
+    qw-FIRST, 17 columns. Regression: the quat-norm heuristic used to route
+    this to the TUM branch with the quaternion component order scrambled."""
+    ts, poses = _circle_trajectory(n=12)
+    from ocean_perception_tpu.vio.evaluation import _mat_to_quat
+
+    gt = tmp_path / "data.csv"
+    with open(gt, "w") as f:
+        f.write(
+            "#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m],"
+            " q_RS_w [], q_RS_x [], q_RS_y [], q_RS_z [],"
+            " v_RS_R_x [m s^-1], v_RS_R_y [m s^-1], v_RS_R_z [m s^-1],"
+            " b_w_RS_S_x [rad s^-1], b_w_RS_S_y [rad s^-1],"
+            " b_w_RS_S_z [rad s^-1], b_a_RS_S_x [m s^-2],"
+            " b_a_RS_S_y [m s^-2], b_a_RS_S_z [m s^-2]\n"
+        )
+        for t, P in zip(ts + 10**15, poses):
+            q = _mat_to_quat(P[:3, :3])
+            vel_bias = ",".join(["0.0"] * 9)
+            f.write(
+                f"{t},{P[0,3]},{P[1,3]},{P[2,3]},"
+                f"{q[0]},{q[1]},{q[2]},{q[3]},{vel_bias}\n"
+            )
+    ts_g, poses_g = _load_tum_or_euroc_csv(str(gt))
+    np.testing.assert_array_equal(ts_g, ts + 10**15)
+    np.testing.assert_allclose(poses_g, poses, atol=1e-9)
+    # Width alone (no header) must also route correctly.
+    gt2 = tmp_path / "data2.csv"
+    with open(gt2, "w") as f:
+        for t, P in zip(ts + 10**15, poses):
+            q = _mat_to_quat(P[:3, :3])
+            f.write(
+                f"{t},{P[0,3]},{P[1,3]},{P[2,3]},"
+                f"{q[0]},{q[1]},{q[2]},{q[3]}," + ",".join(["0.0"] * 9) + "\n"
+            )
+    _, poses_g2 = _load_tum_or_euroc_csv(str(gt2))
+    np.testing.assert_allclose(poses_g2, poses, atol=1e-9)
+
+
+def test_csv_loader_tum_integer_seconds(tmp_path):
+    """TUM timestamps are SECONDS even when integral. Regression: whole-
+    second stamps used to be taken as nanoseconds (1e9x too small)."""
+    ts, poses = _circle_trajectory(n=5)
+    from ocean_perception_tpu.vio.evaluation import _mat_to_quat
+
+    tum = tmp_path / "tum_int.txt"
+    with open(tum, "w") as f:
+        for k, P in enumerate(poses):
+            q = _mat_to_quat(P[:3, :3])
+            f.write(
+                f"{k} {P[0,3]} {P[1,3]} {P[2,3]} {q[1]} {q[2]} {q[3]} {q[0]}\n"
+            )
+    ts_t, poses_t = _load_tum_or_euroc_csv(str(tum))
+    np.testing.assert_array_equal(ts_t, np.arange(5) * 10**9)
+    np.testing.assert_allclose(poses_t, poses, atol=1e-9)

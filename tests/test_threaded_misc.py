@@ -38,6 +38,40 @@ def test_threaded_estimator_drains_and_tracks():
     est.shutdown()
 
 
+@pytest.mark.slow
+def test_threaded_estimator_survives_malformed_measurement():
+    """One bad measurement must not silently kill a worker thread (the
+    reference's LCM handlers run indefinitely; a poisoned message killing
+    the filter loop would freeze the estimator at its last state forever)."""
+    from ocean_perception_tpu.core.measurements import PoseMeasurement
+
+    cam = PinholeCamera.create(300.0, 300.0, 320.0, 240.0, 480, 640)
+    rig = StereoCamera.create(cam, cam, 0.2)
+    params = StateEstimatorParams(
+        n_gravity=GRAVITY.copy(),
+        smoother=SmootherConfig(window=6, iterations=3),
+        max_imu_per_keypose=128,
+    )
+    est = ThreadedStateEstimator(params, rig)
+    est.initialize(0, np.eye(4))
+    for i in range(1, 50):
+        est.receive_imu(ImuMeasurement(int(i * 1e7), np.zeros(3), -GRAVITY))
+    # Poison pill: a pose fix whose covariance cannot broadcast.
+    est.receive_pose(
+        PoseMeasurement(
+            int(50 * 1e7), np.eye(4), covariance=np.zeros((2, 3))
+        )
+    )
+    # The filter thread must keep processing measurements afterwards.
+    for i in range(51, 120):
+        est.receive_imu(ImuMeasurement(int(i * 1e7), np.zeros(3), -GRAVITY))
+    assert est.wait_idle(timeout=120)
+    fs = est.filter_state()
+    assert fs.timestamp == int(119 * 1e7)
+    assert np.isfinite(fs.world_T_body).all()
+    est.shutdown()
+
+
 def test_odometry_manager_relative():
     import jax.numpy as jnp
 

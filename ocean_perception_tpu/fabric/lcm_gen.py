@@ -22,7 +22,10 @@ from typing import Dict, List, Tuple
 from .lcm_types import PRIMITIVES, Dim, LcmStructDef, Member
 
 _TOKEN = re.compile(
-    r"[A-Za-z_][A-Za-z0-9_.]*|-?0[xX][0-9a-fA-F]+|-?\d+(?:\.\d+)?|[{}\[\];=,]|\S"
+    # identifiers | hex | decimal with optional fraction/exponent (lcm-gen
+    # parses double consts with strtod: "1.5e3", "1e-6" are legal) | punct
+    r"[A-Za-z_][A-Za-z0-9_.]*|-?0[xX][0-9a-fA-F]+"
+    r"|-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?|[{}\[\];=,]|\S"
 )
 
 
@@ -59,7 +62,13 @@ def parse_lcm_source(text: str) -> List[dict]:
             expect("{")
             members: List[Tuple[str, str, Tuple[Dim, ...]]] = []
             consts: Dict[str, object] = {}
-            while toks[i] != "}":
+            while True:
+                if i >= len(toks):
+                    raise ValueError(
+                        f"LCM parse error: unterminated struct {name!r}"
+                    )
+                if toks[i] == "}":
+                    break
                 if toks[i] == "const":
                     # const int32_t FOO = 7, BAR = 9;
                     ctype = toks[i + 1]
@@ -120,12 +129,31 @@ def parse_lcm_source(text: str) -> List[dict]:
 
 
 def resolve_structs(raw: List[dict]) -> Dict[str, LcmStructDef]:
-    """Link raw struct descriptions into LcmStructDefs (nested types resolved
-    by short or fully-qualified name; forward references allowed)."""
-    by_name: Dict[str, dict] = {}
+    """Link raw struct descriptions into LcmStructDefs. Unqualified nested
+    type names resolve within the DECLARING package first (lcm-gen
+    semantics), then as a globally unique short name; forward references
+    allowed."""
+    by_full: Dict[str, dict] = {}
     for r in raw:
-        by_name[r["name"]] = r
-        by_name[f"{r['package']}.{r['name']}"] = r
+        full = f"{r['package']}.{r['name']}"
+        if full in by_full:
+            raise ValueError(f"duplicate LCM type {full}")
+        by_full[full] = r
+
+    def lookup(mtype: str, pkg: str) -> dict | None:
+        if "." in mtype:
+            return by_full.get(mtype)
+        same_pkg = by_full.get(f"{pkg}.{mtype}")
+        if same_pkg is not None:
+            return same_pkg
+        matches = [r for r in raw if r["name"] == mtype]
+        if len(matches) > 1:
+            pkgs = sorted(r["package"] for r in matches)
+            raise ValueError(
+                f"ambiguous LCM type {mtype!r} (defined in packages {pkgs});"
+                " qualify the reference"
+            )
+        return matches[0] if matches else None
 
     resolved: Dict[str, LcmStructDef] = {}
 
@@ -137,10 +165,11 @@ def resolve_structs(raw: List[dict]) -> Dict[str, LcmStructDef]:
             raise ValueError(f"recursive LCM type {full} is not supported")
         members = []
         for mname, mtype, dims in r["members"]:
+            target = None if mtype in PRIMITIVES else lookup(mtype, r["package"])
             if mtype in PRIMITIVES:
                 members.append(Member(mname, mtype, dims))
-            elif mtype in by_name:
-                members.append(Member(mname, build(by_name[mtype], stack + (full,)), dims))
+            elif target is not None:
+                members.append(Member(mname, build(target, stack + (full,)), dims))
             else:
                 raise ValueError(f"unknown LCM type {mtype!r} in {full}")
         sd = LcmStructDef(r["package"], r["name"], tuple(members))

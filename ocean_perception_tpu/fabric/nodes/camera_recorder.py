@@ -105,10 +105,20 @@ class UvcStereoSource:
         cap = cv2.VideoCapture(self.device)
         if not cap.isOpened():
             raise RuntimeError(f"cannot open capture source {self.device!r}")
-        is_file = isinstance(self.device, str) and not self.device.isdigit()
+        # File-replay semantics (EOF ends capture, container clock) apply
+        # only to actual video FILES. A V4L2 device path ("/dev/video0") is
+        # a live camera: a failed read is a transient hiccup, and POS_MSEC
+        # is unsupported on many live backends (returns 0/-1, which would
+        # starve the rate sampler after the first frame).
+        is_file = (
+            isinstance(self.device, str)
+            and not self.device.isdigit()
+            and not self.device.startswith("/dev/")
+        )
         sampler = DataSubsampler(self.camera_hz)
         t_start = time.monotonic()
         n = 0
+        self.frames_written = 0
         try:
             while not self._shutdown.is_set():
                 if (time.monotonic() - t_start) > self.max_duration_sec:
@@ -139,6 +149,7 @@ class UvcStereoSource:
                         ),
                     )
                 n += 1
+                self.frames_written = n  # survives a KeyboardInterrupt
                 if max_frames is not None and n >= max_frames:
                     break
         finally:
@@ -193,7 +204,8 @@ def main(argv=None) -> int:
         try:
             n = src.capture(writer, bus=bus, max_frames=args.max_frames)
         except KeyboardInterrupt:
-            n = -1
+            # capture() counts as it writes; report the real total.
+            n = getattr(src, "frames_written", 0)
         writer.finish()
         print(f"wrote {n} stereo frames")
         return 0

@@ -27,11 +27,21 @@ def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray]) -> None:
 
 def save_estimator(est, path: str) -> None:
     """Serialize a StateEstimator's resumable state to `path` (.npz)."""
+    import contextlib
+
+    # (state, time) must be captured ATOMICALLY: under the threaded wrapper
+    # the filter thread rebinds both between any two reads here, and a
+    # checkpoint pairing state k+1 with time k would re-integrate one
+    # already-applied IMU period on resume. sync_lock is the filter lock.
+    lock = getattr(est, "sync_lock", None)
+    with lock if lock is not None else contextlib.nullcontext():
+        ekf_state = est.ekf_state
+        ekf_time = est._ekf_time
     data: Dict[str, np.ndarray] = {
         "__version__": np.asarray(FORMAT_VERSION),
         "n_keyposes": np.asarray(est._n_keyposes),
         "last_keypose_t": np.asarray(est._last_keypose_t if est._last_keypose_t is not None else -1),
-        "ekf_time": np.asarray(est._ekf_time if est._ekf_time is not None else -1),
+        "ekf_time": np.asarray(ekf_time if ekf_time is not None else -1),
         "mode": np.asarray(est.mode.value),
         # Host int-ns keypose times (exact; the window's f32 timestamps
         # cannot reconstruct these at epoch scale). Fix attachment needs them.
@@ -41,8 +51,8 @@ def save_estimator(est, path: str) -> None:
         "time_origin_ns": np.asarray(est._time_origin_ns),
     }
     _flatten(est.window, "window", data)
-    if est.ekf_state is not None:
-        _flatten(est.ekf_state, "ekf", data)
+    if ekf_state is not None:
+        _flatten(ekf_state, "ekf", data)
     # Atomic update: a crash mid-write must never leave a truncated .npz at
     # `path` (the node rewrites the checkpoint on every smoother update, and
     # a torn file would defeat the mid-mission-restart purpose).
@@ -64,7 +74,11 @@ def load_estimator(est, path: str) -> None:
 
     with np.load(path) as z:
         data = {k: z[k] for k in z.files}
-    assert int(data["__version__"]) == FORMAT_VERSION
+    if int(data["__version__"]) != FORMAT_VERSION:
+        # NOT an assert: -O must not silently load an incompatible format.
+        raise ValueError(
+            f"checkpoint format {int(data['__version__'])} != {FORMAT_VERSION}"
+        )
 
     def _unflatten(template, prefix):
         leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
@@ -83,7 +97,10 @@ def load_estimator(est, path: str) -> None:
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
     est.window = _unflatten(est.window, "window")
-    if any(k.startswith("ekf") for k in data):
+    # "ekf." = the flattened EKF tree prefix. NOT bare "ekf": the scalar
+    # "ekf_time" key is always present, which would force this branch (and a
+    # KeyError in _unflatten) for checkpoints saved before EKF init.
+    if any(k.startswith("ekf.") or k.startswith("ekf[") for k in data):
         if est.ekf_state is None:
             from .ekf import ekf_initialize
 
@@ -95,11 +112,14 @@ def load_estimator(est, path: str) -> None:
         est._keypose_times_ns = [int(t) for t in data["keypose_times_ns"]]
     else:
         # Pre-fix_* checkpoint: approximate from the window's (possibly f32)
-        # timestamps — fix attachment on resumed pre-upgrade missions may
-        # miss, but nothing else reads these.
+        # MISSION-RELATIVE timestamps, re-anchored by the restored origin so
+        # the result is in the same epoch-ns base as fix stamps and
+        # _last_keypose_t — fix attachment on resumed pre-upgrade missions
+        # may still miss (f32 quantization), but nothing else reads these.
         ts = np.asarray(est.window.timestamps, np.float64)
         est._keypose_times_ns = [
-            int(round(ts[k] * 1e9)) for k in range(est._n_keyposes)
+            int(round(ts[k] * 1e9)) + est._time_origin_ns
+            for k in range(est._n_keyposes)
         ]
     lk = int(data["last_keypose_t"])
     est._last_keypose_t = lk if lk >= 0 else None

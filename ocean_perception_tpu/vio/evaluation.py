@@ -269,9 +269,14 @@ def relative_pose_error(
         target = ts[i] + delta_ns
         j = int(np.searchsorted(ts, target, side="left"))
         if j >= len(ts):
-            break
-        if j > i + 1 and abs(int(ts[j - 1]) - target) < abs(int(ts[j]) - target):
+            # The closest candidate is the LAST sample (earlier than the
+            # target) — still a valid pair if within tolerance; `break`
+            # would drop every trailing pair on short/sparse trajectories.
+            j = len(ts) - 1
+        elif j > i + 1 and abs(int(ts[j - 1]) - target) < abs(int(ts[j]) - target):
             j -= 1  # the earlier bracket is closer to the requested delta
+        if j <= i:
+            continue
         if abs(int(ts[j]) - target) > tol_ns:
             continue
         de = np.linalg.solve(est[i], est[j])       # est motion i->j
@@ -305,16 +310,15 @@ def poses_from_groundtruth(items: Sequence) -> Tuple[np.ndarray, np.ndarray]:
     return ts, poses
 
 
-def evaluate_trajectory(
+def _result_dict(
     est_ts: np.ndarray,
     est_poses: np.ndarray,
-    gt: Sequence,
-    align: str = "se3",
-    rpe_deltas_s: Optional[List[float]] = None,
+    gt_ts: np.ndarray,
+    gt_poses: np.ndarray,
+    align: str,
+    rpe_deltas_s: List[float],
 ) -> dict:
-    """One-call evaluation against a GroundtruthPose list. Returns a plain
-    dict (JSON-friendly) with the ATE and one RPE entry per delta."""
-    gt_ts, gt_poses = poses_from_groundtruth(gt)
+    """The shared JSON-friendly result schema (library API + CLI)."""
     ate = absolute_trajectory_error(est_ts, est_poses, gt_ts, gt_poses, align=align)
     out = {
         "ate_rmse_m": ate.rmse,
@@ -326,7 +330,7 @@ def evaluate_trajectory(
         "scale": ate.scale,
         "rpe": {},
     }
-    for d in rpe_deltas_s or [1.0]:
+    for d in rpe_deltas_s:
         try:
             r = relative_pose_error(est_ts, est_poses, gt_ts, gt_poses, delta_s=d)
         except ValueError:
@@ -337,6 +341,21 @@ def evaluate_trajectory(
             "n": r.n,
         }
     return out
+
+
+def evaluate_trajectory(
+    est_ts: np.ndarray,
+    est_poses: np.ndarray,
+    gt: Sequence,
+    align: str = "se3",
+    rpe_deltas_s: Optional[List[float]] = None,
+) -> dict:
+    """One-call evaluation against a GroundtruthPose list. Returns a plain
+    dict (JSON-friendly) with the ATE and one RPE entry per delta."""
+    gt_ts, gt_poses = poses_from_groundtruth(gt)
+    return _result_dict(
+        est_ts, est_poses, gt_ts, gt_poses, align, rpe_deltas_s or [1.0]
+    )
 
 
 def _load_tum_or_euroc_csv(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -419,28 +438,10 @@ def main(argv: Optional[List[str]] = None) -> None:  # pragma: no cover - CLI
 
     est_ts, est_poses = _load_tum_or_euroc_csv(args.est)
     gt_ts, gt_poses = _load_tum_or_euroc_csv(args.gt)
-    ate = absolute_trajectory_error(est_ts, est_poses, gt_ts, gt_poses, align=args.align)
-    result = {
-        "ate_rmse_m": ate.rmse,
-        "ate_mean_m": ate.mean,
-        "ate_median_m": ate.median,
-        "ate_max_m": ate.max,
-        "ate_n": ate.n,
-        "align": args.align,
-        "scale": ate.scale,
-        "rpe": {},
-    }
-    for d in [float(x) for x in args.rpe_deltas.split(",") if x]:
-        try:
-            r = relative_pose_error(est_ts, est_poses, gt_ts, gt_poses, delta_s=d)
-        except ValueError:
-            continue
-        result["rpe"][f"{d:g}s"] = {
-            "trans_rmse_m": r.trans_rmse,
-            "rot_rmse_deg": r.rot_rmse_deg,
-            "n": r.n,
-        }
-    print(json.dumps(result))
+    deltas = [float(x) for x in args.rpe_deltas.split(",") if x]
+    print(json.dumps(
+        _result_dict(est_ts, est_poses, gt_ts, gt_poses, args.align, deltas)
+    ))
 
 
 if __name__ == "__main__":  # pragma: no cover

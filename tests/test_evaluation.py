@@ -98,8 +98,16 @@ def test_rpe_measures_drift_rate():
     est = poses.copy()
     est[:, :3, 3, ] += (ts[:, None] / 1e9) * np.array([drift_per_s, 0, 0])
     rpe = relative_pose_error(ts, est, ts, poses, delta_s=1.0)
-    assert abs(rpe.trans_rmse - drift_per_s) < 1e-9
+    # Closest-match pairing (TUM semantics) pairs trailing samples with the
+    # LAST sample when it lies within tolerance of the 1 s target, so those
+    # pairs span slightly less than 1 s of drift: rmse lands just below the
+    # per-second rate, never above it.
+    assert 0.95 * drift_per_s < rpe.trans_rmse <= drift_per_s + 1e-9
     assert rpe.rot_rmse_deg < 1e-6
+    # Interior pairs are exact: restricting to a tight tolerance recovers
+    # the exact per-second drift.
+    rpe_tight = relative_pose_error(ts, est, ts, poses, delta_s=1.0, tol_frac=0.01)
+    assert abs(rpe_tight.trans_rmse - drift_per_s) < 1e-9
     # ... while ATE sees the accumulated error (much larger than the rate).
     ate = absolute_trajectory_error(ts, est, ts, poses, align="none")
     assert ate.max > 5 * drift_per_s
@@ -112,8 +120,11 @@ def test_rpe_rotation_error():
     for i in range(len(ts)):
         extra = np.radians(2.0) * ts[i] / 1e9
         est[i, :3, :3] = _rot_z(extra) @ est[i, :3, :3]
-    rpe = relative_pose_error(ts, est, ts, poses, delta_s=1.0)
+    rpe = relative_pose_error(ts, est, ts, poses, delta_s=1.0, tol_frac=0.01)
     assert abs(rpe.rot_rmse_deg - 2.0) < 1e-6
+    # Default tolerance includes sub-1s tail pairs: bounded by the rate.
+    rpe_loose = relative_pose_error(ts, est, ts, poses, delta_s=1.0)
+    assert 0.9 * 2.0 < rpe_loose.rot_rmse_deg <= 2.0 + 1e-6
 
 
 def test_evaluate_trajectory_with_groundtruth_records():
@@ -227,3 +238,18 @@ def test_csv_loader_tum_integer_seconds(tmp_path):
     ts_t, poses_t = _load_tum_or_euroc_csv(str(tum))
     np.testing.assert_array_equal(ts_t, np.arange(5) * 10**9)
     np.testing.assert_allclose(poses_t, poses, atol=1e-9)
+
+
+def test_rpe_pairs_with_trailing_sample():
+    """ts=[0, 0.8s], delta=1s, tol=0.25: the 0.8 s sample is the closest
+    match and within tolerance — it must pair (regression: searchsorted
+    returning len(ts) used to drop all trailing pairs)."""
+    from ocean_perception_tpu.vio.evaluation import relative_pose_error
+
+    ts = np.array([0, int(0.8e9)], np.int64)
+    poses = np.stack([np.eye(4), np.eye(4)])
+    est = poses.copy()
+    est[1, 0, 3] = 0.04  # 4 cm over the 0.8 s pair
+    rpe = relative_pose_error(ts, est, ts, poses, delta_s=1.0, tol_frac=0.25)
+    assert rpe.n == 1
+    assert abs(rpe.trans_rmse - 0.04) < 1e-12

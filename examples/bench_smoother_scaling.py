@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Fixed-lag smoother solve latency vs window size on the real TPU.
+
+The reference runs GTSAM's IncrementalFixedLagSmoother with a 10 s lag at
+~1 Hz (vio/README.md:15). Our batch-GN `solve_window` measured 54 ms at
+window=8 (docs/PERFORMANCE.md) — this sweeps window size to show how much
+lag the 1 Hz budget actually buys on-chip (f32, full factor set: IMU
+preintegration + VO betweens + depth + anchor prior).
+
+Timing per the repo methodology: jit once per window size, force completion
+with a scalar readback, perturb inputs per repeat, min-of-N on the shared
+rig. Usage: python examples/bench_smoother_scaling.py [--windows 8,16,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", default="8,16,32")
+    ap.add_argument("--iterations", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    from ocean_perception_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ocean_perception_tpu.vio.smoother import (
+        SmootherConfig,
+        preintegrate_window,
+        solve_window,
+    )
+    from test_smoother import GRAVITY, G_UNIT, build_window, simulate
+
+    out = {}
+    for M in [int(v) for v in args.windows.split(",")]:
+        config = SmootherConfig(window=M, iterations=args.iterations)
+        states, imu_windows = simulate(M_used=M)
+        win = build_window(states, imu_windows, config, state_noise=0.05)
+
+        @jax.jit
+        def solve(w):
+            pims = preintegrate_window(w)
+            w2, result = solve_window(
+                w, pims, jnp.asarray(GRAVITY, w.p.dtype),
+                jnp.asarray(G_UNIT, w.p.dtype), config,
+                jnp.asarray(M - 1, jnp.int32),
+            )
+            return jnp.sum(w2.p) + jnp.sum(result.cov_slot1)
+
+        t0 = time.perf_counter()
+        float(solve(win))
+        compile_s = time.perf_counter() - t0
+        best = np.inf
+        for rep in range(args.repeats):
+            wr = win._replace(p=win.p + np.float32((rep + 1) * 1e-6))
+            t0 = time.perf_counter()
+            float(solve(wr))
+            best = min(best, time.perf_counter() - t0)
+        # Recovery sanity: the solved slot positions match the simulation.
+        from ocean_perception_tpu.vio.smoother import solve_window as _sw
+
+        pims = preintegrate_window(win)
+        w2, _ = _sw(win, pims, jnp.asarray(GRAVITY, win.p.dtype),
+                    jnp.asarray(G_UNIT, win.p.dtype), config,
+                    jnp.asarray(M - 1, jnp.int32))
+        errs = [float(np.linalg.norm(np.asarray(w2.p[k]) - states[k][1]))
+                for k in range(M)]
+        out[f"window={M}"] = {
+            "solve_ms": round(best * 1e3, 1),
+            "compile_s": round(compile_s, 1),
+            "hz_budget_x": round(1.0 / best, 1),
+            "recovery_max_err_m": round(max(errs), 4),
+            "lag_s_at_0.5s_keyposes": M * 0.5,
+        }
+        print(json.dumps({f"window={M}": out[f"window={M}"]}), flush=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

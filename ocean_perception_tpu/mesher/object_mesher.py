@@ -20,6 +20,7 @@ Bresenham CountEdgePixels.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -78,7 +79,6 @@ def mesher_device_step(
     new_state, out = track_and_triangulate(
         tracker_state, prev_left, cur_left, cur_right, fx_baseline, params.tracker
     )
-    table = new_state.table
     obs = out.observations
 
     fg = estimate_foreground_mask(
@@ -146,6 +146,17 @@ class ObjectMesherParams:
     disparity_scale: float = 1.0     # if mesher ran on downscaled images
 
 
+@functools.lru_cache(maxsize=32)
+def _mesher_step_fn(params: ObjectMesherDeviceParams):
+    """One compiled program per (hashable) device-params value, shared by
+    every ObjectMesher instance; fx*baseline rides as a runtime argument."""
+    return jax.jit(
+        lambda ts, g, pl, cl, cr, fxb: mesher_device_step(
+            ts, g, pl, cl, cr, fxb, params
+        )
+    )
+
+
 class ObjectMesher:
     """Host wrapper: device step + per-cluster Delaunay backprojection."""
 
@@ -155,19 +166,18 @@ class ObjectMesher:
         self.tracker_state = StereoTrackerState.create(params.device.tracker)
         self.graph = LandmarkGraph.create(params.device.tracker.capacity)
         self._prev_left: Optional[jnp.ndarray] = None
-        fxb = jnp.asarray(float(rig.fx) * float(rig.baseline), jnp.float32)
-        self._step = jax.jit(
-            lambda ts, g, pl, cl, cr: mesher_device_step(
-                ts, g, pl, cl, cr, fxb, params.device
-            )
-        )
+        self._fxb = jnp.asarray(float(rig.fx) * float(rig.baseline), jnp.float32)
+        # Cached across instances: a per-instance closure would pay the
+        # ~1-5 min remote compile on every node restart / rig (fxb is a
+        # runtime argument, so one program serves all rigs).
+        self._step = _mesher_step_fn(params.device)
 
     def process_stereo(self, left, right) -> TriangleMesh:
         left = jnp.asarray(left, jnp.float32)
         right = jnp.asarray(right, jnp.float32)
         prev = self._prev_left if self._prev_left is not None else left
         self.tracker_state, self.graph, out = self._step(
-            self.tracker_state, self.graph, prev, left, right
+            self.tracker_state, self.graph, prev, left, right, self._fxb
         )
         self._prev_left = left
         return self._build_meshes(out)

@@ -110,6 +110,13 @@ def multi_camera_step(
     Outputs keep the camera axis sharded; only FleetStats.global_mean_depth
     crosses devices (one all-reduce over ICI).
     """
+    if int(batch_left.shape[0]) >= 8 and config.scan_unroll == 0:
+        # {vmap >= 8 x fully-unrolled propagation} trips an XLA TPU
+        # fusion-emitter SIGABRT on this toolchain (docs/PERFORMANCE.md
+        # round-3 diagnosis). scan_unroll=1 is the measured mitigation; it
+        # only affects the XLA fallback when the fused kernel is off or
+        # unavailable. A caller's explicit non-zero unroll is honored.
+        config = config.replace(scan_unroll=1)
     step = _multi_camera_step_fn(config, mesh, axis)
     return step(rig, batch_left, batch_right)
 
@@ -130,10 +137,13 @@ def _multi_camera_step_fn(config: PerceptionConfig, mesh: Mesh, axis: str):
     def step(rig, bl, br):
         out = jax.vmap(lambda l, r: _per_camera(l, r, rig, config))(bl, br)
         valid = out.depth > 0
-        denom = jnp.maximum(jnp.sum(valid, axis=(1, 2)), 1)
+        counts = jnp.sum(valid, axis=(1, 2))
+        denom = jnp.maximum(counts, 1)
         mean_depth = jnp.sum(jnp.where(valid, out.depth, 0.0), axis=(1, 2)) / denom
         valid_fraction = jnp.mean(valid.astype(jnp.float32), axis=(1, 2))
-        global_mean = jnp.mean(mean_depth)
+        # Weight by valid-pixel counts: a blind camera (0 valid) must not
+        # drag the fleet mean toward 0.
+        global_mean = jnp.sum(mean_depth * counts) / jnp.maximum(jnp.sum(counts), 1)
         return out, FleetStats(mean_depth, valid_fraction, global_mean)
 
     return step
@@ -167,6 +177,9 @@ def sharded_perception_step(
     n = mesh.shape[axis]
     H = int(left_rgb.shape[0])
     scale = config.internal_scale
+    if scale < 1 or (scale & (scale - 1)) != 0:
+        # Same contract as perception_step: log2(scale) pyramid halvings.
+        raise ValueError(f"internal_scale must be a power of two, got {scale}")
     if (H // max(scale, 1)) % n != 0:
         raise ValueError(f"internal height {H // max(scale, 1)} must divide over {n} devices")
 
@@ -184,8 +197,11 @@ def _sharded_perception_fn(config: PerceptionConfig, mesh: Mesh, axis: str):
 
     scale = config.internal_scale
     d_small = config.max_disp // scale if scale > 1 else config.max_disp
+    # Honor the config's tuning knobs like perception_step does (the fused
+    # kernel is not used here: sharded_patchmatch IS the strip decomposition).
     pm = PatchMatchParams(
-        max_disp=d_small, chunks=16, right_wta=True, volume_bf16=True, scan_unroll=0
+        max_disp=d_small, chunks=config.chunks, right_wta=True,
+        volume_bf16=True, scan_unroll=config.scan_unroll,
     )
     rows = NamedSharding(mesh, P(axis))
 
@@ -196,7 +212,7 @@ def _sharded_perception_fn(config: PerceptionConfig, mesh: Mesh, axis: str):
         r = jax.lax.with_sharding_constraint(jnp.asarray(r, jnp.float32), rows)
         gray_l = to_grayscale(l)
         gray_r = to_grayscale(r)
-        for _ in range(max(0, scale // 2)):
+        for _ in range(scale.bit_length() - 1):  # log2(scale) halvings
             gray_l = pyr_down(gray_l)
             gray_r = pyr_down(gray_r)
         gray_l = jax.lax.with_sharding_constraint(gray_l, rows)

@@ -154,10 +154,13 @@ def _local_patchmatch(
 
     R_C = max(p.halo, _seed_reach(p))       # cost rows needed beyond the strip
     R_img = R_C + 2                          # + gradient (1) + stencil (1) reach
-    if chunk < max(R_img, p.halo + 1):
+    # _reflect_ghosts mirrors rows x[1:k+1] — a border strip therefore needs
+    # R_img + 1 rows, not R_img (off by one would raise a cryptic broadcast
+    # error from jnp.where instead of this message).
+    if chunk < max(R_img + 1, p.halo + 1):
         raise ValueError(
             f"strip of {chunk} rows too thin for halo exchange "
-            f"(needs >= {max(R_img, p.halo + 1)}); use fewer devices or taller images"
+            f"(needs >= {max(R_img + 1, p.halo + 1)}); use fewer devices or taller images"
         )
 
     # --- one-time image halo exchange + local cost volumes -----------------

@@ -221,7 +221,23 @@ def _residuals(
             w.ba[0] - w.prior_ba,
         ]
     )
-    res.append((w.prior_sqrt_info @ r_prior) * win.valid[0].astype(dtype))
+    # When an external pose fix is active in the window, the FIX provides
+    # the absolute pose gauge, not the slide anchor: the anchor's pose
+    # carries all accumulated drift but its marginal (conditioned only on
+    # relative factors + the previous anchor) still claims ~cm confidence.
+    # Left at full weight, the solver STRETCHES the window between the
+    # overconfident drifted anchor and the fix — measured on a dynamic
+    # mission as a velocity kink after every fix that triples ATE. Down-
+    # weighting the anchor's pose block (x100 sigma; velocity/bias rows
+    # stay tight) lets the window translate rigidly onto the fix at ~zero
+    # relative-factor cost.
+    has_fix = jnp.any(win.fix_valid & win.valid)
+    gauge = jnp.where(has_fix, jnp.asarray(0.01, dtype), jnp.asarray(1.0, dtype))
+    col_scale = jnp.concatenate(
+        [jnp.full(6, gauge, dtype), jnp.ones(9, dtype)]
+    )
+    prior_S = w.prior_sqrt_info * col_scale[None, :]
+    res.append((prior_S @ r_prior) * win.valid[0].astype(dtype))
 
     # -- VO between factors ---------------------------------------------------
     # Masked-pair AD safety: invalid pairs — above all the slot-0 wraparound

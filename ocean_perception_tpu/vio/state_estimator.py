@@ -563,15 +563,20 @@ class StateEstimator:
         items = self.mag_manager.pop_until(t + tol)
         return np.asarray(items[-1].field, np.float64) if items else None
 
-    def _fix_tuple(self, m, dt_sec: float):
+    def _fix_tuple(self, m, dt_signed_sec: float, v_kp: np.ndarray):
         """PoseMeasurement → (R, p, sigma6) for the window's fix factor.
 
         PoseMeasurement covariance order is [t, theta]; the window's
-        fix_sigma order is [rot, trans] (matching the residual layout). A
-        fix measured Δt away from its keypose is biased by the body's
-        motion over Δt, so the translational sigma is inflated by
-        |Δt|·speed (current EKF velocity) — a misaligned fix can't drag a
-        well-tracked keypose off by v·Δt."""
+        fix_sigma order is [rot, trans] (matching the residual layout).
+
+        dt_signed_sec = t_keypose - t_fix. A fix measured Δt away from its
+        keypose is BIASED by the body's true motion over Δt (up to v·Δt —
+        measured 3x ATE degradation on a dynamic mission when fixes landed
+        between keyposes); the position is therefore TRANSPORTED to the
+        keypose time with the keypose's current velocity estimate, and the
+        translational sigma is inflated only for the transport's own error
+        (velocity-estimate error ~10% of speed, plus a 0.1 m/s floor for
+        unmodeled acceleration over Δt)."""
         T = np.asarray(m.world_T_body, np.float64)
         cov = (
             np.eye(6) * 1e-4 if m.covariance is None
@@ -579,10 +584,14 @@ class StateEstimator:
         )
         sig = np.sqrt(np.clip(np.diag(cov), 1e-12, None))
         sigma6 = np.concatenate([sig[3:6], sig[0:3]])
-        if dt_sec > 0 and self.ekf_state is not None:
-            speed = float(np.linalg.norm(np.asarray(self.ekf_state.v)))
-            sigma6[3:6] = np.sqrt(sigma6[3:6] ** 2 + (dt_sec * speed) ** 2)
-        return T[:3, :3], T[:3, 3], sigma6
+        p = T[:3, 3].copy()
+        if dt_signed_sec != 0.0:
+            v = np.asarray(v_kp, np.float64)
+            p = p + dt_signed_sec * v
+            speed = float(np.linalg.norm(v))
+            slop = abs(dt_signed_sec) * (0.1 * speed + 0.1)
+            sigma6[3:6] = np.sqrt(sigma6[3:6] ** 2 + slop**2)
+        return T[:3, :3], p, sigma6
 
     def _attach_pending_fixes(self) -> None:
         """Attach queued external pose fixes to their closest keypose slot
@@ -621,7 +630,9 @@ class StateEstimator:
             if not cand:
                 continue  # no matching keypose: the filter already used it
             k = min(cand, key=lambda i: abs(times[i] - m.timestamp))
-            R, p, sigma6 = self._fix_tuple(m, abs(times[k] - m.timestamp) * 1e-9)
+            R, p, sigma6 = self._fix_tuple(
+                m, (times[k] - m.timestamp) * 1e-9, np.asarray(win.v[k])
+            )
             win = win._replace(
                 fix_R=win.fix_R.at[k].set(jnp.asarray(R)),
                 fix_p=win.fix_p.at[k].set(jnp.asarray(p)),

@@ -24,8 +24,28 @@ def x_of(t: float) -> float:
     return 0.5 * ACC * max(t - T0, 0.0) ** 2
 
 
-def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed: int = 3):
-    """Write the dataset under `root` (EuRoC mav0 layout). Returns x_of."""
+# Bounded oscillation for LONG missions: the constant-accel profile outruns
+# the canvas's 320-px slack after ~26 frames (px = 40*x saturates at the
+# border and VO sees a frozen scene while the IMU keeps accelerating).
+# x in [0, 2*SIN_A]; px stays within the canvas for any duration.
+SIN_A = 2.5          # metres: half the travel
+SIN_W = 2.0 * np.pi / 8.0  # rad/s: 8 s period, a_max = A*w^2 = 1.54 m/s^2
+
+
+def x_of_sin(t: float) -> float:
+    return SIN_A * (1.0 - np.cos(SIN_W * max(t - T0, 0.0)))
+
+
+def a_of_sin(t: float) -> float:
+    return SIN_A * SIN_W**2 * np.cos(SIN_W * max(t - T0, 0.0))
+
+
+def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed: int = 3,
+                          motion: str = "accel"):
+    """Write the dataset under `root` (EuRoC mav0 layout). Returns the
+    ground-truth x(t). motion="accel" (default, the tests' contract) or
+    "sin" (bounded oscillation — required for missions past ~26 frames,
+    see x_of_sin)."""
     import cv2
 
     from ocean_perception_tpu.core.measurements import GroundtruthPose, ImuMeasurement
@@ -35,9 +55,10 @@ def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed
     canvas = cv2.GaussianBlur(
         rng.random((H + 8, W + 320)).astype(np.float32), (5, 5), 1.0
     ) * 0.8 + 0.1
+    x_fn = x_of if motion == "accel" else x_of_sin
 
     def frame(t: float):
-        px = FX * x_of(t) / DEPTH
+        px = FX * x_fn(t) / DEPTH
         cl = cv2.getRectSubPix(canvas, (W, H), (40 + px + W / 2 - 0.5, 4 + H / 2 - 0.5))
         cr = cv2.getRectSubPix(
             canvas, (W, H), (40 + px + DISP + W / 2 - 0.5, 4 + H / 2 - 0.5)
@@ -50,15 +71,16 @@ def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed
         cl, cr = frame(t)
         wtr.write_stereo(int(t * 1e9), cl, cr)
         T = np.eye(4)
-        T[0, 3] = x_of(t)
+        T[0, 3] = x_fn(t)
         wtr.write_groundtruth(GroundtruthPose(int(t * 1e9), T))
     dt = 1.0 / imu_hz
     for k in range(n_frames * int(0.1 * imu_hz)):
         t = T0 + k * dt
-        a_world = np.array([ACC, 0.0, 0.0])
+        ax = ACC if motion == "accel" else a_of_sin(t)
+        a_world = np.array([ax, 0.0, 0.0])
         wtr.write_imu(ImuMeasurement(int(t * 1e9), np.zeros(3), a_world - GRAVITY))
     wtr.finish()
-    return x_of
+    return x_fn
 
 
 SHARED_YAML = f"""

@@ -45,10 +45,13 @@ def test_multi_camera_step_sharded(mesh):
     # Outputs carry the camera sharding.
     shard_axes = out.disparity.sharding.spec
     assert shard_axes[0] == "cam"
-    # Fleet stats replicated scalar equals the mean of per-camera means.
-    np.testing.assert_allclose(
-        float(stats.global_mean_depth), float(np.mean(np.asarray(stats.mean_depth))), rtol=1e-5
-    )
+    # Fleet stats replicated scalar is the VALID-COUNT-WEIGHTED mean of the
+    # per-camera means (a blind camera must not drag the fleet mean to 0).
+    depth = np.asarray(out.depth)
+    valid = depth > 0
+    counts = valid.sum(axis=(1, 2))
+    expect = (np.asarray(stats.mean_depth) * counts).sum() / max(counts.sum(), 1)
+    np.testing.assert_allclose(float(stats.global_mean_depth), expect, rtol=1e-5)
 
 
 @pytest.mark.slow

@@ -210,6 +210,39 @@ def test_pose_fix_factor_pins_global_offset(config):
         np.testing.assert_allclose(np.asarray(w.R[k]), Rk, atol=2e-2)
 
 
+def test_pose_fix_snap_preserves_velocities(config):
+    """A fix conflicting with a TIGHT drifted anchor must translate the
+    window RIGIDLY, not stretch it: the anchor's pose block is gauge-
+    relaxed when any fix is active (smoother._residuals). Without that,
+    the snap is absorbed as a velocity kink across the window — measured
+    on a dynamic mission as 3x worse ATE with truth-valued fixes than
+    without any aiding."""
+    states, imu_windows = simulate()
+    offset = np.array([0.3, -0.2, 0.1])
+    win = build_window(states, imu_windows, config)  # full IMU+VO+depth
+    # Drifted-but-internally-consistent estimates AND an overconfident
+    # anchor carrying the same drift (the fixed-lag slide-anchor state).
+    win = win._replace(
+        p=win.p + jnp.asarray(offset),
+        prior_p=win.prior_p + jnp.asarray(offset),
+        prior_sqrt_info=jnp.eye(15) * 100.0,  # ~1 cm anchor confidence
+        depth_valid=jnp.zeros_like(win.depth_valid),  # depth would fight z
+    )
+    win = win._replace(
+        fix_R=win.fix_R.at[4].set(jnp.asarray(states[4][0])),
+        fix_p=win.fix_p.at[4].set(jnp.asarray(states[4][1])),
+        fix_sigma=win.fix_sigma.at[4].set(jnp.full(6, 1e-2)),
+        fix_valid=win.fix_valid.at[4].set(True),
+    )
+    w, _ = _solve(win, config)
+    # Positions snap onto truth...
+    np.testing.assert_allclose(np.asarray(w.p[4]), states[4][1], atol=3e-2)
+    # ...and the velocities stay at their TRUE values (a stretch would
+    # shift them by ~|offset| / window_span ≈ 0.1+ m/s).
+    for k, (_Rk, _pk, vk) in enumerate(states):
+        np.testing.assert_allclose(np.asarray(w.v[k]), vk, atol=4e-2)
+
+
 def test_no_fix_at_180_degree_attitude_stays_finite(config):
     """AD trap: masked fix rows must not feed so3_log an arbitrary absolute
     rotation. A down-looking rig (R = diag(1,-1,-1), θ=π vs the identity

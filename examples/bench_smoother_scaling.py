@@ -61,25 +61,24 @@ def main() -> int:
                 jnp.asarray(G_UNIT, w.p.dtype), config,
                 jnp.asarray(M - 1, jnp.int32),
             )
-            return jnp.sum(w2.p) + jnp.sum(result.cov_slot1)
+            # Scalar first (the forced host readback), solved positions
+            # second (recovery check — avoids a second compiled program).
+            return jnp.sum(w2.p) + jnp.sum(result.cov_slot1), w2.p
 
         t0 = time.perf_counter()
-        float(solve(win))
+        _, p_solved = solve(win)
+        float(_)
         compile_s = time.perf_counter() - t0
         best = np.inf
         for rep in range(args.repeats):
             wr = win._replace(p=win.p + np.float32((rep + 1) * 1e-6))
             t0 = time.perf_counter()
-            float(solve(wr))
+            s, _p = solve(wr)
+            float(s)
             best = min(best, time.perf_counter() - t0)
         # Recovery sanity: the solved slot positions match the simulation.
-        from ocean_perception_tpu.vio.smoother import solve_window as _sw
-
-        pims = preintegrate_window(win)
-        w2, _ = _sw(win, pims, jnp.asarray(GRAVITY, win.p.dtype),
-                    jnp.asarray(G_UNIT, win.p.dtype), config,
-                    jnp.asarray(M - 1, jnp.int32))
-        errs = [float(np.linalg.norm(np.asarray(w2.p[k]) - states[k][1]))
+        p_solved = np.asarray(p_solved)
+        errs = [float(np.linalg.norm(p_solved[k] - states[k][1]))
                 for k in range(M)]
         out[f"window={M}"] = {
             "solve_ms": round(best * 1e3, 1),

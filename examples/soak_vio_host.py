@@ -9,8 +9,10 @@ smoother + filter, the vio_mission_demo flow), sampling RSS and per-window
 step latency every --sample-every frames, then scores the trajectory.
 
 Run:  python examples/soak_vio_host.py --frames 600
-Output: one JSON line {rss_start_mb, rss_end_mb, rss_growth_mb_per_100f,
-ate_rmse_m, step_ms_p50, step_ms_p90, ...} plus per-sample progress lines.
+Output: one JSON line {rss_start_mb, rss_end_mb, rss_growth_mb_per_100_frames,
+ate_rmse_m, frame_ms_p50, frame_ms_p90, ...} plus per-sample progress lines.
+All per-frame numbers count STEREO frames (DataProvider.step() dispatches
+single measurements — ~12 of them per stereo frame at 10 Hz/100 Hz).
 """
 
 from __future__ import annotations
@@ -49,8 +51,9 @@ def main() -> int:
                     help="external pose fixes every SEC (0 = off)")
     args = ap.parse_args()
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))))
+    # examples/ itself (vio_mission_demo is a sibling script, not a package
+    # module — needed when invoked as `python -m examples.soak_vio_host`).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.synthetic_vio import write_synthetic_euroc
     from vio_mission_demo import build_estimator  # examples/ sibling
 
@@ -94,30 +97,34 @@ def main() -> int:
     ds.register_depth_callback(est.receive_depth)
     ds.register_range_callback(est.receive_range)
 
-    # Warm the jitted programs on the first few frames so compile time does
-    # not pollute the RSS/latency baseline, then sample from there.
-    samples = []  # (frame_idx, rss_mb)
-    window_ms = []
-    step_ms_all = []
-    frame_idx = 0
-    rss0 = None
+    # DataProvider.step() dispatches ONE measurement (10 Hz stereo + 100 Hz
+    # IMU + gt ≈ 12 measurements per stereo frame). All per-frame metrics
+    # below count STEREO frames: latency is measured around the step that
+    # delivered a stereo callback (the frame that runs the vision frontend
+    # + any smoother solve), and RSS growth is per 100 stereo frames.
+    stereo_count = [0]
+    ds.register_stereo_callback(lambda *_a: stereo_count.__setitem__(0, stereo_count[0] + 1))
+    samples = []  # (stereo_frame_idx, rss_mb)
+    frame_ms_all = []  # per-STEREO-frame step latency
     t_block = time.perf_counter()
+    last_sampled = 0
     while True:
+        before = stereo_count[0]
         t0 = time.perf_counter()
         if not ds.step():
             break
-        step_ms_all.append((time.perf_counter() - t0) * 1e3)
-        frame_idx += 1
-        if frame_idx % args.sample_every == 0:
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        if stereo_count[0] > before:
+            frame_ms_all.append(dt_ms)
+        if stereo_count[0] > last_sampled and stereo_count[0] % args.sample_every == 0:
+            last_sampled = stereo_count[0]
             r = rss_mb()
-            if rss0 is None:
-                rss0 = r
-            samples.append((frame_idx, r))
-            window_ms.append((time.perf_counter() - t_block) * 1e3 / args.sample_every)
+            samples.append((stereo_count[0], r))
+            block_s = time.perf_counter() - t_block
             t_block = time.perf_counter()
-            print(f"step {frame_idx}: rss {r:.1f} MB, "
-                  f"{window_ms[-1]:.1f} ms/step avg, {len(traj)} poses",
-                  flush=True)
+            print(f"frame {stereo_count[0]}: rss {r:.1f} MB, "
+                  f"{block_s * 1e3 / args.sample_every:.1f} ms/frame avg, "
+                  f"{len(traj)} poses", flush=True)
 
     report = {}
     if len(traj) >= 3:
@@ -125,23 +132,27 @@ def main() -> int:
         est_poses = np.stack([T for _, T in traj])
         report = evaluate_trajectory(est_ts, est_poses, ds.pose_data,
                                      align="none", rpe_deltas_s=[1.0])
-    # Leak fit: RSS growth per 100 frames over the post-warmup samples.
+    # Leak fit: RSS growth per 100 STEREO frames over the post-warmup samples.
     growth = 0.0
     if len(samples) >= 3:
         xs = np.array([s[0] for s in samples], np.float64)
         ys = np.array([s[1] for s in samples], np.float64)
         growth = float(np.polyfit(xs, ys, 1)[0] * 100.0)
-    lat = np.asarray(step_ms_all[10:]) if len(step_ms_all) > 20 else np.asarray(step_ms_all)
+    # Latency stats exclude the first 10 stereo frames: the frontend,
+    # smoother, and fix-attachment programs all compile within that span on
+    # a fresh cache (multi-second spikes that are startup, not steady state).
+    warm = frame_ms_all[10:] if len(frame_ms_all) > 20 else frame_ms_all
+    lat = np.asarray(warm)
     print(json.dumps({
         "metric": "vio_host_soak",
-        "frames": frame_idx,
+        "stereo_frames": stereo_count[0],
         "smoother_poses": len(traj),
         "rss_start_mb": round(samples[0][1], 1) if samples else None,
         "rss_end_mb": round(samples[-1][1], 1) if samples else None,
-        "rss_growth_mb_per_100f": round(growth, 3),
-        "step_ms_p50": round(float(np.percentile(lat, 50)), 2),
-        "step_ms_p90": round(float(np.percentile(lat, 90)), 2),
-        "step_ms_max": round(float(lat.max()), 1),
+        "rss_growth_mb_per_100_frames": round(growth, 3),
+        "frame_ms_p50": round(float(np.percentile(lat, 50)), 2),
+        "frame_ms_p90": round(float(np.percentile(lat, 90)), 2),
+        "frame_ms_max": round(float(lat.max()), 1),
         "ate_rmse_m": report.get("ate_rmse_m"),
         "rpe_1s_trans_m": (report.get("rpe", {}).get("1s", {}) or {}).get("trans_rmse_m"),
     }))

@@ -31,6 +31,18 @@ def _per_camera(left, right, rig: StereoCamera, config: PerceptionConfig) -> Per
     return perception_step(left, right, rig, config)
 
 
+def _b8_safe(config: PerceptionConfig, n_cams: int) -> PerceptionConfig:
+    """{vmap >= 8 x fully-unrolled propagation} trips an XLA TPU
+    fusion-emitter SIGABRT on this toolchain (docs/PERFORMANCE.md round-3
+    diagnosis). scan_unroll=1 is the measured mitigation; it only affects
+    the XLA fallback when the fused kernel is off or unavailable. A
+    caller's explicit non-zero unroll is honored. Applied by EVERY
+    camera-batched entry point (dense-only and full-frontend)."""
+    if n_cams >= 8 and config.scan_unroll == 0:
+        config = config.replace(scan_unroll=1)
+    return config
+
+
 def create_fleet_frontend_state(n_cams: int, mesher_params=None, image_shape=None):
     """Per-camera tracker states + landmark graphs batched on a leading
     camera axis (broadcast of the single-camera init pytrees)."""
@@ -93,6 +105,7 @@ def multi_camera_frontend_step(
     sharded on the camera axis. Thread tracker_states/graphs/prev_grays
     between frames exactly like the single-camera full_frontend_step.
     """
+    config = _b8_safe(config, int(batch_left.shape[0]))
     step = _frontend_step_fn(config, mesher_params, mesh, axis)
     return step(rig, tracker_states, graphs, prev_grays, batch_left, batch_right)
 
@@ -110,13 +123,7 @@ def multi_camera_step(
     Outputs keep the camera axis sharded; only FleetStats.global_mean_depth
     crosses devices (one all-reduce over ICI).
     """
-    if int(batch_left.shape[0]) >= 8 and config.scan_unroll == 0:
-        # {vmap >= 8 x fully-unrolled propagation} trips an XLA TPU
-        # fusion-emitter SIGABRT on this toolchain (docs/PERFORMANCE.md
-        # round-3 diagnosis). scan_unroll=1 is the measured mitigation; it
-        # only affects the XLA fallback when the fused kernel is off or
-        # unavailable. A caller's explicit non-zero unroll is honored.
-        config = config.replace(scan_unroll=1)
+    config = _b8_safe(config, int(batch_left.shape[0]))
     step = _multi_camera_step_fn(config, mesh, axis)
     return step(rig, batch_left, batch_right)
 

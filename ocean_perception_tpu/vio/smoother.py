@@ -221,18 +221,29 @@ def _residuals(
             w.ba[0] - w.prior_ba,
         ]
     )
-    # When an external pose fix is active in the window, the FIX provides
-    # the absolute pose gauge, not the slide anchor: the anchor's pose
-    # carries all accumulated drift but its marginal (conditioned only on
-    # relative factors + the previous anchor) still claims ~cm confidence.
-    # Left at full weight, the solver STRETCHES the window between the
-    # overconfident drifted anchor and the fix — measured on a dynamic
-    # mission as a velocity kink after every fix that triples ATE. Down-
-    # weighting the anchor's pose block (x100 sigma; velocity/bias rows
-    # stay tight) lets the window translate rigidly onto the fix at ~zero
-    # relative-factor cost.
-    has_fix = jnp.any(win.fix_valid & win.valid)
-    gauge = jnp.where(has_fix, jnp.asarray(0.01, dtype), jnp.asarray(1.0, dtype))
+    # When a TIGHT external pose fix is active in the window, the FIX
+    # provides the absolute pose gauge, not the slide anchor: the anchor's
+    # pose carries all accumulated drift but its marginal (conditioned only
+    # on relative factors + the previous anchor) still claims ~cm
+    # confidence. Left at full weight, the solver STRETCHES the window
+    # between the overconfident drifted anchor and the fix — measured on a
+    # dynamic mission as a velocity kink after every fix that triples ATE.
+    # Down-weighting the anchor's pose block (velocity/bias rows stay
+    # tight) lets the window translate rigidly onto the fix at ~zero
+    # relative-factor cost. The relax SCALES with the fix's tightness
+    # relative to the anchor's claimed sigma: a fix as tight as the anchor
+    # fully un-pins it (x100 sigma), a fix 100x weaker leaves the anchor
+    # pinned — so a meters-sigma USBL ping cannot un-pin a cm-confident
+    # anchor and inject its own noise into the window.
+    s_anchor = 1.0 / (
+        jnp.linalg.norm(win.prior_sqrt_info[:, 3:6]) / jnp.sqrt(3.0) + 1e-12
+    )
+    fix_active = win.fix_valid & win.valid
+    s_fix = jnp.min(
+        jnp.where(fix_active, jnp.mean(win.fix_sigma[:, 3:6], axis=1), jnp.inf)
+    )
+    relax = jnp.clip(100.0 * s_anchor / s_fix, 1.0, 100.0)
+    gauge = (1.0 / relax).astype(dtype)
     col_scale = jnp.concatenate(
         [jnp.full(6, gauge, dtype), jnp.ones(9, dtype)]
     )

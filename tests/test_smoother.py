@@ -243,6 +243,31 @@ def test_pose_fix_snap_preserves_velocities(config):
         np.testing.assert_allclose(np.asarray(w.v[k]), vk, atol=4e-2)
 
 
+def test_weak_fix_does_not_unpin_tight_anchor(config):
+    """The anchor gauge relax must SCALE with fix tightness: a meters-
+    sigma fix (noisy USBL ping) may not un-pin a cm-confident anchor and
+    drag the window onto its own noise. With the unconditional x100 relax
+    this scenario moved the window ~80% of the way onto a fix 2 m off
+    truth; with the scaled relax the anchor holds."""
+    states, imu_windows = simulate()
+    win = build_window(states, imu_windows, config)
+    win = win._replace(
+        prior_sqrt_info=jnp.eye(15) * 100.0,  # ~1 cm anchor confidence
+    )
+    bogus_p = np.asarray(states[4][1]) + np.array([2.0, 0.0, 0.0])
+    win = win._replace(
+        fix_R=win.fix_R.at[4].set(jnp.asarray(states[4][0])),
+        fix_p=win.fix_p.at[4].set(jnp.asarray(bogus_p)),
+        fix_sigma=win.fix_sigma.at[4].set(jnp.full(6, 3.0)),  # ~3 m ping
+        fix_valid=win.fix_valid.at[4].set(True),
+    )
+    w, _ = _solve(win, config)
+    # The window stays on the (correct, anchor-pinned) trajectory: the
+    # 2 m-off weak fix moves slot 4 by at most a few cm.
+    err = float(np.linalg.norm(np.asarray(w.p[4]) - states[4][1]))
+    assert err < 0.05, err
+
+
 def test_no_fix_at_180_degree_attitude_stays_finite(config):
     """AD trap: masked fix rows must not feed so3_log an arbitrary absolute
     rotation. A down-looking rig (R = diag(1,-1,-1), θ=π vs the identity

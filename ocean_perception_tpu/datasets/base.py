@@ -155,14 +155,19 @@ class DataProvider:
         else:
             item = self.stereo_data[i]
             if self._stereo_cbs:
-                left = load_image(item.left_path, grayscale=self.grayscale)
-                right = load_image(item.right_path, grayscale=self.grayscale)
-                img = StereoImage(
-                    timestamp=item.timestamp,
-                    camera_id=item.camera_id,
-                    left=left,
-                    right=right,
-                )
+                if hasattr(item, "load"):
+                    # Self-loading item (e.g. datasets/lcm_log.py — frames
+                    # embedded in a session log instead of image files).
+                    img = item.load(self.grayscale)
+                else:
+                    left = load_image(item.left_path, grayscale=self.grayscale)
+                    right = load_image(item.right_path, grayscale=self.grayscale)
+                    img = StereoImage(
+                        timestamp=item.timestamp,
+                        camera_id=item.camera_id,
+                        left=left,
+                        right=right,
+                    )
                 for cb in self._stereo_cbs:
                     cb(img)
         return True

@@ -5,6 +5,7 @@ from __future__ import annotations
 from .base import DataProvider
 from .euroc import EurocDataset
 from .folder_stereo import AcfrDataset, CaddyDataset, HimbDataset
+from .lcm_log import LcmLogDataset
 
 _DATASETS = {
     "euroc": EurocDataset,
@@ -13,6 +14,8 @@ _DATASETS = {
     "himb": HimbDataset,
     "caddy": CaddyDataset,
     "acfr": AcfrDataset,
+    "lcmlog": LcmLogDataset,   # recorded session log (fabric/lcm_log.py)
+    "log": LcmLogDataset,
 }
 
 

@@ -429,6 +429,7 @@ class LcmUdpBus(PubSub):
         self._tx, self._rx = open_multicast_pair(group, port, ttl)
         self._subs: Dict[str, List[Callable]] = defaultdict(list)
         self._raw_subs: Dict[str, List[Callable]] = defaultdict(list)
+        self._byte_subs: Dict[str, List[Callable]] = defaultdict(list)
         self._patterns: List[Tuple[str, object]] = []
         self._tap: Optional[Callable] = None
         self._mmf = MmfReader()
@@ -479,6 +480,15 @@ class LcmUdpBus(PubSub):
         self._compile_patterns()
         self._ensure_rx()
 
+    def subscribe_bytes(self, channel: str, callback: Callable) -> None:
+        """callback(channel, payload_bytes) with the exact reassembled wire
+        payload, before any decode — the lossless hook a logger needs
+        (fabric/lcm_log.py BusRecorder): foreign types and payloads our
+        decoder would reject are still captured verbatim."""
+        self._byte_subs[channel].append(callback)
+        self._compile_patterns()
+        self._ensure_rx()
+
     def set_tap(self, callback: Optional[Callable]) -> None:
         self._tap = callback
         if callback is not None:
@@ -488,7 +498,7 @@ class LcmUdpBus(PubSub):
         import re
 
         patterns = []
-        for p in set(self._subs) | set(self._raw_subs):
+        for p in set(self._subs) | set(self._raw_subs) | set(self._byte_subs):
             try:
                 patterns.append((p, re.compile(p)))
             except re.error:
@@ -511,6 +521,8 @@ class LcmUdpBus(PubSub):
             self._thread.start()
 
     def _dispatch(self, channel: str, payload: bytes) -> None:
+        for cb in self._matching(self._byte_subs, channel):
+            cb(channel, payload)
         cbs = self._matching(self._subs, channel)
         raw_cbs = self._matching(self._raw_subs, channel)
         if not cbs and not raw_cbs and self._tap is None:

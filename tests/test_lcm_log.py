@@ -329,3 +329,74 @@ def test_dataset_player_runs_from_log(tmp_path):
     ds.playback(speed=50.0, block=True)
     assert len(seen) == 3
     ds.shutdown()
+
+
+@pytest.mark.slow
+def test_mission_from_log_matches_mission_from_files(tmp_path):
+    """End-to-end loop closure: a synthetic EuRoC mission is published on a
+    bus, recorded to an LCM log, and the FULL estimator is run twice — once
+    from the original files, once from the recorded log. The wire+log
+    round trip must be lossless for every sensor stream: the two smoothed
+    trajectories agree to float tolerance."""
+    from synthetic_vio import BASELINE, FX, H, W, write_synthetic_euroc
+    from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
+    from ocean_perception_tpu.fabric.nodes.dataset_player import publish_sensors, run
+    from ocean_perception_tpu.fabric.pubsub import InProcessBus
+    from ocean_perception_tpu.tracking import (
+        DetectorParams, LKParams, StripeMatcherParams,
+    )
+    from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerParams
+    from ocean_perception_tpu.vio.odometry import OdometryParams
+    from ocean_perception_tpu.vio.smoother import SmootherConfig
+    from ocean_perception_tpu.vio.state_estimator import StateEstimatorParams
+    from ocean_perception_tpu.vio.stereo_frontend import FrontendParams
+
+    root = str(tmp_path / "euroc")
+    write_synthetic_euroc(root, n_frames=10)
+
+    # Record the session (sensor publish path -> LCM-format log). The f32
+    # wire frames quantize to mono8 on the LCM re-encode; the source frames
+    # are PNG-backed u8, so the round trip is bit-exact.
+    log_path = str(tmp_path / "mission.lcmlog")
+    bus = InProcessBus()
+    writer = LcmLogWriter(log_path)
+    recorder = BusRecorder(bus, writer)
+    n = publish_sensors("euroc", root, bus, speed=0.0)
+    recorder.stop()
+    writer.close()
+    assert n == 10 and recorder.dropped == 0
+
+    cam = PinholeCamera.create(FX, FX, W / 2, H / 2, H, W)
+    rig = StereoCamera.create(cam, cam, BASELINE)
+
+    def params():
+        return StateEstimatorParams(
+            n_gravity=np.array([0.0, 0.0, -9.81]),
+            frontend=FrontendParams(
+                tracker=StereoTrackerParams(
+                    capacity=96,
+                    detector=DetectorParams(max_features=96, min_distance=10, border=10),
+                    lk=LKParams(max_level=2),
+                    matcher=StripeMatcherParams(
+                        max_disp=32, templ_cols=15, templ_rows=11, max_matching_cost=0.3
+                    ),
+                    trigger_keyframe_k=2,
+                ),
+                odometry=OdometryParams(),
+                pixel_sigma=1.0,
+            ),
+            smoother=SmootherConfig(window=8, iterations=5),
+            min_sec_btw_keyposes=0.15,
+            max_sec_btw_keyposes=10.0,
+        )
+
+    traj_files = run("euroc", root, rig=rig, params=params())
+    traj_log = run("lcmlog", log_path, rig=rig, params=params())
+
+    assert len(traj_files) > 0
+    assert len(traj_log) == len(traj_files)
+    for a, b in zip(traj_files, traj_log):
+        assert a.timestamp == b.timestamp
+        np.testing.assert_allclose(
+            a.world_T_body, b.world_T_body, rtol=0, atol=1e-6
+        )

@@ -30,3 +30,10 @@ from .pubsub import PubSub, InProcessBus, UdpMulticastBus  # noqa: F401
 from .native_bus import NativeUdpBus  # noqa: F401
 from .chaos import ChaosBus  # noqa: F401
 from .shm_ring import ShmRingWriter, ShmRingReader, native_available  # noqa: F401
+from .lcm_log import (  # noqa: F401
+    BusRecorder,
+    LcmLogReader,
+    LcmLogWriter,
+    log_summary,
+    play_log,
+)

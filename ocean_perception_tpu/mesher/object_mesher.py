@@ -183,28 +183,42 @@ class ObjectMesher:
         return self._build_meshes(out)
 
     def _build_meshes(self, out: MesherDeviceOutput) -> TriangleMesh:
-        from scipy.spatial import Delaunay, QhullError  # host-side
+        return build_meshes(
+            out, self.rig, self.params.disparity_scale, self.params.vertex_min_obs
+        )
 
-        labels = np.asarray(out.labels)
-        pixels = np.asarray(out.pixels)
-        disps = np.asarray(out.disparities) * self.params.disparity_scale
-        alive = np.asarray(out.alive)
 
-        meshes: List[TriangleMesh] = []
-        for root in np.unique(labels[labels >= 0]):
-            members = np.where((labels == root) & alive)[0]
-            if len(members) < max(3, self.params.vertex_min_obs):
-                continue
-            pts2d = pixels[members]
-            try:
-                tri = Delaunay(pts2d)
-            except QhullError:
-                continue
-            depth = float(self.rig.fx) * float(self.rig.baseline) / np.maximum(
-                disps[members], 1e-3
-            )
-            verts = np.asarray(
-                self.rig.left.backproject(jnp.asarray(pts2d), jnp.asarray(depth))
-            )
-            meshes.append(TriangleMesh(verts, tri.simplices.astype(np.int32)))
-        return TriangleMesh.merge(meshes)
+def build_meshes(
+    out: MesherDeviceOutput,
+    rig: StereoCamera,
+    disparity_scale: float = 1.0,
+    vertex_min_obs: int = 3,
+) -> TriangleMesh:
+    """Step 5 of ProcessStereo on the host: per-cluster Delaunay +
+    backprojection. Module-level so batched consumers (the farm perception
+    node) can run it per camera on sliced MesherDeviceOutput leaves."""
+    from scipy.spatial import Delaunay, QhullError  # host-side
+
+    labels = np.asarray(out.labels)
+    pixels = np.asarray(out.pixels)
+    disps = np.asarray(out.disparities) * disparity_scale
+    alive = np.asarray(out.alive)
+
+    meshes: List[TriangleMesh] = []
+    for root in np.unique(labels[labels >= 0]):
+        members = np.where((labels == root) & alive)[0]
+        if len(members) < max(3, vertex_min_obs):
+            continue
+        pts2d = pixels[members]
+        try:
+            tri = Delaunay(pts2d)
+        except QhullError:
+            continue
+        depth = float(rig.fx) * float(rig.baseline) / np.maximum(
+            disps[members], 1e-3
+        )
+        verts = np.asarray(
+            rig.left.backproject(jnp.asarray(pts2d), jnp.asarray(depth))
+        )
+        meshes.append(TriangleMesh(verts, tri.simplices.astype(np.int32)))
+    return TriangleMesh.merge(meshes)

@@ -65,8 +65,9 @@ class LcmLogWriter:
         if append and os.path.getsize(path) > 0:
             # Continue the event numbering of the existing log.
             last = None
-            for last in LcmLogReader(path):
-                pass
+            with LcmLogReader(path) as reader:
+                for last in reader:
+                    pass
             if last is not None:
                 self._eventnum = last.eventnum + 1
 

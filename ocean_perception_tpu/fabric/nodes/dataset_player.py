@@ -39,6 +39,19 @@ def _pose_msg(s: StateStamped) -> PoseStampedMessage:
     return PoseStampedMessage(timestamp=s.timestamp, pose=pose, covariance=cov)
 
 
+def _first_frame_shape(dataset):
+    """(H, W) of the first stereo frame without dispatching it."""
+    if not dataset.stereo_data:
+        return 376, 672  # sensorless dataset: keep the historical default
+    item = dataset.stereo_data[0]
+    if hasattr(item, "load"):
+        img = item.load(dataset.grayscale)
+        return np.asarray(img.left).shape[:2]
+    from ...utils.image_io import load_image
+
+    return load_image(item.left_path, grayscale=True).shape[:2]
+
+
 def run(
     dataset_name: str,
     path: str,
@@ -51,7 +64,11 @@ def run(
 ) -> List[StateStamped]:
     dataset = get_dataset_by_name(dataset_name, path)
     if rig is None:
-        cam = PinholeCamera.create(336.0, 336.0, 336.0, 188.0, 376, 672)
+        # Derive the rig from the dataset's first frame (fx = W/2, centered
+        # principal point — the historical 376x672 default scaled to the
+        # data) so any resolution plays without flags.
+        H, W = _first_frame_shape(dataset)
+        cam = PinholeCamera.create(W / 2.0, W / 2.0, W / 2.0, H / 2.0, H, W)
         rig = StereoCamera.create(cam, cam, baseline=0.2)
     params = params or StateEstimatorParams()
     est = StateEstimator(params, rig)
@@ -226,6 +243,13 @@ def main(argv=None) -> int:
              "8-bit depth, jpg = the reference's mmf default)",
     )
     args = ap.parse_args(argv)
+
+    import os
+
+    if args.dataset == "euroc" and os.path.isfile(args.path):
+        # Directory layouts are datasets; a FILE is a recorded session log
+        # (ocean-channel-logger / stock lcm-logger output).
+        args.dataset = "lcmlog"
 
     if args.udp or args.native_bus or args.lcm:
         bus_cls = UdpMulticastBus

@@ -331,6 +331,32 @@ def test_dataset_player_runs_from_log(tmp_path):
     ds.shutdown()
 
 
+def test_channel_logger_cli_info_and_play(tmp_path, capsys):
+    """The ocean-channel-logger CLI: info summarizes; play re-publishes."""
+    from ocean_perception_tpu.fabric.nodes.channel_logger import main
+    from ocean_perception_tpu.fabric.lcm_wire import LcmUdpBus
+
+    path = str(tmp_path / "cli.lcmlog")
+    _write_mission_log(path)
+
+    assert main(["info", "--path", path]) == 0
+    out = capsys.readouterr().out
+    assert "sensors/imu" in out and "vehicle.imu_measurement_t" in out
+
+    port = LOG_TEST_PORT + 3
+    rx = LcmUdpBus(port=port)
+    got = []
+    rx.subscribe("sensors/imu", lambda _c, m: got.append(m))
+    time.sleep(0.1)
+    assert main([
+        "play", "--path", path, "--lcm", "--port", str(port),
+        "--speed", "0", "--pattern", "sensors/imu", "--max-events", "10",
+    ]) == 0
+    assert _wait(lambda: len(got) >= 10)
+    rx.close()
+    assert got[0].timestamp == 0 and len(got) == 10
+
+
 @pytest.mark.slow
 def test_mission_from_log_matches_mission_from_files(tmp_path):
     """End-to-end loop closure: a synthetic EuRoC mission is published on a

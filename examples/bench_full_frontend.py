@@ -36,6 +36,14 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--internal-scale", type=int, default=2)
     ap.add_argument("--smoke", action="store_true", help="tiny shapes on CPU")
+    ap.add_argument(
+        "--stage", default="full", choices=["full", "mesher", "perception"],
+        help="fleet ablation: mesher = tracking+graph only (no dense pass), "
+             "perception = dense pass only (no tracking)",
+    )
+    ap.add_argument("--mesher-scale", type=int, default=1,
+                    help="tracking/mesher at 1/s resolution (reference "
+                         "mesher_input_height parity)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -57,10 +65,24 @@ def main() -> int:
     from ocean_perception_tpu.ops.image import to_grayscale
 
     if args.smoke:
+        from ocean_perception_tpu.tracking import (
+            DetectorParams, LKParams, StripeMatcherParams,
+        )
+        from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerParams
+
         H, W, max_disp = 120, 160, 16
         cfg = PerceptionConfig(engine="wta", max_disp=max_disp, internal_scale=1,
                                run_enhance=False)
-        mp = ObjectMesherDeviceParams()
+        mp = ObjectMesherDeviceParams(
+            tracker=StereoTrackerParams(
+                capacity=32,
+                detector=DetectorParams(max_features=32, min_distance=6, border=4),
+                lk=LKParams(max_level=1),
+                matcher=StripeMatcherParams(
+                    max_disp=16, templ_cols=9, templ_rows=7, max_matching_cost=0.5
+                ),
+            )
+        )
         args.frames = 4
     else:
         H, W, max_disp = 720, 1280, 128
@@ -81,41 +103,94 @@ def main() -> int:
     N = args.frames
 
     if args.fleet:
-        from ocean_perception_tpu.parallel.mesh import make_mesh
         from ocean_perception_tpu.parallel.sharded_pipeline import (
+            _b8_safe,
             create_fleet_frontend_state,
-            multi_camera_frontend_step,
         )
 
+        from ocean_perception_tpu.ops.image import pyr_down
+
         B = args.fleet
-        mesh = make_mesh(1 if len(jax.devices()) % B else None)
-        states, graphs = create_fleet_frontend_state(B, mp, image_shape=(H, W))
+        ms = args.mesher_scale
+        fcfg = _b8_safe(cfg, B)
+        states0, graphs0 = create_fleet_frontend_state(
+            B, mp, image_shape=(H // ms, W // ms)
+        )
         bl = jnp.broadcast_to(left[None], (B,) + left.shape)
         br = jnp.broadcast_to(right[None], (B,) + right.shape)
-        pg = jax.vmap(to_grayscale)(bl)
+        pg0 = jax.vmap(to_grayscale)(bl)
+        for _ in range(ms.bit_length() - 1):
+            pg0 = jax.vmap(pyr_down)(pg0)
 
-        # The cached fleet step is itself jitted; chain frames on the host
-        # but force completion only once per repeat (state threads on-device).
-        def run(tag: float):
-            s, g, p = states, graphs, pg
-            digest = jnp.asarray(tag, jnp.float32)
-            for i in range(N):
-                out, cur = multi_camera_frontend_step(
-                    s, g, p + digest * 1e-12, bl, br, rig, cfg, mp, mesh
+        # N fleet steps inside ONE jitted scan (per-step host dispatches on
+        # this rig measure the ~50-130 ms RPC floor, not the compute). Same
+        # vmapped graph the node/mesh entry point runs; on >1 device wrap
+        # with the sharded multi_camera_frontend_step instead.
+        from typing import NamedTuple
+
+        from ocean_perception_tpu.mesher.object_mesher import mesher_device_step
+        from ocean_perception_tpu.models.perception import perception_step
+
+        class _FFO(NamedTuple):  # stage-ablation stand-in for FullFrontendOutput
+            perception: object
+            mesher: object
+            tracker_state: object
+            graph: object
+
+        fxb = jnp.asarray(float(rig.fx) * float(rig.baseline) / ms, jnp.float32)
+
+        def one_camera(s1, g1, p1, l1, r1):
+            if args.stage == "mesher":
+                gl, gr = to_grayscale(l1), to_grayscale(r1)
+                for _ in range(ms.bit_length() - 1):
+                    gl, gr = pyr_down(gl), pyr_down(gr)
+                ns, ng, mo = mesher_device_step(s1, g1, p1, gl, gr, fxb, mp)
+                return _FFO(None, mo, ns, ng), gl
+            if args.stage == "perception":
+                out = perception_step(l1, r1, rig, fcfg)
+                return _FFO(out, None, s1, g1), p1
+            return full_frontend_step(
+                s1, g1, p1, l1, r1, rig, fcfg, mp, mesher_scale=ms
+            )
+
+        @jax.jit
+        def stream(states, graphs, pg, tag):
+            def frame(carry, i):
+                s, g, p, digest = carry
+                out, cur = jax.vmap(one_camera)(
+                    s, g, p + (digest * 1e-12 + i.astype(jnp.float32) * 1e-7), bl, br
                 )
-                s, g, p = out.tracker_state, out.graph, cur
-                digest = jnp.sum(out.mesher.disparities) * 1e-6
-            return float(digest)
+                # The digest must consume EVERY stage's output or XLA
+                # dead-code-eliminates the unconsumed subgraph (measured:
+                # a mesher-only digest makes the full pipeline time equal
+                # the mesher-only ablation — the dense pass was DCE'd).
+                if args.stage == "perception":
+                    digest = jnp.sum(out.perception.disparity) * 1e-9
+                elif args.stage == "mesher":
+                    digest = jnp.sum(out.mesher.disparities) * 1e-6
+                else:
+                    digest = (
+                        jnp.sum(out.mesher.disparities) * 1e-6
+                        + jnp.sum(out.perception.disparity) * 1e-9
+                        + jnp.sum(out.perception.enhanced_left[:, ::64, ::64]) * 1e-9
+                    )
+                return (out.tracker_state, out.graph, cur, digest), digest
 
-        run(0.0)  # compile + warm
+            (_, _, _, final), _ = jax.lax.scan(
+                frame, (states, graphs, pg, tag), jnp.arange(N)
+            )
+            return final
+
+        float(stream(states0, graphs0, pg0, jnp.asarray(0.0, jnp.float32)))
         best = np.inf
         for rep in range(args.repeats):
             t0 = time.perf_counter()
-            run(float(rep + 1))
+            float(stream(states0, graphs0, pg0, jnp.asarray(float(rep + 1), jnp.float32)))
             best = min(best, time.perf_counter() - t0)
         total_fps = N * B / best
         print(
-            f"fleet B={B} {H}x{W} scale={cfg.internal_scale}: "
+            f"fleet B={B} {H}x{W} scale={fcfg.internal_scale} ms={ms} "
+            f"stage={args.stage}: "
             f"{best / N * 1e3:.2f} ms/fleet-step, {total_fps:.1f} fps total, "
             f"{total_fps / B:.1f} fps/camera (min of {args.repeats})"
         )
@@ -124,19 +199,29 @@ def main() -> int:
     from ocean_perception_tpu.mesher.landmark_graph import LandmarkGraph
     from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerState
 
-    state0 = StereoTrackerState.create(mp.tracker, image_shape=(H, W))
+    from ocean_perception_tpu.ops.image import pyr_down
+
+    ms = args.mesher_scale
+    state0 = StereoTrackerState.create(mp.tracker, image_shape=(H // ms, W // ms))
     graph0 = LandmarkGraph.create(mp.tracker.capacity)
     prev0 = to_grayscale(left)
+    for _ in range(ms.bit_length() - 1):
+        prev0 = pyr_down(prev0)
 
     @jax.jit
     def stream(l, r, state, graph, prev):
         def frame(carry, i):
             s, g, p, digest = carry
             perturb = digest * 1e-12 + i.astype(jnp.float32) * 1e-7
-            (out, cur) = full_frontend_step(s, g, p, l + perturb, r, rig, cfg, mp)
+            (out, cur) = full_frontend_step(
+                s, g, p, l + perturb, r, rig, cfg, mp, mesher_scale=ms
+            )
+            # Consume every stage (unconsumed outputs get DCE'd — see the
+            # fleet variant's comment).
             digest = (
                 jnp.sum(out.perception.disparity) * 1e-6
                 + jnp.sum(out.mesher.disparities) * 1e-6
+                + jnp.sum(out.perception.enhanced_left[::64, ::64]) * 1e-9
             )
             return (out.tracker_state, out.graph, cur, digest), digest
 
@@ -151,10 +236,12 @@ def main() -> int:
         t0 = time.perf_counter()
         float(stream(left + np.float32((rep + 1) * 1e-7), right, state0, graph0, prev0))
         best = min(best, time.perf_counter() - t0)
-    ms = best / N * 1e3
+    ms_frame = best / N * 1e3
     print(
-        f"full_frontend_step {H}x{W} scale={cfg.internal_scale} K={mp.tracker.capacity}: "
-        f"{ms:.2f} ms/frame, {1e3 / ms:.1f} fps (min of {args.repeats}, {N} frames/dispatch)"
+        f"full_frontend_step {H}x{W} scale={cfg.internal_scale} ms={ms} "
+        f"K={mp.tracker.capacity}: "
+        f"{ms_frame:.2f} ms/frame, {1e3 / ms_frame:.1f} fps "
+        f"(min of {args.repeats}, {N} frames/dispatch)"
     )
     return 0
 

@@ -58,6 +58,7 @@ class FarmPerceptionNode:
         max_sync_wait_sec: float = 0.5,
         disparity_scale: float = 1.0,
         vertex_min_obs: int = 3,
+        mesher_scale: int = 1,
     ):
         from ...mesher.object_mesher import ObjectMesherDeviceParams
         from ...models.perception import PerceptionConfig
@@ -84,8 +85,16 @@ class FarmPerceptionNode:
 
         H, W = int(rig.left.height), int(rig.left.width)
         self._image_shape = (H, W)
+        # Tracking/mesher at 1/mesher_scale resolution (the reference mesher
+        # node's mesher_input_height downscale; see the fleet ablation in
+        # docs/PERFORMANCE.md — the tracking path dominates at 720p B=4).
+        # Back-projection then uses the RESCALED rig.
+        self.mesher_scale = int(mesher_scale)
+        s = self.mesher_scale
+        self._mesher_rig = rig.rescale(1.0 / s) if s > 1 else rig
         self._states, self._graphs = create_fleet_frontend_state(
-            n_cameras, self.mesher_params, image_shape=(H, W)
+            n_cameras, self.mesher_params,
+            image_shape=(H // s, W // s) if s > 1 else (H, W),
         )
         self._prev_grays = None  # set on first fleet step
 
@@ -173,16 +182,20 @@ class FarmPerceptionNode:
         import jax.numpy as jnp
 
         from ...mesher.object_mesher import build_meshes
-        from ...ops.image import to_grayscale
+        from ...ops.image import pyr_down, to_grayscale
         from ...parallel.sharded_pipeline import multi_camera_frontend_step
 
         bl = jnp.asarray(lefts)
         br = jnp.asarray(rights)
         if self._prev_grays is None:
-            self._prev_grays = jax.vmap(to_grayscale)(bl)
+            pg = jax.vmap(to_grayscale)(bl)
+            for _ in range(self.mesher_scale.bit_length() - 1):
+                pg = jax.vmap(pyr_down)(pg)
+            self._prev_grays = pg
         out, cur_grays = multi_camera_frontend_step(
             self._states, self._graphs, self._prev_grays, bl, br,
             self.rig, self.config, self.mesher_params, self.mesh,
+            mesher_scale=self.mesher_scale,
         )
         self._states = out.tracker_state
         self._graphs = out.graph
@@ -200,7 +213,7 @@ class FarmPerceptionNode:
                 continue  # stale fill: outputs already published last time
             cam_out = jax.tree_util.tree_map(lambda a: a[i], mesher_np)
             mesh = build_meshes(
-                cam_out, self.rig, self.disparity_scale, self.vertex_min_obs
+                cam_out, self._mesher_rig, self.disparity_scale, self.vertex_min_obs
             )
             if mesh.num_triangles > 0:
                 self.bus.publish(
@@ -248,6 +261,7 @@ def from_config(bus: PubSub, node_config_path: str, shared_config_path: str) -> 
         max_sync_wait_sec=float(parser.get("max_sync_wait_sec", 0.5)),
         disparity_scale=float(mp.disparity_scale),
         vertex_min_obs=int(mp.vertex_min_obs),
+        mesher_scale=int(parser.get("mesher_scale", 1)),
     )
 
 
@@ -271,6 +285,9 @@ def main(argv=None) -> int:
                     choices=["patchmatch", "sgm", "wta"],
                     help="dense stereo engine (wta = cheap CPU smoke)")
     ap.add_argument("--no-enhance", action="store_true")
+    ap.add_argument("--mesher-scale", type=int, default=2,
+                    help="tracking/mesher at 1/s resolution (reference "
+                         "mesher_input_height parity; 2 = 360p from 720p)")
     ap.add_argument("--enhanced-out", default=None,
                     help="per-camera enhanced jpg channel template, e.g. farm/enhanced/cam{i}")
     ap.add_argument("--lcm", action="store_true")
@@ -297,6 +314,7 @@ def main(argv=None) -> int:
                 run_enhance=not args.no_enhance,
             ),
             channel_output_enhanced=args.enhanced_out,
+            mesher_scale=args.mesher_scale,
         )
     print(f"farm_perception_node listening ({node.n_cameras} cameras)...")
     try:

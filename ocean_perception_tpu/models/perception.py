@@ -142,22 +142,40 @@ def full_frontend_step(
     rig: StereoCamera,
     config: PerceptionConfig = PerceptionConfig(),
     mesher_params=None,
+    mesher_scale: int = 1,
 ):
     """The BASELINE north star: camera → enhanced → disparity → tracked
     features → landmark-graph clusters in ONE jitted XLA graph, zero host
     round trips. Host code only threads state pytrees between frames and
     runs the (tiny) per-cluster Delaunay on the outputs.
 
+    ``mesher_scale`` (power of two) runs the tracking/mesher half on
+    pyr_down'ed grays — the reference mesher node's ``mesher_input_height``
+    downscale (object_mesher_lcm.cpp:76-87), which is also where the fleet
+    step's time goes at 720p (docs/PERFORMANCE.md fleet ablation: the
+    tracking path is ~3x the dense path at B=4). Mesher pixels/disparities
+    are then in DOWNSCALED coordinates: back-project them with
+    ``rig.rescale(1 / mesher_scale)`` (exactly what ObjectMesherNode does),
+    and create the tracker state with the downscaled image_shape. The
+    perception half always runs full-res.
+
     Returns (FullFrontendOutput, cur_left_gray) — feed cur_left_gray back as
-    prev_left_gray next frame.
+    prev_left_gray next frame; it is at MESHER scale (the only consumer is
+    the next mesher step).
     """
     from ..mesher.object_mesher import ObjectMesherDeviceParams, mesher_device_step
 
+    if mesher_scale < 1 or (mesher_scale & (mesher_scale - 1)):
+        raise ValueError(f"mesher_scale must be a power of two, got {mesher_scale}")
     mesher_params = mesher_params or ObjectMesherDeviceParams()
     out = perception_step(left_rgb, right_rgb, rig, config)
     gray_l = to_grayscale(jnp.asarray(left_rgb, jnp.float32))
     gray_r = to_grayscale(jnp.asarray(right_rgb, jnp.float32))
-    fxb = rig.fx * rig.baseline
+    for _ in range(mesher_scale.bit_length() - 1):
+        gray_l = pyr_down(gray_l)
+        gray_r = pyr_down(gray_r)
+    # fx scales with the image; disparities measured at 1/s resolution.
+    fxb = rig.fx * rig.baseline / float(mesher_scale)
     new_state, new_graph, mesh_out = mesher_device_step(
         tracker_state, graph, prev_left_gray, gray_l, gray_r, fxb, mesher_params
     )

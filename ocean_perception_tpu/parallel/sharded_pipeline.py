@@ -61,7 +61,9 @@ def create_fleet_frontend_state(n_cams: int, mesher_params=None, image_shape=Non
 
 
 @functools.lru_cache(maxsize=32)
-def _frontend_step_fn(config: PerceptionConfig, mesher_params, mesh: Mesh, axis: str):
+def _frontend_step_fn(
+    config: PerceptionConfig, mesher_params, mesh: Mesh, axis: str, mesher_scale: int
+):
     """Cached jitted closure: a fresh closure per call would RETRACE every
     frame in streaming use (config/params/mesh are hashable statics; the rig
     pytree is a runtime argument)."""
@@ -77,7 +79,7 @@ def _frontend_step_fn(config: PerceptionConfig, mesher_params, mesh: Mesh, axis:
     def step(rig, states, gs, pg, bl, br):
         return jax.vmap(
             lambda s, g, p, l, r: full_frontend_step(
-                s, g, p, l, r, rig, config, mesher_params
+                s, g, p, l, r, rig, config, mesher_params, mesher_scale=mesher_scale
             )
         )(states, gs, pg, bl, br)
 
@@ -95,18 +97,23 @@ def multi_camera_frontend_step(
     mesher_params,
     mesh: Mesh,
     axis: str = "cam",
+    mesher_scale: int = 1,
 ):
     """The FULL frontend (enhance → disparity → tracking → landmark graph)
     for N cameras, camera axis sharded over the mesh — the BASELINE north
     star's whole camera→mesh graph under ICI sharding, not just the dense
     half. Entirely camera-parallel: zero collectives in the forward path.
 
+    ``mesher_scale``: run the tracking/mesher half at 1/s resolution (see
+    full_frontend_step); prev_grays and the tracker-state image_shape must
+    be at that scale.
+
     Returns ((FullFrontendOutput batched, cur_grays), ...) with every leaf
     sharded on the camera axis. Thread tracker_states/graphs/prev_grays
     between frames exactly like the single-camera full_frontend_step.
     """
     config = _b8_safe(config, int(batch_left.shape[0]))
-    step = _frontend_step_fn(config, mesher_params, mesh, axis)
+    step = _frontend_step_fn(config, mesher_params, mesh, axis, int(mesher_scale))
     return step(rig, tracker_states, graphs, prev_grays, batch_left, batch_right)
 
 

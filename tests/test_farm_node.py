@@ -177,6 +177,32 @@ def test_farm_node_survives_dead_camera():
     node.close()
 
 
+@pytest.mark.slow
+def test_farm_node_mesher_scale_depth_invariant():
+    """mesher_scale=2 tracks at half resolution (the reference mesher node's
+    mesher_input_height downscale); meshes must still back-project to the
+    TRUE metric depth — the rescaled-rig + scaled-fxb composition is what
+    this locks (scaling only one of them silently halves/doubles depth)."""
+    bus = InProcessBus()
+    node = FarmPerceptionNode(
+        bus, _rig(), n_cameras=1,
+        perception_config=_fast_config(),
+        mesher_params=_device_params(),
+        max_sync_wait_sec=30.0,
+        mesher_scale=2,
+    )
+    meshes = []
+    bus.subscribe("farm/mesh/cam0", lambda _c, m: meshes.append(m))
+    l, r = _scene(3)
+    for k in range(8):
+        bus.publish("sensors/stereo/cam0", _stereo_msg((k + 1) * 100_000_000, l, r))
+        assert _wait(lambda: node.fleet_steps == k + 1)
+    assert meshes, "downscaled tracking must still produce meshes"
+    z = np.median(meshes[-1].vertices[:, 2])
+    assert abs(z - 5.0) < 0.8, f"depth {z} != 5.0 (rig/fxb scale mismatch)"
+    node.close()
+
+
 def test_farm_node_from_config(tmp_path):
     """The shipped FarmPerceptionNode.yaml + a shared rig builds the node."""
     from ocean_perception_tpu.fabric.nodes.farm_perception_node import from_config

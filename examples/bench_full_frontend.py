@@ -44,6 +44,8 @@ def main() -> int:
     ap.add_argument("--mesher-scale", type=int, default=1,
                     help="tracking/mesher at 1/s resolution (reference "
                          "mesher_input_height parity)")
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="tracker slot capacity (default: reference K=200)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -88,6 +90,16 @@ def main() -> int:
         H, W, max_disp = 720, 1280, 128
         cfg = PerceptionConfig(max_disp=max_disp, internal_scale=args.internal_scale)
         mp = ObjectMesherDeviceParams()  # defaults: K=200, k-ago ring 3
+        if args.capacity:
+            from ocean_perception_tpu.tracking import DetectorParams
+            from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerParams
+
+            K = args.capacity
+            mp = ObjectMesherDeviceParams(
+                tracker=StereoTrackerParams(
+                    capacity=K, detector=DetectorParams(max_features=K)
+                )
+            )
 
     cam = PinholeCamera.create(W * 0.5, W * 0.5, W / 2, H / 2, H, W)
     rig = StereoCamera.create(cam, cam, baseline=0.2)

@@ -234,7 +234,16 @@ class BusRecorder:
         if isinstance(bus, LcmUdpBus):
             bus.subscribe_bytes(pattern, self._on_bytes)
         else:
-            bus.set_tap(self._on_message)
+            # Chain rather than clobber an existing tap (channel_spy and a
+            # recorder may share a bus; the tap slot is single-owner).
+            prev = getattr(bus, "_tap", None)
+
+            def tap(ch, m):
+                if prev is not None:
+                    prev(ch, m)
+                self._on_message(ch, m)
+
+            bus.set_tap(tap)
 
     def _on_bytes(self, channel: str, payload: bytes) -> None:
         self.writer.write(channel, payload)

@@ -107,6 +107,7 @@ class FarmPerceptionNode:
         self.fleet_steps = 0
         self.frames_in = 0
         self.stale_fills = 0
+        self.rejected_frames = 0
 
         for i in range(n_cameras):
             bus.subscribe(channel_input.format(i=i), self._make_handler(i))
@@ -119,6 +120,13 @@ class FarmPerceptionNode:
         def handler(_ch, m: StereoImageMessage):
             left = _as_rgb(m.left.to_array())
             right = _as_rgb(m.right.to_array())
+            # Validate at ingest: a frame at the wrong resolution must not
+            # reach the batch stack (np.stack over mismatched shapes would
+            # throw on the fleet thread and a wrong-sized frame would
+            # retrace/mis-project anyway).
+            if left.shape[:2] != self._image_shape or right.shape[:2] != self._image_shape:
+                self.rejected_frames += 1
+                return
             with self._wake:
                 if not any(f[3] for f in self._frames.values()):
                     # First fresh frame of this fleet batch: start the

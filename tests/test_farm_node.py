@@ -203,6 +203,27 @@ def test_farm_node_mesher_scale_depth_invariant():
     node.close()
 
 
+def test_farm_node_rejects_wrong_size_frames():
+    """A mis-sized frame (wrong camera config / corrupted stream) must be
+    rejected at ingest, not crash the fleet thread at np.stack time."""
+    bus = InProcessBus()
+    node = FarmPerceptionNode(
+        bus, _rig(), n_cameras=1,
+        perception_config=_fast_config(),
+        mesher_params=_device_params(),
+    )
+    bad = np.zeros((H // 2, W // 2), np.float32)
+    bus.publish("sensors/stereo/cam0", _stereo_msg(1, bad, bad))
+    assert _wait(lambda: node.rejected_frames == 1, timeout=5.0)
+    assert node.frames_in == 0
+
+    # The fleet still works afterwards.
+    l, r = _scene(3)
+    bus.publish("sensors/stereo/cam0", _stereo_msg(2, l, r))
+    assert _wait(lambda: node.fleet_steps == 1)
+    node.close()
+
+
 def test_farm_node_from_config(tmp_path):
     """The shipped FarmPerceptionNode.yaml + a shared rig builds the node."""
     from ocean_perception_tpu.fabric.nodes.farm_perception_node import from_config

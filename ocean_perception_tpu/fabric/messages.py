@@ -61,6 +61,24 @@ class ImageMessage:
         c = 1 if u8.ndim == 2 else u8.shape[2]
         return cls(timestamp, u8.shape[1], u8.shape[0], c, "jpg", buf.tobytes())
 
+    def to_array_u8(self) -> Optional[np.ndarray]:
+        """The frame as uint8 WITHOUT the float conversion, or None when the
+        payload is float ("raw"). Consumers that cast on-device (the farm
+        node's batched step) ship 1 byte/pixel host->device instead of 4-12."""
+        if self.encoding == "u8":
+            arr = np.frombuffer(self.data, np.uint8)
+            shape = (
+                (self.height, self.width)
+                if self.channels == 1
+                else (self.height, self.width, self.channels)
+            )
+            return arr.reshape(shape)
+        if self.encoding == "jpg":
+            import cv2
+
+            return cv2.imdecode(np.frombuffer(self.data, np.uint8), cv2.IMREAD_UNCHANGED)
+        return None
+
     def to_array(self) -> np.ndarray:
         if self.encoding == "raw":
             arr = np.frombuffer(self.data, np.float32)

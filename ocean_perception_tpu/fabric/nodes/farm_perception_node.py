@@ -35,9 +35,20 @@ from ..messages import ImageMessage, MeshMessage, StereoImageMessage
 from ..pubsub import PubSub, UdpMulticastBus
 
 
-def _as_rgb(arr: np.ndarray) -> np.ndarray:
-    """Normalize wire frames to (H, W, 3) float32 (the batched step needs
-    one static shape across cameras; mono cameras stack to 3 channels)."""
+def _wire_frame(img) -> np.ndarray:
+    """Decode a wire image with the SMALLEST host representation: u8 stays
+    u8 and mono stays single-channel — the batched step casts to float and
+    broadcasts channels ON DEVICE (sharded_pipeline._prep), so a u8 mono
+    720p frame ships 0.9 MB host->device instead of 11 MB. Float payloads
+    pass through as float32."""
+    u8 = img.to_array_u8()
+    return u8 if u8 is not None else np.asarray(img.to_array(), np.float32)
+
+
+def _as_rgb_f32(arr: np.ndarray) -> np.ndarray:
+    """Fallback normalization when a fleet batch mixes dtypes/layouts."""
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
     arr = np.asarray(arr, np.float32)
     if arr.ndim == 2:
         arr = np.repeat(arr[..., None], 3, axis=2)
@@ -118,8 +129,8 @@ class FarmPerceptionNode:
 
     def _make_handler(self, cam: int):
         def handler(_ch, m: StereoImageMessage):
-            left = _as_rgb(m.left.to_array())
-            right = _as_rgb(m.right.to_array())
+            left = _wire_frame(m.left)
+            right = _wire_frame(m.right)
             # Validate at ingest: a frame at the wrong resolution must not
             # reach the batch stack (np.stack over mismatched shapes would
             # throw on the fleet thread and a wrong-sized frame would
@@ -164,26 +175,38 @@ class FarmPerceptionNode:
 
     def _collect_locked(self):
         H, W = self._image_shape
-        lefts, rights, stamps, fresh_mask = [], [], [], []
+        stamps, fresh_mask, pairs = [], [], []
         for i in range(self.n_cameras):
             f = self._frames.get(i)
             if f is None:
-                lefts.append(np.zeros((H, W, 3), np.float32))
-                rights.append(np.zeros((H, W, 3), np.float32))
                 stamps.append(0)
                 fresh_mask.append(False)
+                pairs.append(None)
                 self.stale_fills += 1
             else:
                 stamps.append(f[0])
-                lefts.append(f[1])
-                rights.append(f[2])
+                pairs.append((f[1], f[2]))
                 fresh_mask.append(f[3])
                 if not f[3]:
                     self.stale_fills += 1
                 f[3] = False  # consumed
-        return (
-            np.stack(lefts), np.stack(rights), stamps, fresh_mask,
+        # Uniform batch: keep the compact wire representation (u8/mono) when
+        # every present frame agrees — the jitted step casts on device; mixed
+        # fleets fall back to f32 RGB on the host.
+        present = [a for p in pairs if p is not None for a in p]
+        uniform = present and all(
+            a.dtype == present[0].dtype and a.shape == present[0].shape
+            for a in present
         )
+        if uniform:
+            zero = np.zeros_like(present[0])
+            lefts = [p[0] if p is not None else zero for p in pairs]
+            rights = [p[1] if p is not None else zero for p in pairs]
+        else:
+            zero = np.zeros((H, W, 3), np.float32)
+            lefts = [_as_rgb_f32(p[0]) if p is not None else zero for p in pairs]
+            rights = [_as_rgb_f32(p[1]) if p is not None else zero for p in pairs]
+        return np.stack(lefts), np.stack(rights), stamps, fresh_mask
 
     def _step(self, lefts, rights, stamps, fresh_mask) -> None:
         import jax
@@ -196,7 +219,11 @@ class FarmPerceptionNode:
         bl = jnp.asarray(lefts)
         br = jnp.asarray(rights)
         if self._prev_grays is None:
-            pg = jax.vmap(to_grayscale)(bl)
+            pg = bl
+            if pg.dtype == jnp.uint8:
+                pg = pg.astype(jnp.float32) / 255.0
+            if pg.ndim == 4:  # (B, H, W, 3) -> gray; (B, H, W) mono is gray
+                pg = jax.vmap(to_grayscale)(pg)
             for _ in range(self.mesher_scale.bit_length() - 1):
                 pg = jax.vmap(pyr_down)(pg)
             self._prev_grays = pg
@@ -296,6 +323,8 @@ def main(argv=None) -> int:
     ap.add_argument("--mesher-scale", type=int, default=2,
                     help="tracking/mesher at 1/s resolution (reference "
                          "mesher_input_height parity; 2 = 360p from 720p)")
+    ap.add_argument("--stats-every", type=float, default=0.0,
+                    help="print fleet step/frame counters every N seconds")
     ap.add_argument("--enhanced-out", default=None,
                     help="per-camera enhanced jpg channel template, e.g. farm/enhanced/cam{i}")
     ap.add_argument("--lcm", action="store_true")
@@ -324,9 +353,26 @@ def main(argv=None) -> int:
             channel_output_enhanced=args.enhanced_out,
             mesher_scale=args.mesher_scale,
         )
-    print(f"farm_perception_node listening ({node.n_cameras} cameras)...")
+    print(f"farm_perception_node listening ({node.n_cameras} cameras)...", flush=True)
     try:
-        threading.Event().wait()
+        if args.stats_every > 0:
+            import time as _time
+
+            last = (0, _time.monotonic())
+            while True:
+                _time.sleep(args.stats_every)
+                now = _time.monotonic()
+                steps = node.fleet_steps
+                rate = (steps - last[0]) / max(now - last[1], 1e-9)
+                last = (steps, now)
+                print(
+                    f"fleet_steps={steps} ({rate:.2f}/s = "
+                    f"{rate * node.n_cameras:.1f} cam-fps) frames_in={node.frames_in}"
+                    f" stale={node.stale_fills} rejected={node.rejected_frames}",
+                    flush=True,
+                )
+        else:
+            threading.Event().wait()
     except KeyboardInterrupt:
         pass
     finally:

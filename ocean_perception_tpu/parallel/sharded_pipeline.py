@@ -71,12 +71,24 @@ def _frontend_step_fn(
 
     cam_shard = NamedSharding(mesh, P(axis))
 
+    def _prep(x):
+        # Accept u8 and/or mono batches: the cast + channel broadcast run
+        # ON DEVICE, so callers can ship 1 byte/pixel instead of 12 (the
+        # farm node's wire frames are u8 mono; host->device transfer is the
+        # wall on remote-attached rigs and a real PCIe cost everywhere).
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        if x.ndim == 3:  # (B, H, W) mono -> (B, H, W, 3)
+            x = jnp.broadcast_to(x[..., None], x.shape + (3,))
+        return x
+
     @functools.partial(
         jax.jit,
         in_shardings=(None, cam_shard, cam_shard, cam_shard, cam_shard, cam_shard),
         out_shardings=cam_shard,
     )
     def step(rig, states, gs, pg, bl, br):
+        bl, br = _prep(bl), _prep(br)
         return jax.vmap(
             lambda s, g, p, l, r: full_frontend_step(
                 s, g, p, l, r, rig, config, mesher_params, mesher_scale=mesher_scale

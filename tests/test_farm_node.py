@@ -76,7 +76,7 @@ def _stereo_msg(ts, left, right):
     )
 
 
-def _wait(cond, timeout=60.0):
+def _wait(cond, timeout=180.0):  # generous: fleet steps slow under suite-wide CPU load
     t0 = time.time()
     while time.time() - t0 < timeout:
         if cond():
@@ -201,6 +201,49 @@ def test_farm_node_mesher_scale_depth_invariant():
     z = np.median(meshes[-1].vertices[:, 2])
     assert abs(z - 5.0) < 0.8, f"depth {z} != 5.0 (rig/fxb scale mismatch)"
     node.close()
+
+
+@pytest.mark.slow
+def test_farm_node_u8_wire_path_matches_f32():
+    """u8 wire frames ride to the device as 1 byte/pixel and cast on-chip
+    (sharded_pipeline._prep); the meshes must equal the f32 path exactly
+    (the source frames are u8-quantized, so u8/255 == the f32 payload)."""
+    l, r = _scene(3)
+    u8l = (np.clip(l, 0, 1) * 255 + 0.5).astype(np.uint8)
+    u8r = (np.clip(r, 0, 1) * 255 + 0.5).astype(np.uint8)
+    f32l, f32r = u8l.astype(np.float32) / 255.0, u8r.astype(np.float32) / 255.0
+
+    def run(encoding):
+        bus = InProcessBus()
+        node = FarmPerceptionNode(
+            bus, _rig(), n_cameras=1,
+            perception_config=_fast_config(),
+            mesher_params=_device_params(),
+        )
+        meshes = []
+        bus.subscribe("farm/mesh/cam0", lambda _c, m: meshes.append(m))
+        for k in range(6):
+            ts = (k + 1) * 100_000_000
+            if encoding == "u8":
+                im = lambda: ImageMessage(ts, u8l.shape[1], u8l.shape[0], 1, "u8", u8l.tobytes())
+                imr = lambda: ImageMessage(ts, u8r.shape[1], u8r.shape[0], 1, "u8", u8r.tobytes())
+                msg = StereoImageMessage(ts, 0, im(), imr())
+            else:
+                msg = StereoImageMessage(
+                    ts, 0,
+                    ImageMessage.from_array(ts, f32l),
+                    ImageMessage.from_array(ts, f32r),
+                )
+            bus.publish("sensors/stereo/cam0", msg)
+            assert _wait(lambda: node.fleet_steps == k + 1)
+        node.close()
+        return meshes
+
+    m_u8 = run("u8")
+    m_f32 = run("f32")
+    assert m_u8 and len(m_u8) == len(m_f32)
+    np.testing.assert_array_equal(m_u8[-1].vertices, m_f32[-1].vertices)
+    np.testing.assert_array_equal(m_u8[-1].triangles, m_f32[-1].triangles)
 
 
 def test_farm_node_rejects_wrong_size_frames():

@@ -54,6 +54,24 @@ class LKParams:
     # freeze at the boundary (coarse-to-fine residuals are ~1-2 px per level,
     # so slack 4 is generous; 0 = unbounded per-iteration re-extraction).
     search_slack: int = struct.field(pytree_node=False, default=4)
+    # Correlation-surface iterations (requires search_slack > 0): the LK
+    # update only needs the two scalars sum(diff*gx), sum(diff*gy), and the
+    # resampled patch is bilinear in its offset within the slack window — so
+    # each scalar is EXACTLY a bilinear lookup of a precomputed correlation
+    # surface S_g(a, b) = <window[a:a+win, b:b+win], g> over the (2s+3)^2
+    # integer offsets. Per level: one MXU correlation precompute; per
+    # iteration: two (A,)-tent-weight contractions (~100 flops) instead of
+    # two (win, ws)-matmul patch resamples (~70k flops). Mathematically
+    # identical up to f32 reassociation; the sequential walk (the measured
+    # per-point bottleneck of the fleet step) stops paying O(win^2) per step.
+    # Measured (v5e, 720p, K=200, bidirectional, slope method): 7.86 -> 5.15
+    # ms/frame; per-point slope 35.0 -> 23.7 us/pt. Default ON.
+    corr_iters: bool = struct.field(pytree_node=False, default=True)
+    # How the correlation surfaces are built: "einsum" (x-unfold matmul on
+    # the MXU; 2.8x redundant MACs) or "slices" (direct per-offset window
+    # products on the VPU; minimal MACs). Same values either way (f32
+    # association aside).
+    corr_impl: str = struct.field(pytree_node=False, default="einsum")
     # Early exit: run the per-level iterations as a while_loop that stops
     # once EVERY point has converged (vmap batches the loop with an any-lane
     # condition). Bit-identical to the fixed fori_loop — converged points
@@ -63,6 +81,15 @@ class LKParams:
     # 12.4 -> 10.2 ms for bidirectional K=200 @ 376x672; never slower than
     # the fixed loop (bounded by the same max_iters).
     early_exit: bool = struct.field(pytree_node=False, default=True)
+    # Bodies per early-exit while_loop trip. The body freezes converged/hit
+    # points by masking, so running it k times per trip is BIT-IDENTICAL as
+    # long as max_iters % k == 0 (checked; falls back to 1 otherwise) — the
+    # loop just checks the all-done condition every k-th step, trading at
+    # most k-1 masked no-op steps for k-fold fewer cond evaluations (each a
+    # cross-lane any-reduce) on the sequential critical path. Measured on
+    # v5e: NEUTRAL (5.33/5.33/5.20/5.29 ms for u1/u2/u3/u5 at K=200) — the
+    # per-iteration op latency dominates, not the cond. Kept at 1.
+    exit_unroll: int = struct.field(pytree_node=False, default=1)
 
 
 class FlowResult(NamedTuple):
@@ -185,26 +212,86 @@ def _lk_level(
         sx0 = jnp.clip(jnp.floor(guess[0]) + pad - r - s - 1, 0, W + 2 * pad - ws).astype(jnp.int32)
         swin = _dslice(next_img, src_next, sy0, sx0, ws, ws)
 
-        def body(_, carry):
-            pos, converged, hit = carry
-            cy = pos[1] + pad - sy0.astype(pos.dtype)
-            cx = pos[0] + pad - sx0.astype(pos.dtype)
-            # Leaving the slack region = level failure (the unbounded walk
-            # would have diverged out of the image; a frozen-at-boundary
-            # guess must NOT be accepted — finer levels can only correct
-            # within their own slack and never recover from it).
-            in_win = (
-                (cy >= r + 1) & (cy <= ws - r - 2) & (cx >= r + 1) & (cx <= ws - r - 2)
-            )
-            hit = hit | ~in_win
-            patch = sample_patches_bilinear(swin, cy, cx, win, win)
-            diff = patch - tpatch
-            b = jnp.array([jnp.sum(diff * gx), jnp.sum(diff * gy)])
-            delta = -(inv @ b)
-            stop = converged | hit
-            new_pos = jnp.where(stop, pos, pos + delta)
-            converged = stop | (jnp.sum(delta * delta) < p.eps * p.eps)
-            return (new_pos, converged, hit)
+        if p.corr_iters:
+            # S_g(a, b) = sum_{y,x} swin[a+y, b+x] * g[y, x] for every integer
+            # patch top-left (a, b); A = ws - win + 1 = 2*slack + 3. Built as
+            # an x-unfold matmul (MXU) + diagonal y-reduction. in_win keeps
+            # the live walk at a in [1, A-2], so the two bilinear taps never
+            # leave the surface and the lookup is exact (see _axis_weights:
+            # its border clamp is likewise never active for in-window points).
+            A = ws - win + 1
+            g2 = jnp.stack([gx, gy])  # (2, win, win)
+            if p.corr_impl == "einsum":
+                # x-unfold matmul (MXU): computes partial sums for all
+                # (row, template-row) pairs then takes the a = row - y
+                # diagonal — 2.8x more MACs than needed but one big dot.
+                cols = jnp.stack(
+                    [jax.lax.slice_in_dim(swin, b, b + win, axis=1) for b in range(A)],
+                    axis=1,
+                )  # (ws, A, win): cols[c, b, x] = swin[c, b + x]
+                m = jnp.einsum("cbx,gyx->gcby", cols, g2)  # (2, ws, A, win)
+                corr = sum(m[:, y : y + A, :, y] for y in range(win))  # (2, A, A)
+            else:
+                # Direct form (VPU): one masked window product per integer
+                # offset — exactly the A*A*win*win MACs the surface needs,
+                # all elementwise (vectorized over K by the caller's vmap).
+                corr = jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.sum(
+                                    swin[a : a + win, b : b + win] * g2, axis=(-2, -1)
+                                )
+                                for b in range(A)
+                            ],
+                            axis=-1,
+                        )
+                        for a in range(A)
+                    ],
+                    axis=-2,
+                )  # (2, A, A)
+            tg = jnp.stack([jnp.sum(tpatch * gx), jnp.sum(tpatch * gy)])
+            ia = jnp.arange(A, dtype=swin.dtype)
+
+            def body(_, carry):
+                pos, converged, hit = carry
+                cy = pos[1] + pad - sy0.astype(pos.dtype)
+                cx = pos[0] + pad - sx0.astype(pos.dtype)
+                in_win = (
+                    (cy >= r + 1) & (cy <= ws - r - 2) & (cx >= r + 1) & (cx <= ws - r - 2)
+                )
+                hit = hit | ~in_win
+                # Tent weights = exact bilinear weights of offset (cy-r, cx-r).
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs((cy - r) - ia))
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs((cx - r) - ia))
+                b = (corr @ wx) @ wy - tg  # (2,): [sum(diff*gx), sum(diff*gy)]
+                delta = -(inv @ b)
+                stop = converged | hit
+                new_pos = jnp.where(stop, pos, pos + delta)
+                converged = stop | (jnp.sum(delta * delta) < p.eps * p.eps)
+                return (new_pos, converged, hit)
+
+        else:
+            def body(_, carry):
+                pos, converged, hit = carry
+                cy = pos[1] + pad - sy0.astype(pos.dtype)
+                cx = pos[0] + pad - sx0.astype(pos.dtype)
+                # Leaving the slack region = level failure (the unbounded walk
+                # would have diverged out of the image; a frozen-at-boundary
+                # guess must NOT be accepted — finer levels can only correct
+                # within their own slack and never recover from it).
+                in_win = (
+                    (cy >= r + 1) & (cy <= ws - r - 2) & (cx >= r + 1) & (cx <= ws - r - 2)
+                )
+                hit = hit | ~in_win
+                patch = sample_patches_bilinear(swin, cy, cx, win, win)
+                diff = patch - tpatch
+                b = jnp.array([jnp.sum(diff * gx), jnp.sum(diff * gy)])
+                delta = -(inv @ b)
+                stop = converged | hit
+                new_pos = jnp.where(stop, pos, pos + delta)
+                converged = stop | (jnp.sum(delta * delta) < p.eps * p.eps)
+                return (new_pos, converged, hit)
 
     else:
         # Each iteration re-extracts a (win+2)^2 window centered on the
@@ -228,6 +315,7 @@ def _lk_level(
             return (new_pos, converged)
 
     unroll = True if p.iter_unroll <= 0 else p.iter_unroll
+    xu = p.exit_unroll if p.exit_unroll > 1 and p.max_iters % p.exit_unroll == 0 else 1
     if p.early_exit:
         # while_loop with an all-done exit. The body is already idempotent
         # for converged points (masked updates), so the batched loop (vmap
@@ -239,8 +327,9 @@ def _lk_level(
 
             def w_body(c):
                 i, pos, converged, hit = c
-                pos, converged, hit = body(i, (pos, converged, hit))
-                return (i + 1, pos, converged, hit)
+                for _ in range(xu):
+                    pos, converged, hit = body(i, (pos, converged, hit))
+                return (i + xu, pos, converged, hit)
 
             _, pos, _, hit = jax.lax.while_loop(
                 w_cond, w_body,
@@ -253,8 +342,9 @@ def _lk_level(
 
             def w_body(c):
                 i, pos, converged = c
-                pos, converged = body(i, (pos, converged))
-                return (i + 1, pos, converged)
+                for _ in range(xu):
+                    pos, converged = body(i, (pos, converged))
+                return (i + xu, pos, converged)
 
             _, pos, _ = jax.lax.while_loop(
                 w_cond, w_body, (jnp.asarray(0), guess, jnp.asarray(False))

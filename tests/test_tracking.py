@@ -89,6 +89,49 @@ def test_lk_tracks_pure_translation(textured):
     np.testing.assert_allclose(np.median(flow, axis=0), shift, atol=0.25)
 
 
+def test_lk_corr_iters_matches_matmul_iters(textured):
+    """corr_iters rewrites each LK iteration as an exact bilinear lookup of a
+    precomputed correlation surface — identical math, different f32
+    association order. Positions must agree to sub-centipixel on points both
+    modes accept, with at most a marginal status flip or two."""
+    prev = textured[:, :W]
+    M = np.float32([[1, 0, 3.1], [0, 1, -1.7]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = cv2.goodFeaturesToTrack(prev, maxCorners=120, qualityLevel=0.01, minDistance=7)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    valid = jnp.ones(len(pts), bool)
+    r0 = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid, LKParams(corr_iters=False))
+    r1 = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid, LKParams(corr_iters=True))
+    s0, s1 = np.asarray(r0.status), np.asarray(r1.status)
+    assert (s0 == s1).mean() >= 0.97  # convergence-path flips only
+    both = s0 & s1
+    assert both.sum() > 0.7 * len(pts)
+    d = np.abs(np.asarray(r0.points) - np.asarray(r1.points))[both]
+    assert d.max() < 0.05
+    # And the mode is actually accurate, not just self-consistent.
+    flow = np.asarray(r1.points)[s1] - pts[s1]
+    np.testing.assert_allclose(np.median(flow, axis=0), (3.1, -1.7), atol=0.1)
+
+
+def test_lk_exit_unroll_bit_identical(textured):
+    """exit_unroll batches k masked body steps per while trip — converged/hit
+    points are frozen by masking, so results must be BIT-identical to the
+    one-step loop (max_iters=30 is divisible by 3)."""
+    prev = textured[:, :W]
+    M = np.float32([[1, 0, 2.3], [0, 1, 1.1]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = cv2.goodFeaturesToTrack(prev, maxCorners=80, qualityLevel=0.01, minDistance=7)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    valid = jnp.ones(len(pts), bool)
+    for corr in (False, True):
+        r1 = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                          LKParams(corr_iters=corr, exit_unroll=1))
+        r3 = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                          LKParams(corr_iters=corr, exit_unroll=3))
+        np.testing.assert_array_equal(np.asarray(r1.points), np.asarray(r3.points))
+        np.testing.assert_array_equal(np.asarray(r1.status), np.asarray(r3.status))
+
+
 def test_lk_bidirectional_rejects_bad(textured):
     prev = textured[:, :W]
     rng = np.random.default_rng(5)

@@ -44,6 +44,10 @@ def main() -> int:
     ap.add_argument("--mesher-scale", type=int, default=1,
                     help="tracking/mesher at 1/s resolution (reference "
                          "mesher_input_height parity)")
+    ap.add_argument("--lk-mode", default="default",
+                    choices=["default", "matmul", "corr", "pallas"],
+                    help="LK iteration mode ablation (default = LKParams "
+                         "defaults: corr surfaces + auto pallas on TPU)")
     ap.add_argument("--capacity", type=int, default=None,
                     help="tracker slot capacity (default: reference K=200)")
     args = ap.parse_args()
@@ -89,17 +93,26 @@ def main() -> int:
     else:
         H, W, max_disp = 720, 1280, 128
         cfg = PerceptionConfig(max_disp=max_disp, internal_scale=args.internal_scale)
-        mp = ObjectMesherDeviceParams()  # defaults: K=200, k-ago ring 3
-        if args.capacity:
+        tracker_kw = {}
+        if args.lk_mode != "default":
+            from ocean_perception_tpu.tracking import LKParams
+
+            tracker_kw["lk"] = LKParams(
+                corr_iters=args.lk_mode in ("corr", "pallas"),
+                pallas_iters=args.lk_mode == "pallas",
+            )
+        if args.capacity or tracker_kw:
             from ocean_perception_tpu.tracking import DetectorParams
             from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerParams
 
-            K = args.capacity
+            K = args.capacity or 200
             mp = ObjectMesherDeviceParams(
                 tracker=StereoTrackerParams(
-                    capacity=K, detector=DetectorParams(max_features=K)
+                    capacity=K, detector=DetectorParams(max_features=K), **tracker_kw
                 )
             )
+        else:
+            mp = ObjectMesherDeviceParams()  # defaults: K=200, k-ago ring 3
 
     cam = PinholeCamera.create(W * 0.5, W * 0.5, W / 2, H / 2, H, W)
     rig = StereoCamera.create(cam, cam, baseline=0.2)

@@ -90,9 +90,10 @@ def main():
     for mode in args.modes.split(","):
         base, _, u = mode.partition("-u")
         params = LKParams(
-            corr_iters=base.startswith("corr"),
+            corr_iters=base.startswith("corr") or base == "pallas",
             corr_impl="slices" if base == "corrsl" else "einsum",
             exit_unroll=int(u) if u else 1,
+            pallas_iters=(base == "pallas"),
         )
         run1 = build_step(params, args.frames)
         t1 = time_run(run1, im, pts, args.repeats)

@@ -72,6 +72,13 @@ class LKParams:
     # products on the VPU; minimal MACs). Same values either way (f32
     # association aside).
     corr_impl: str = struct.field(pytree_node=False, default="einsum")
+    # Run each level's iteration walk as ONE Pallas kernel launch
+    # (ops/pallas/lk_iterate.py): surfaces for all K points VMEM-resident,
+    # K on the lane axis, fixed masked fori_loop (== the early-exit while,
+    # see exit_unroll note). Requires corr_iters and search_slack > 0.
+    # None = AUTO: real-TPU backends only (interpret mode elsewhere is for
+    # the parity test, not production).
+    pallas_iters: bool | None = struct.field(pytree_node=False, default=None)
     # Early exit: run the per-level iterations as a while_loop that stops
     # once EVERY point has converged (vmap batches the loop with an any-lane
     # condition). Bit-identical to the fixed fori_loop — converged points
@@ -155,6 +162,75 @@ def _coarse_block_match(
     return jax.vmap(one)(points)
 
 
+def _template_side(prev_img, src_prev, pt_prev, p: LKParams, win: int, pad: int, H: int, W: int):
+    """Template-side per-point precompute at one level: subpixel-centered
+    template patch, its central-difference gradients, the inverted 2x2
+    normal matrix, and the min-eig quality gate."""
+    r = win // 2
+    # Template window from prev (win+2 for central-difference gradients).
+    t0y = jnp.clip(jnp.floor(pt_prev[1]) + pad - r - 1, 0, H + 2 * pad - (win + 3)).astype(jnp.int32)
+    t0x = jnp.clip(jnp.floor(pt_prev[0]) + pad - r - 1, 0, W + 2 * pad - (win + 3)).astype(jnp.int32)
+    twin = _dslice(prev_img, src_prev, t0y, t0x, win + 3, win + 3)
+    # Bilinear-center the template on the true subpixel location.
+    fy = pt_prev[1] + pad - t0y.astype(prev_img.dtype)
+    fx = pt_prev[0] + pad - t0x.astype(prev_img.dtype)
+    template = sample_patches_bilinear(twin, fy, fx, win + 2, win + 2)
+    tpatch = template[1:-1, 1:-1]
+    # Scharr-free central-difference gradients (cv::calcOpticalFlowPyrLK uses
+    # a similar local derivative).
+    gx = 0.5 * (template[1:-1, 2:] - template[1:-1, :-2])
+    gy = 0.5 * (template[2:, 1:-1] - template[:-2, 1:-1])
+
+    # Normal matrix G (2x2), inverted once.
+    gxx = jnp.sum(gx * gx)
+    gxy = jnp.sum(gx * gy)
+    gyy = jnp.sum(gy * gy)
+    det = gxx * gyy - gxy * gxy
+    min_eig = 0.5 * ((gxx + gyy) - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy**2)) / (win * win)
+    ok_g = (det > 1e-12) & (min_eig > p.min_eig_threshold)
+    inv = jnp.array([[gyy, -gxy], [-gxy, gxx]]) / jnp.where(det > 1e-12, det, 1.0)
+    return tpatch, gx, gy, inv, ok_g
+
+
+def _corr_surfaces(swin, tpatch, gx, gy, win: int, impl: str):
+    """Correlation surfaces S_g(a, b) = <swin[a:a+win, b:b+win], g> for
+    g in {gx, gy} plus the constant template dot products. The LK residual
+    scalars are exact bilinear lookups of these surfaces (see LKParams
+    .corr_iters)."""
+    ws = swin.shape[-1]
+    A = ws - win + 1
+    g2 = jnp.stack([gx, gy])  # (2, win, win)
+    if impl == "einsum":
+        # x-unfold matmul (MXU): computes partial sums for all
+        # (row, template-row) pairs then takes the a = row - y
+        # diagonal — 2.8x more MACs than needed but one big dot.
+        cols = jnp.stack(
+            [jax.lax.slice_in_dim(swin, b, b + win, axis=1) for b in range(A)],
+            axis=1,
+        )  # (ws, A, win): cols[c, b, x] = swin[c, b + x]
+        m = jnp.einsum("cbx,gyx->gcby", cols, g2)  # (2, ws, A, win)
+        corr = sum(m[:, y : y + A, :, y] for y in range(win))  # (2, A, A)
+    else:
+        # Direct form (VPU): one masked window product per integer
+        # offset — exactly the A*A*win*win MACs the surface needs,
+        # all elementwise (vectorized over K by the caller's vmap).
+        corr = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.sum(swin[a : a + win, b : b + win] * g2, axis=(-2, -1))
+                        for b in range(A)
+                    ],
+                    axis=-1,
+                )
+                for a in range(A)
+            ],
+            axis=-2,
+        )  # (2, A, A)
+    tg = jnp.stack([jnp.sum(tpatch * gx), jnp.sum(tpatch * gy)])
+    return corr, tg
+
+
 def _lk_level(
     prev_img: jnp.ndarray,
     next_img: jnp.ndarray,
@@ -179,29 +255,9 @@ def _lk_level(
     r = win // 2
 
     H, W = prev_img.shape[-2] - 2 * pad, prev_img.shape[-1] - 2 * pad
-
-    # Template window from prev (win+2 for central-difference gradients).
-    t0y = jnp.clip(jnp.floor(pt_prev[1]) + pad - r - 1, 0, H + 2 * pad - (win + 3)).astype(jnp.int32)
-    t0x = jnp.clip(jnp.floor(pt_prev[0]) + pad - r - 1, 0, W + 2 * pad - (win + 3)).astype(jnp.int32)
-    twin = _dslice(prev_img, src_prev, t0y, t0x, win + 3, win + 3)
-    # Bilinear-center the template on the true subpixel location.
-    fy = pt_prev[1] + pad - t0y.astype(prev_img.dtype)
-    fx = pt_prev[0] + pad - t0x.astype(prev_img.dtype)
-    template = sample_patches_bilinear(twin, fy, fx, win + 2, win + 2)
-    tpatch = template[1:-1, 1:-1]
-    # Scharr-free central-difference gradients (cv::calcOpticalFlowPyrLK uses
-    # a similar local derivative).
-    gx = 0.5 * (template[1:-1, 2:] - template[1:-1, :-2])
-    gy = 0.5 * (template[2:, 1:-1] - template[:-2, 1:-1])
-
-    # Normal matrix G (2x2), inverted once.
-    gxx = jnp.sum(gx * gx)
-    gxy = jnp.sum(gx * gy)
-    gyy = jnp.sum(gy * gy)
-    det = gxx * gyy - gxy * gxy
-    min_eig = 0.5 * ((gxx + gyy) - jnp.sqrt((gxx - gyy) ** 2 + 4 * gxy**2)) / (win * win)
-    ok_g = (det > 1e-12) & (min_eig > p.min_eig_threshold)
-    inv = jnp.array([[gyy, -gxy], [-gxy, gxx]]) / jnp.where(det > 1e-12, det, 1.0)
+    tpatch, gx, gy, inv, ok_g = _template_side(
+        prev_img, src_prev, pt_prev, p, win, pad, H, W
+    )
 
     if p.search_slack > 0:
         # One slack window per level: iterations resample inside it with the
@@ -220,37 +276,7 @@ def _lk_level(
             # leave the surface and the lookup is exact (see _axis_weights:
             # its border clamp is likewise never active for in-window points).
             A = ws - win + 1
-            g2 = jnp.stack([gx, gy])  # (2, win, win)
-            if p.corr_impl == "einsum":
-                # x-unfold matmul (MXU): computes partial sums for all
-                # (row, template-row) pairs then takes the a = row - y
-                # diagonal — 2.8x more MACs than needed but one big dot.
-                cols = jnp.stack(
-                    [jax.lax.slice_in_dim(swin, b, b + win, axis=1) for b in range(A)],
-                    axis=1,
-                )  # (ws, A, win): cols[c, b, x] = swin[c, b + x]
-                m = jnp.einsum("cbx,gyx->gcby", cols, g2)  # (2, ws, A, win)
-                corr = sum(m[:, y : y + A, :, y] for y in range(win))  # (2, A, A)
-            else:
-                # Direct form (VPU): one masked window product per integer
-                # offset — exactly the A*A*win*win MACs the surface needs,
-                # all elementwise (vectorized over K by the caller's vmap).
-                corr = jnp.stack(
-                    [
-                        jnp.stack(
-                            [
-                                jnp.sum(
-                                    swin[a : a + win, b : b + win] * g2, axis=(-2, -1)
-                                )
-                                for b in range(A)
-                            ],
-                            axis=-1,
-                        )
-                        for a in range(A)
-                    ],
-                    axis=-2,
-                )  # (2, A, A)
-            tg = jnp.stack([jnp.sum(tpatch * gx), jnp.sum(tpatch * gy)])
+            corr, tg = _corr_surfaces(swin, tpatch, gx, gy, win, p.corr_impl)
             ia = jnp.arange(A, dtype=swin.dtype)
 
             def body(_, carry):
@@ -408,6 +434,16 @@ def pyramidal_lk(
     sp = zeros_k if src_prev is None else jnp.asarray(src_prev, jnp.int32)
     sn = zeros_k if src_next is None else jnp.asarray(src_next, jnp.int32)
 
+    init0 = points if initial_flow is None else initial_flow
+    use_pallas = p.pallas_iters
+    if use_pallas is None:  # auto: real-TPU backends only (see field docstring)
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and p.corr_iters and p.search_slack > 0:
+        return _pyramidal_lk_level_major(
+            prev_pad, next_pad, points, init0, sp, sn, p, level_window,
+            levels, pad, interpret=jax.default_backend() != "tpu",
+        )
+
     def one_point(pt, init, s_p, s_n):
         guess = init / scale0
         ok = jnp.asarray(False)
@@ -429,9 +465,69 @@ def pyramidal_lk(
                 guess = guess * 2.0
         return guess, ok
 
-    init = points if initial_flow is None else initial_flow
-    pts, status = jax.vmap(one_point)(points, init, sp, sn)
+    pts, status = jax.vmap(one_point)(points, init0, sp, sn)
     return FlowResult(points=pts, status=status)
+
+
+def _pyramidal_lk_level_major(
+    prev_pad, next_pad, points, init, sp, sn, p: LKParams, level_window,
+    levels: int, pad: int, interpret: bool,
+) -> FlowResult:
+    """Level-major variant of the coarse-to-fine walk: per level, a vmapped
+    XLA prep (template + slack gather + correlation surfaces) feeds ONE
+    Pallas launch that runs the whole iteration loop for all K points
+    (ops/pallas/lk_iterate.py). Same math as the vmapped corr-mode loop;
+    parity locked by test_lk_pallas_iterate_matches_xla."""
+    from ..ops.pallas.lk_iterate import lk_iterate_pallas
+
+    scale0 = 2.0 ** (levels - 1)
+    s = p.search_slack
+    guess = init / scale0
+    ok = jnp.zeros(points.shape[0], bool)
+    for lvl in range(levels - 1, -1, -1):
+        win = level_window(lvl)
+        if win is not None:
+            r = win // 2
+            ws = win + 2 * (s + 1)
+            sc = 2.0 ** lvl
+            pts_l = points / sc
+            H = prev_pad[lvl].shape[-2] - 2 * pad
+            W = prev_pad[lvl].shape[-1] - 2 * pad
+
+            def prep(pt, g, s_p, s_n,
+                     _prev=prev_pad[lvl], _next=next_pad[lvl],
+                     _win=win, _ws=ws, _r=r, _H=H, _W=W):
+                tpatch, gx, gy, inv, ok_g = _template_side(
+                    _prev, s_p, pt, p, _win, pad, _H, _W
+                )
+                sy0 = jnp.clip(
+                    jnp.floor(g[1]) + pad - _r - s - 1, 0, _H + 2 * pad - _ws
+                ).astype(jnp.int32)
+                sx0 = jnp.clip(
+                    jnp.floor(g[0]) + pad - _r - s - 1, 0, _W + 2 * pad - _ws
+                ).astype(jnp.int32)
+                swin = _dslice(_next, s_n, sy0, sx0, _ws, _ws)
+                corr, tg = _corr_surfaces(swin, tpatch, gx, gy, _win, p.corr_impl)
+                return corr, tg, inv, ok_g, sy0, sx0
+
+            corr, tg, inv, ok_g, sy0, sx0 = jax.vmap(prep)(pts_l, guess, sp, sn)
+            pos, hit = lk_iterate_pallas(
+                corr, tg, inv, sy0, sx0, guess,
+                r=r, ws=ws, pad=pad, max_iters=p.max_iters, eps=float(p.eps),
+                interpret=interpret,
+            )
+            in_img = (
+                (pos[:, 0] >= 0) & (pos[:, 0] <= W - 1)
+                & (pos[:, 1] >= 0) & (pos[:, 1] <= H - 1)
+            )
+            ok_l = ok_g & in_img & jnp.all(jnp.isfinite(pos), axis=-1) & ~hit
+            guess = jnp.where(ok_l[:, None], pos, guess)
+            if lvl == 0:
+                # OpenCV semantics: status comes from the finest level.
+                ok = ok_l
+        if lvl > 0:
+            guess = guess * 2.0
+    return FlowResult(points=guess, status=ok)
 
 
 def track_points(

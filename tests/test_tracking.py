@@ -132,6 +132,39 @@ def test_lk_exit_unroll_bit_identical(textured):
         np.testing.assert_array_equal(np.asarray(r1.status), np.asarray(r3.status))
 
 
+def test_lk_pallas_iterate_matches_xla(textured):
+    """The Pallas per-level iteration kernel (interpret mode off-TPU) must
+    reproduce the XLA corr-mode walk, including under a camera-axis vmap
+    (the farm fleet shape)."""
+    prev = textured[:, :W]
+    M = np.float32([[1, 0, 2.7], [0, 1, -1.3]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = cv2.goodFeaturesToTrack(prev, maxCorners=60, qualityLevel=0.01, minDistance=7)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    valid = jnp.ones(len(pts), bool)
+    a = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                     LKParams(pallas_iters=False))
+    b = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                     LKParams(pallas_iters=True))
+    sa, sb = np.asarray(a.status), np.asarray(b.status)
+    assert (sa == sb).mean() >= 0.97
+    both = sa & sb
+    assert both.sum() > 0.7 * len(pts)
+    assert np.abs(np.asarray(a.points) - np.asarray(b.points))[both].max() < 0.01
+
+    # Camera-axis vmap (fleet): batching the pallas_call must be identical
+    # per camera.
+    f = jax.vmap(lambda l, r: track_points(l, r, jnp.asarray(pts), valid,
+                                           LKParams(pallas_iters=True)))
+    out = f(jnp.stack([jnp.asarray(prev)] * 2), jnp.stack([jnp.asarray(nxt)] * 2))
+    np.testing.assert_array_equal(np.asarray(out.points[0]), np.asarray(out.points[1]))
+    # vs the unbatched run only to tolerance: vmap re-associates the f32
+    # reductions in the XLA prep (batched einsum), not the kernel.
+    sv = np.asarray(out.status[0])
+    agree = sv & sb
+    assert np.abs(np.asarray(out.points[0]) - np.asarray(b.points))[agree].max() < 0.01
+
+
 def test_lk_bidirectional_rejects_bad(textured):
     prev = textured[:, :W]
     rng = np.random.default_rng(5)

@@ -45,9 +45,11 @@ def main() -> int:
                     help="tracking/mesher at 1/s resolution (reference "
                          "mesher_input_height parity)")
     ap.add_argument("--lk-mode", default="default",
-                    choices=["default", "matmul", "corr", "pallas"],
+                    choices=["default", "matmul", "corr", "pallas",
+                             "corr-slices", "pallas-slices"],
                     help="LK iteration mode ablation (default = LKParams "
-                         "defaults: corr surfaces + auto pallas on TPU)")
+                         "defaults: matmul resample — the composed-graph "
+                         "winner; see PERFORMANCE.md lk-mode ablation)")
     ap.add_argument("--capacity", type=int, default=None,
                     help="tracker slot capacity (default: reference K=200)")
     args = ap.parse_args()
@@ -98,8 +100,9 @@ def main() -> int:
             from ocean_perception_tpu.tracking import LKParams
 
             tracker_kw["lk"] = LKParams(
-                corr_iters=args.lk_mode in ("corr", "pallas"),
-                pallas_iters=args.lk_mode == "pallas",
+                corr_iters=args.lk_mode.startswith(("corr", "pallas")),
+                pallas_iters=args.lk_mode.startswith("pallas"),
+                corr_impl="slices" if args.lk_mode.endswith("-slices") else "einsum",
             )
         if args.capacity or tracker_kw:
             from ocean_perception_tpu.tracking import DetectorParams

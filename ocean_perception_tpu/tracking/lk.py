@@ -64,9 +64,14 @@ class LKParams:
     # two (win, ws)-matmul patch resamples (~70k flops). Mathematically
     # identical up to f32 reassociation; the sequential walk (the measured
     # per-point bottleneck of the fleet step) stops paying O(win^2) per step.
-    # Measured (v5e, 720p, K=200, bidirectional, slope method): 7.86 -> 5.15
-    # ms/frame; per-point slope 35.0 -> 23.7 us/pt. Default ON.
-    corr_iters: bool = struct.field(pytree_node=False, default=True)
+    # Measured STANDALONE (v5e, 720p, K=200, bidirectional, slope method):
+    # 7.86 -> 5.15 ms/frame; per-point slope 35.0 -> 23.7 us/pt. BUT inside
+    # the composed frontend graph the win INVERTS — the x-unfold surface
+    # precompute materializes (ws, A, win) intermediates per point that the
+    # bigger graph can't fuse away (B=1 full frontend 9.83 -> 11.15 ms;
+    # B=4 fleet 42.95 -> 63.40 ms; docs/PERFORMANCE.md "lk-mode ablation").
+    # Default OFF in production; ON wins only for standalone tracking.
+    corr_iters: bool = struct.field(pytree_node=False, default=False)
     # How the correlation surfaces are built: "einsum" (x-unfold matmul on
     # the MXU; 2.8x redundant MACs) or "slices" (direct per-offset window
     # products on the VPU; minimal MACs). Same values either way (f32
@@ -75,9 +80,12 @@ class LKParams:
     # Run each level's iteration walk as ONE Pallas kernel launch
     # (ops/pallas/lk_iterate.py): surfaces for all K points VMEM-resident,
     # K on the lane axis, fixed masked fori_loop (== the early-exit while,
-    # see exit_unroll note). Requires corr_iters and search_slack > 0.
-    # None = AUTO: real-TPU backends only (interpret mode elsewhere is for
-    # the parity test, not production).
+    # see exit_unroll note). True FORCES the corr-surface prep (the kernel
+    # consumes the surfaces); None = AUTO, which picks it only when
+    # corr_iters is already on AND the backend is real TPU. Standalone
+    # tracker win (4.29 vs 5.24 ms at K=200), but the corr prep it rides on
+    # loses inside the composed frontend (see corr_iters note) — so with the
+    # production matmul default, AUTO stays off. search_slack > 0 required.
     pallas_iters: bool | None = struct.field(pytree_node=False, default=None)
     # Early exit: run the per-level iterations as a while_loop that stops
     # once EVERY point has converged (vmap batches the loop with an any-lane
@@ -436,9 +444,9 @@ def pyramidal_lk(
 
     init0 = points if initial_flow is None else initial_flow
     use_pallas = p.pallas_iters
-    if use_pallas is None:  # auto: real-TPU backends only (see field docstring)
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and p.corr_iters and p.search_slack > 0:
+    if use_pallas is None:  # auto: only atop an explicit corr_iters, on real TPU
+        use_pallas = p.corr_iters and jax.default_backend() == "tpu"
+    if use_pallas and p.search_slack > 0:
         return _pyramidal_lk_level_major(
             prev_pad, next_pad, points, init0, sp, sn, p, level_window,
             levels, pad, interpret=jax.default_backend() != "tpu",

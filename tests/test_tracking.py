@@ -143,7 +143,7 @@ def test_lk_pallas_iterate_matches_xla(textured):
     pts = pts.reshape(-1, 2).astype(np.float32)
     valid = jnp.ones(len(pts), bool)
     a = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
-                     LKParams(pallas_iters=False))
+                     LKParams(corr_iters=True, pallas_iters=False))
     b = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
                      LKParams(pallas_iters=True))
     sa, sb = np.asarray(a.status), np.asarray(b.status)

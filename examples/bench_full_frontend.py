@@ -50,6 +50,11 @@ def main() -> int:
                     help="LK iteration mode ablation (default = LKParams "
                          "defaults: matmul resample — the composed-graph "
                          "winner; see PERFORMANCE.md lk-mode ablation)")
+    ap.add_argument("--lk-windows", default="auto",
+                    choices=["auto", "batched", "dslice"],
+                    help="per-point window extraction: batched one-hot MXU "
+                         "contractions vs vmapped dynamic_slice gathers "
+                         "(auto = batched on real TPU)")
     ap.add_argument("--capacity", type=int, default=None,
                     help="tracker slot capacity (default: reference K=200)")
     args = ap.parse_args()
@@ -96,14 +101,19 @@ def main() -> int:
         H, W, max_disp = 720, 1280, 128
         cfg = PerceptionConfig(max_disp=max_disp, internal_scale=args.internal_scale)
         tracker_kw = {}
-        if args.lk_mode != "default":
+        if args.lk_mode != "default" or args.lk_windows != "auto":
             from ocean_perception_tpu.tracking import LKParams
 
-            tracker_kw["lk"] = LKParams(
-                corr_iters=args.lk_mode.startswith(("corr", "pallas")),
-                pallas_iters=args.lk_mode.startswith("pallas"),
-                corr_impl="slices" if args.lk_mode.endswith("-slices") else "einsum",
-            )
+            lk_kw = {}
+            if args.lk_mode != "default":
+                lk_kw = dict(
+                    corr_iters=args.lk_mode.startswith(("corr", "pallas")),
+                    pallas_iters=args.lk_mode.startswith("pallas"),
+                    corr_impl="slices" if args.lk_mode.endswith("-slices") else "einsum",
+                )
+            if args.lk_windows != "auto":
+                lk_kw["batched_windows"] = args.lk_windows == "batched"
+            tracker_kw["lk"] = LKParams(**lk_kw)
         if args.capacity or tracker_kw:
             from ocean_perception_tpu.tracking import DetectorParams
             from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerParams

@@ -87,6 +87,17 @@ class LKParams:
     # loses inside the composed frontend (see corr_iters note) — so with the
     # production matmul default, AUTO stays off. search_slack > 0 required.
     pallas_iters: bool | None = struct.field(pytree_node=False, default=None)
+    # Batched per-point window extraction (ops/windows.py): per level, ALL
+    # K template windows and ALL K slack windows come out of TWO one-hot
+    # MXU contractions each instead of K vmapped dynamic_slices (TPU lowers
+    # those to gathers — measured as the dominant, mode-independent cost of
+    # the fleet tracking step; docs/PERFORMANCE.md "lk-mode ablation").
+    # Requires the level-major walk (same restructure as the Pallas path);
+    # BIT-IDENTICAL to the sliced path — every extracted element is
+    # 1*value + sum-of-0s (locked by test_lk_batched_windows_bit_identical).
+    # None = AUTO (on for real TPU); only engages for the production matmul
+    # mode (search_slack > 0, corr/pallas off).
+    batched_windows: bool | None = struct.field(pytree_node=False, default=None)
     # Early exit: run the per-level iterations as a while_loop that stops
     # once EVERY point has converged (vmap batches the loop with an any-lane
     # condition). Bit-identical to the fixed fori_loop — converged points
@@ -170,18 +181,22 @@ def _coarse_block_match(
     return jax.vmap(one)(points)
 
 
-def _template_side(prev_img, src_prev, pt_prev, p: LKParams, win: int, pad: int, H: int, W: int):
-    """Template-side per-point precompute at one level: subpixel-centered
-    template patch, its central-difference gradients, the inverted 2x2
-    normal matrix, and the min-eig quality gate."""
+def _template_origin(pt_prev, win: int, pad: int, H: int, W: int):
+    """Integer origin of the (win+3)^2 template window (win+2 for
+    central-difference gradients, +1 slack for the floor)."""
     r = win // 2
-    # Template window from prev (win+2 for central-difference gradients).
     t0y = jnp.clip(jnp.floor(pt_prev[1]) + pad - r - 1, 0, H + 2 * pad - (win + 3)).astype(jnp.int32)
     t0x = jnp.clip(jnp.floor(pt_prev[0]) + pad - r - 1, 0, W + 2 * pad - (win + 3)).astype(jnp.int32)
-    twin = _dslice(prev_img, src_prev, t0y, t0x, win + 3, win + 3)
+    return t0y, t0x
+
+
+def _template_from_window(twin, pt_prev, t0y, t0x, p: LKParams, win: int, pad: int):
+    """Template precompute given the already-extracted (win+3)^2 window:
+    subpixel-centered template patch, central-difference gradients, the
+    inverted 2x2 normal matrix, and the min-eig quality gate."""
     # Bilinear-center the template on the true subpixel location.
-    fy = pt_prev[1] + pad - t0y.astype(prev_img.dtype)
-    fx = pt_prev[0] + pad - t0x.astype(prev_img.dtype)
+    fy = pt_prev[1] + pad - t0y.astype(twin.dtype)
+    fx = pt_prev[0] + pad - t0x.astype(twin.dtype)
     template = sample_patches_bilinear(twin, fy, fx, win + 2, win + 2)
     tpatch = template[1:-1, 1:-1]
     # Scharr-free central-difference gradients (cv::calcOpticalFlowPyrLK uses
@@ -198,6 +213,73 @@ def _template_side(prev_img, src_prev, pt_prev, p: LKParams, win: int, pad: int,
     ok_g = (det > 1e-12) & (min_eig > p.min_eig_threshold)
     inv = jnp.array([[gyy, -gxy], [-gxy, gxx]]) / jnp.where(det > 1e-12, det, 1.0)
     return tpatch, gx, gy, inv, ok_g
+
+
+def _template_side(prev_img, src_prev, pt_prev, p: LKParams, win: int, pad: int, H: int, W: int):
+    """Template-side per-point precompute at one level (sliced variant):
+    window via dynamic_slice, then `_template_from_window`."""
+    t0y, t0x = _template_origin(pt_prev, win, pad, H, W)
+    twin = _dslice(prev_img, src_prev, t0y, t0x, win + 3, win + 3)
+    return _template_from_window(twin, pt_prev, t0y, t0x, p, win, pad)
+
+
+def _matmul_body(swin, tpatch, gx, gy, inv, sy0, sx0, p: LKParams, win: int, ws: int, pad: int):
+    """Per-iteration body of the matmul-resample slack walk (the production
+    default): resample the shifted patch from the in-register slack window
+    via the separable bilinear matmuls, then one Gauss-Newton step."""
+    r = win // 2
+
+    def body(_, carry):
+        pos, converged, hit = carry
+        cy = pos[1] + pad - sy0.astype(pos.dtype)
+        cx = pos[0] + pad - sx0.astype(pos.dtype)
+        # Leaving the slack region = level failure (the unbounded walk
+        # would have diverged out of the image; a frozen-at-boundary
+        # guess must NOT be accepted — finer levels can only correct
+        # within their own slack and never recover from it).
+        in_win = (
+            (cy >= r + 1) & (cy <= ws - r - 2) & (cx >= r + 1) & (cx <= ws - r - 2)
+        )
+        hit = hit | ~in_win
+        patch = sample_patches_bilinear(swin, cy, cx, win, win)
+        diff = patch - tpatch
+        b = jnp.array([jnp.sum(diff * gx), jnp.sum(diff * gy)])
+        delta = -(inv @ b)
+        stop = converged | hit
+        new_pos = jnp.where(stop, pos, pos + delta)
+        converged = stop | (jnp.sum(delta * delta) < p.eps * p.eps)
+        return (new_pos, converged, hit)
+
+    return body
+
+
+def _run_slack_walk(body, guess, p: LKParams):
+    """Drive a slack-walk body (pos, converged, hit carry) under the
+    configured loop regime: early-exit while (with exit_unroll) or fixed
+    fori_loop. Returns (pos, hit)."""
+    unroll = True if p.iter_unroll <= 0 else p.iter_unroll
+    xu = p.exit_unroll if p.exit_unroll > 1 and p.max_iters % p.exit_unroll == 0 else 1
+    if p.early_exit:
+        def w_cond(c):
+            i, pos, converged, hit = c
+            return (i < p.max_iters) & ~(converged | hit)
+
+        def w_body(c):
+            i, pos, converged, hit = c
+            for _ in range(xu):
+                pos, converged, hit = body(i, (pos, converged, hit))
+            return (i + xu, pos, converged, hit)
+
+        _, pos, _, hit = jax.lax.while_loop(
+            w_cond, w_body,
+            (jnp.asarray(0), guess, jnp.asarray(False), jnp.asarray(False)),
+        )
+    else:
+        pos, _, hit = jax.lax.fori_loop(
+            0, p.max_iters, body,
+            (guess, jnp.asarray(False), jnp.asarray(False)), unroll=unroll,
+        )
+    return pos, hit
 
 
 def _corr_surfaces(swin, tpatch, gx, gy, win: int, impl: str):
@@ -306,26 +388,7 @@ def _lk_level(
                 return (new_pos, converged, hit)
 
         else:
-            def body(_, carry):
-                pos, converged, hit = carry
-                cy = pos[1] + pad - sy0.astype(pos.dtype)
-                cx = pos[0] + pad - sx0.astype(pos.dtype)
-                # Leaving the slack region = level failure (the unbounded walk
-                # would have diverged out of the image; a frozen-at-boundary
-                # guess must NOT be accepted — finer levels can only correct
-                # within their own slack and never recover from it).
-                in_win = (
-                    (cy >= r + 1) & (cy <= ws - r - 2) & (cx >= r + 1) & (cx <= ws - r - 2)
-                )
-                hit = hit | ~in_win
-                patch = sample_patches_bilinear(swin, cy, cx, win, win)
-                diff = patch - tpatch
-                b = jnp.array([jnp.sum(diff * gx), jnp.sum(diff * gy)])
-                delta = -(inv @ b)
-                stop = converged | hit
-                new_pos = jnp.where(stop, pos, pos + delta)
-                converged = stop | (jnp.sum(delta * delta) < p.eps * p.eps)
-                return (new_pos, converged, hit)
+            body = _matmul_body(swin, tpatch, gx, gy, inv, sy0, sx0, p, win, ws, pad)
 
     else:
         # Each iteration re-extracts a (win+2)^2 window centered on the
@@ -348,28 +411,15 @@ def _lk_level(
             converged = converged | (jnp.sum(delta * delta) < p.eps * p.eps)
             return (new_pos, converged)
 
-    unroll = True if p.iter_unroll <= 0 else p.iter_unroll
-    xu = p.exit_unroll if p.exit_unroll > 1 and p.max_iters % p.exit_unroll == 0 else 1
-    if p.early_exit:
-        # while_loop with an all-done exit. The body is already idempotent
-        # for converged points (masked updates), so the batched loop (vmap
-        # runs it while ANY lane is live) produces bit-identical results.
-        if p.search_slack > 0:
-            def w_cond(c):
-                i, pos, converged, hit = c
-                return (i < p.max_iters) & ~(converged | hit)
-
-            def w_body(c):
-                i, pos, converged, hit = c
-                for _ in range(xu):
-                    pos, converged, hit = body(i, (pos, converged, hit))
-                return (i + xu, pos, converged, hit)
-
-            _, pos, _, hit = jax.lax.while_loop(
-                w_cond, w_body,
-                (jnp.asarray(0), guess, jnp.asarray(False), jnp.asarray(False)),
-            )
-        else:
+    if p.search_slack > 0:
+        # while_loop with an all-done exit (or fixed fori): the body is
+        # idempotent for converged points (masked updates), so the batched
+        # loop (vmap runs it while ANY lane is live) is bit-identical.
+        pos, hit = _run_slack_walk(body, guess, p)
+    else:
+        unroll = True if p.iter_unroll <= 0 else p.iter_unroll
+        xu = p.exit_unroll if p.exit_unroll > 1 and p.max_iters % p.exit_unroll == 0 else 1
+        if p.early_exit:
             def w_cond(c):
                 i, pos, converged = c
                 return (i < p.max_iters) & ~converged
@@ -383,16 +433,10 @@ def _lk_level(
             _, pos, _ = jax.lax.while_loop(
                 w_cond, w_body, (jnp.asarray(0), guess, jnp.asarray(False))
             )
-            hit = jnp.asarray(False)
-    elif p.search_slack > 0:
-        pos, _, hit = jax.lax.fori_loop(
-            0, p.max_iters, body,
-            (guess, jnp.asarray(False), jnp.asarray(False)), unroll=unroll,
-        )
-    else:
-        pos, _ = jax.lax.fori_loop(
-            0, p.max_iters, body, (guess, jnp.asarray(False)), unroll=unroll
-        )
+        else:
+            pos, _ = jax.lax.fori_loop(
+                0, p.max_iters, body, (guess, jnp.asarray(False)), unroll=unroll
+            )
         hit = jnp.asarray(False)
 
     in_img = (pos[0] >= 0) & (pos[0] <= W - 1) & (pos[1] >= 0) & (pos[1] <= H - 1)
@@ -450,6 +494,15 @@ def pyramidal_lk(
         return _pyramidal_lk_level_major(
             prev_pad, next_pad, points, init0, sp, sn, p, level_window,
             levels, pad, interpret=jax.default_backend() != "tpu",
+        )
+
+    use_batched = p.batched_windows
+    if use_batched is None:  # auto: the gather cost only bites on real TPU
+        use_batched = jax.default_backend() == "tpu"
+    if use_batched and p.search_slack > 0 and not p.corr_iters:
+        return _pyramidal_lk_batched(
+            prev_pad, next_pad, points, init0, sp, sn, p, level_window,
+            levels, pad,
         )
 
     def one_point(pt, init, s_p, s_n):
@@ -524,6 +577,75 @@ def _pyramidal_lk_level_major(
                 r=r, ws=ws, pad=pad, max_iters=p.max_iters, eps=float(p.eps),
                 interpret=interpret,
             )
+            in_img = (
+                (pos[:, 0] >= 0) & (pos[:, 0] <= W - 1)
+                & (pos[:, 1] >= 0) & (pos[:, 1] <= H - 1)
+            )
+            ok_l = ok_g & in_img & jnp.all(jnp.isfinite(pos), axis=-1) & ~hit
+            guess = jnp.where(ok_l[:, None], pos, guess)
+            if lvl == 0:
+                # OpenCV semantics: status comes from the finest level.
+                ok = ok_l
+        if lvl > 0:
+            guess = guess * 2.0
+    return FlowResult(points=guess, status=ok)
+
+
+def _pyramidal_lk_batched(
+    prev_pad, next_pad, points, init, sp, sn, p: LKParams, level_window,
+    levels: int, pad: int,
+) -> FlowResult:
+    """Level-major coarse-to-fine walk with BATCHED window extraction: per
+    level, all K template windows and all K slack windows come out of one-hot
+    MXU contractions (ops/windows.py) instead of K vmapped dynamic_slices;
+    the per-point template precompute and the matmul-resample iteration walk
+    are the same functions the sliced path runs, so results are
+    bit-identical (test_lk_batched_windows_bit_identical)."""
+    from ..ops.windows import extract_windows
+
+    scale0 = 2.0 ** (levels - 1)
+    s = p.search_slack
+    guess = init / scale0
+    ok = jnp.zeros(points.shape[0], bool)
+    for lvl in range(levels - 1, -1, -1):
+        win = level_window(lvl)
+        if win is not None:
+            r = win // 2
+            ws = win + 2 * (s + 1)
+            sc = 2.0 ** lvl
+            pts_l = points / sc
+            H = prev_pad[lvl].shape[-2] - 2 * pad
+            W = prev_pad[lvl].shape[-1] - 2 * pad
+
+            t0y, t0x = jax.vmap(
+                lambda pt, _w=win, _H=H, _W=W: _template_origin(pt, _w, pad, _H, _W)
+            )(pts_l)
+            twin = extract_windows(
+                prev_pad[lvl], t0y, t0x, win + 3,
+                src=sp if prev_pad[lvl].ndim == 3 else None,
+            )
+            tpatch, gx, gy, inv, ok_g = jax.vmap(
+                lambda tw, pt, ty, tx, _w=win: _template_from_window(
+                    tw, pt, ty, tx, p, _w, pad
+                )
+            )(twin, pts_l, t0y, t0x)
+
+            sy0 = jnp.clip(
+                jnp.floor(guess[:, 1]) + pad - r - s - 1, 0, H + 2 * pad - ws
+            ).astype(jnp.int32)
+            sx0 = jnp.clip(
+                jnp.floor(guess[:, 0]) + pad - r - s - 1, 0, W + 2 * pad - ws
+            ).astype(jnp.int32)
+            swin = extract_windows(
+                next_pad[lvl], sy0, sx0, ws,
+                src=sn if next_pad[lvl].ndim == 3 else None,
+            )
+
+            def walk(sw, tp, gxk, gyk, invk, syk, sxk, g, _w=win, _ws=ws):
+                body = _matmul_body(sw, tp, gxk, gyk, invk, syk, sxk, p, _w, _ws, pad)
+                return _run_slack_walk(body, g, p)
+
+            pos, hit = jax.vmap(walk)(swin, tpatch, gx, gy, inv, sy0, sx0, guess)
             in_img = (
                 (pos[:, 0] >= 0) & (pos[:, 0] <= W - 1)
                 & (pos[:, 1] >= 0) & (pos[:, 1] <= H - 1)

@@ -369,3 +369,65 @@ def test_detector_subpixel_refine():
         errs[sub] = float(d.min())
     assert errs[True] <= errs[False] + 1e-6
     assert errs[True] < 0.45, errs
+
+
+def test_lk_batched_windows_bit_identical(textured):
+    """Batched one-hot window extraction (ops/windows.py) replaces the
+    per-point dynamic_slice gathers with MXU 0/1 contractions. Every output
+    element is 1*value + sum-of-0s, so the windows — and the full tracker
+    output built on them — must be BIT-identical to the sliced path."""
+    from ocean_perception_tpu.ops.image import image_pyramid
+    from ocean_perception_tpu.ops.windows import extract_windows
+    from ocean_perception_tpu.tracking.lk import track_points_ring
+
+    rng = np.random.default_rng(3)
+    # Direct extraction parity: plain image and ring with per-point source.
+    img = jnp.asarray(rng.random((40, 56), dtype=np.float32))
+    y0 = jnp.asarray(rng.integers(0, 40 - 9, 17), jnp.int32)
+    x0 = jnp.asarray(rng.integers(0, 56 - 9, 17), jnp.int32)
+    ref = jax.vmap(lambda y, x: jax.lax.dynamic_slice(img, (y, x), (9, 9)))(y0, x0)
+    np.testing.assert_array_equal(
+        np.asarray(extract_windows(img, y0, x0, 9)), np.asarray(ref)
+    )
+    ring = jnp.asarray(rng.random((3, 40, 56), dtype=np.float32))
+    src = jnp.asarray(rng.integers(0, 3, 17), jnp.int32)
+    ref_r = jax.vmap(
+        lambda s, y, x: jax.lax.dynamic_slice(ring, (s, y, x), (1, 9, 9))[0]
+    )(src, y0, x0)
+    np.testing.assert_array_equal(
+        np.asarray(extract_windows(ring, y0, x0, 9, src=src)), np.asarray(ref_r)
+    )
+
+    # Full tracker, plain pair.
+    prev = textured[:, :W]
+    M = np.float32([[1, 0, 2.7], [0, 1, -1.3]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = cv2.goodFeaturesToTrack(prev, maxCorners=80, qualityLevel=0.01, minDistance=7)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    valid = jnp.ones(len(pts), bool)
+    r0 = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                      LKParams(batched_windows=False))
+    r1 = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                      LKParams(batched_windows=True))
+    assert np.asarray(r0.status).sum() > 0.7 * len(pts)  # tracker actually works
+    np.testing.assert_array_equal(np.asarray(r0.points), np.asarray(r1.points))
+    np.testing.assert_array_equal(np.asarray(r0.status), np.asarray(r1.status))
+
+    # Ring (k-ago) variant: each template from its own past frame; the
+    # bidirectional pass also slices the SEARCH side from the ring.
+    levels = LKParams().max_level + 1
+    mid = jnp.asarray(0.5 * prev + 0.5 * nxt)
+    ring_pyr = tuple(
+        jnp.stack([a, b])
+        for a, b in zip(image_pyramid(jnp.asarray(prev), levels),
+                        image_pyramid(mid, levels))
+    )
+    next_pyr = image_pyramid(jnp.asarray(nxt), levels)
+    src_k = jnp.asarray(rng.integers(0, 2, len(pts)), jnp.int32)
+    rr0 = track_points_ring(ring_pyr, next_pyr, jnp.asarray(pts), valid, src_k,
+                            LKParams(batched_windows=False))
+    rr1 = track_points_ring(ring_pyr, next_pyr, jnp.asarray(pts), valid, src_k,
+                            LKParams(batched_windows=True))
+    assert np.asarray(rr0.status).sum() > 0.5 * len(pts)
+    np.testing.assert_array_equal(np.asarray(rr0.points), np.asarray(rr1.points))
+    np.testing.assert_array_equal(np.asarray(rr0.status), np.asarray(rr1.status))

@@ -431,3 +431,31 @@ def test_lk_batched_windows_bit_identical(textured):
     assert np.asarray(rr0.status).sum() > 0.5 * len(pts)
     np.testing.assert_array_equal(np.asarray(rr0.points), np.asarray(rr1.points))
     np.testing.assert_array_equal(np.asarray(rr0.status), np.asarray(rr1.status))
+
+
+def test_lk_batched_windows_camera_vmap(textured):
+    """The fleet step runs the tracker under a camera-axis vmap; the batched
+    extraction must stay bit-identical to the sliced path there too (the
+    one-hot einsums gain a leading batch dim)."""
+    rng = np.random.default_rng(7)
+    prev = textured[:, :W]
+    M = np.float32([[1, 0, 1.9], [0, 1, 0.8]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = cv2.goodFeaturesToTrack(prev, maxCorners=40, qualityLevel=0.01, minDistance=7)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    B = 3
+    prev_b = jnp.asarray(np.stack([prev + 0.01 * b for b in range(B)]))
+    nxt_b = jnp.asarray(np.stack([nxt + 0.01 * b for b in range(B)]))
+    pts_b = jnp.asarray(np.stack([pts + rng.normal(0, 0.3, pts.shape).astype(np.float32)
+                                  for _ in range(B)]))
+    valid = jnp.ones((B, len(pts)), bool)
+
+    def run(bw):
+        return jax.vmap(
+            lambda p0, n0, k0, v0: track_points(p0, n0, k0, v0, LKParams(batched_windows=bw))
+        )(prev_b, nxt_b, pts_b, valid)
+
+    r0, r1 = run(False), run(True)
+    assert np.asarray(r0.status).sum() > 0.6 * B * len(pts)
+    np.testing.assert_array_equal(np.asarray(r0.points), np.asarray(r1.points))
+    np.testing.assert_array_equal(np.asarray(r0.status), np.asarray(r1.status))

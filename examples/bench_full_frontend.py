@@ -57,6 +57,10 @@ def main() -> int:
                          "(auto = batched on real TPU)")
     ap.add_argument("--capacity", type=int, default=None,
                     help="tracker slot capacity (default: reference K=200)")
+    ap.add_argument("--bwd-levels", type=int, default=0,
+                    help="truncated backward verification pass: run only the "
+                         "N finest levels init'd at the round-trip target "
+                         "(0 = all levels, reference semantics)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -101,7 +105,7 @@ def main() -> int:
         H, W, max_disp = 720, 1280, 128
         cfg = PerceptionConfig(max_disp=max_disp, internal_scale=args.internal_scale)
         tracker_kw = {}
-        if args.lk_mode != "default" or args.lk_windows != "auto":
+        if args.lk_mode != "default" or args.lk_windows != "auto" or args.bwd_levels:
             from ocean_perception_tpu.tracking import LKParams
 
             lk_kw = {}
@@ -113,6 +117,8 @@ def main() -> int:
                 )
             if args.lk_windows != "auto":
                 lk_kw["batched_windows"] = args.lk_windows == "batched"
+            if args.bwd_levels:
+                lk_kw["bwd_levels"] = args.bwd_levels
             tracker_kw["lk"] = LKParams(**lk_kw)
         if args.capacity or tracker_kw:
             from ocean_perception_tpu.tracking import DetectorParams

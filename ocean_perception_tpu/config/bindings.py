@@ -37,6 +37,7 @@ def load_lk_params(p: YamlParser):
         max_iters=int(p.get("klt_maxiters", 30)),
         eps=float(p.get("klt_epsilon", 0.01)),
         bidirectional=True,
+        bwd_levels=int(p.get("klt_bwd_levels", 0)),
     )
 
 

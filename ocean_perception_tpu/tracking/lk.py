@@ -98,6 +98,36 @@ class LKParams:
     # None = AUTO (on for real TPU); only engages for the production matmul
     # mode (search_slack > 0, corr/pallas off).
     batched_windows: bool | None = struct.field(pytree_node=False, default=None)
+    # Truncated backward (verification) pass: run only the N FINEST pyramid
+    # levels of the bidirectional re-track, initialized at the ORIGINAL
+    # point (the known round-trip target) instead of a zero-motion guess.
+    # The backward pass exists only to verify local consistency — a correct
+    # forward track re-converges onto its origin from the origin itself, so
+    # the coarse levels (whose job is covering large unknown motion) are
+    # redundant work on the per-point critical path. A WRONG forward track
+    # carries a different feature's template, which the fine-level walk
+    # rejects (diverges or fails the tol). Two hardenings make the cheap
+    # gate safe: the walk inits at target + fwd_bwd_tol per axis (a walk
+    # that never moves FAILS the tol instead of trivially passing it — see
+    # _bwd_init) and a ZNCC appearance check (bwd_zncc_min) rejects
+    # total-mismatch templates the short walk can't. Measured on the
+    # synthetic translation scene the combination strictly DOMINATES the
+    # full backward: it recovers the full gate's coarse-level false rejects
+    # (+8 correct accepts of 120) and its only dropped full-accept is a
+    # wrong track the ZNCC gate catches. 0 (= all levels, zero-motion init,
+    # exact reference semantics) stays the default;
+    # test_lk_bwd_levels_gating_equivalence locks the trade.
+    bwd_levels: int = struct.field(pytree_node=False, default=0)
+    # Appearance gate for the truncated backward mode: minimum ZNCC between
+    # the template patch at each point's origin and the patch at its tracked
+    # position. The 2-level init-at-offset walk wanders less than the full
+    # 4-level one, so pure round-trip geometry rejects less of the
+    # total-mismatch case (unrelated/occluded content) — ZNCC rejects it
+    # directly (noise-vs-texture correlates ~0, true matches ~0.9+, and
+    # ZNCC is invariant to the affine lighting drift underwater scenes
+    # actually have). Costs ~one LK iteration per point. Only applied when
+    # bwd_levels truncates.
+    bwd_zncc_min: float = struct.field(pytree_node=False, default=0.5)
     # Early exit: run the per-level iterations as a while_loop that stops
     # once EVERY point has converged (vmap batches the loop with an any-lane
     # condition). Bit-identical to the fixed fori_loop — converged points
@@ -688,10 +718,81 @@ def track_points(
     fwd = pyramidal_lk(prev_pyr, next_pyr, points, p, initial_flow=initial_flow)
     status = fwd.status & valid
     if p.bidirectional:
-        bwd = pyramidal_lk(next_pyr, prev_pyr, fwd.points, p)
+        nb = _bwd_level_count(p, levels)
+        bwd = pyramidal_lk(
+            next_pyr[:nb], prev_pyr[:nb], fwd.points, p,
+            initial_flow=_bwd_init(points, p) if nb < levels else None,
+        )
         dist2 = jnp.sum((bwd.points - points) ** 2, axis=-1)
         status = status & bwd.status & (dist2 <= p.fwd_bwd_tol**2)
+        if nb < levels:
+            status = status & _appearance_gate(
+                prev_pyr[0], next_pyr[0], points, fwd.points, p
+            )
     return FlowResult(points=fwd.points, status=status)
+
+
+def _bwd_level_count(p: LKParams, levels: int) -> int:
+    """Pyramid depth of the backward verification pass (see LKParams
+    .bwd_levels; 0 or >= the forward depth = full reference semantics)."""
+    return levels if p.bwd_levels <= 0 else min(levels, p.bwd_levels)
+
+
+def _appearance_gate(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    pts_prev: jnp.ndarray,
+    pts_next: jnp.ndarray,
+    p: LKParams,
+    src_prev: jnp.ndarray | None = None,
+    src_next: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(K,) bool: ZNCC(template at pts_prev, patch at pts_next) >=
+    bwd_zncc_min. Subpixel patches via the same window-slice + bilinear
+    recentering the LK template path uses. Either image may be a ring with
+    per-point source indices."""
+    win = p.window
+    pad = win // 2 + 2
+    H, W = prev_img.shape[-2], prev_img.shape[-1]
+    A = _pad_level(prev_img, pad)
+    B = _pad_level(next_img, pad)
+    K = pts_prev.shape[0]
+    zk = jnp.zeros(K, jnp.int32)
+    sa = zk if src_prev is None else jnp.asarray(src_prev, jnp.int32)
+    sb = zk if src_next is None else jnp.asarray(src_next, jnp.int32)
+
+    def patch(img, src, pt):
+        t0y, t0x = _template_origin(pt, win, pad, H, W)
+        w = _dslice(img, src, t0y, t0x, win + 3, win + 3)
+        fy = pt[1] + pad - t0y.astype(w.dtype)
+        fx = pt[0] + pad - t0x.astype(w.dtype)
+        full = sample_patches_bilinear(w, fy, fx, win + 2, win + 2)
+        return full[1:-1, 1:-1]
+
+    def one(pa, pb, ia, ib):
+        ta = patch(A, ia, pa)
+        tb = patch(B, ib, pb)
+        za = ta - jnp.mean(ta)
+        zb = tb - jnp.mean(tb)
+        denom = jnp.sqrt(jnp.sum(za * za) * jnp.sum(zb * zb))
+        return jnp.sum(za * zb) / jnp.maximum(denom, 1e-12)
+
+    zncc = jax.vmap(one)(pts_prev, pts_next, sa, sb)
+    return zncc >= p.bwd_zncc_min
+
+
+def _bwd_init(points: jnp.ndarray, p: LKParams) -> jnp.ndarray:
+    """Backward-walk init for the truncated pass: the round-trip target
+    OFFSET by fwd_bwd_tol per axis. Initializing exactly AT the target is
+    self-fulfilling — a walk that never moves (zero gradient on a mismatched
+    template, e.g. tracking into an unrelated image) would sit at distance 0
+    and pass the gate. From the offset, staying put lands at tol*sqrt(2) >
+    tol and FAILS, so acceptance requires the template to actively pull the
+    walk back onto the target — while a true correspondence re-converges the
+    ~3 px trivially (well inside the finest-level LK basin for window 21).
+    Locked by the unrelated-image case of
+    test_lk_bwd_levels_gating_equivalence."""
+    return points + jnp.asarray(p.fwd_bwd_tol, points.dtype)
 
 
 def track_points_ring(
@@ -724,9 +825,19 @@ def track_points_ring(
     )
     status = fwd.status & valid
     if p.bidirectional:
-        bwd = pyramidal_lk(next_pyr, ring_pyr, fwd.points, p, src_next=src_idx)
+        levels = len(next_pyr)
+        nb = _bwd_level_count(p, levels)
+        bwd = pyramidal_lk(
+            next_pyr[:nb], ring_pyr[:nb], fwd.points, p, src_next=src_idx,
+            initial_flow=_bwd_init(points, p) if nb < levels else None,
+        )
         dist2 = jnp.sum((bwd.points - points) ** 2, axis=-1)
         status = status & bwd.status & (dist2 <= p.fwd_bwd_tol**2)
+        if nb < levels:
+            status = status & _appearance_gate(
+                ring_pyr[0], next_pyr[0], points, fwd.points, p,
+                src_prev=src_idx,
+            )
     return FlowResult(points=fwd.points, status=status)
 
 

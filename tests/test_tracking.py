@@ -459,3 +459,51 @@ def test_lk_batched_windows_camera_vmap(textured):
     assert np.asarray(r0.status).sum() > 0.6 * B * len(pts)
     np.testing.assert_array_equal(np.asarray(r0.points), np.asarray(r1.points))
     np.testing.assert_array_equal(np.asarray(r0.status), np.asarray(r1.status))
+
+
+def test_lk_bwd_levels_gating_equivalence(textured):
+    """Truncated backward verification (bwd_levels=2: offset-init fine-only
+    walk + ZNCC appearance gate): the forward pass is untouched (positions
+    bit-identical) and on this scene the cheap gate strictly DOMINATES the
+    full 4-level backward — its only dropped full-accept is a 7.5 px wrong
+    track (a full-gate false accept the ZNCC check catches), its 8 extra
+    accepts are sub-0.05 px correct tracks the zero-motion-init coarse
+    backward falsely rejected, and unrelated-image tracks are all
+    rejected."""
+    prev = textured[:, :W]
+    shift = np.array([4.3, -2.6])
+    M = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = cv2.goodFeaturesToTrack(prev, maxCorners=120, qualityLevel=0.01, minDistance=7)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    valid = jnp.ones(len(pts), bool)
+    full = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid, LKParams())
+    trunc = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid, LKParams(bwd_levels=2))
+    np.testing.assert_array_equal(np.asarray(full.points), np.asarray(trunc.points))
+    s_full, s_trunc = np.asarray(full.status), np.asarray(trunc.status)
+    assert s_full.sum() > 0.6 * len(pts)
+    assert (s_full == s_trunc).mean() >= 0.90
+    err = np.linalg.norm((np.asarray(trunc.points) - pts) - shift, axis=1)
+    # Any full-gate accept the cheaper gate drops must be a WRONG track
+    # (the ZNCC gate catching a full-gate false accept) — it never loses a
+    # correct one on this scene.
+    lost = s_full & ~s_trunc
+    if lost.any():
+        assert (err[lost] > 1.0).all()
+    # The extra accepts are dominated by correct tracks (full-gate false
+    # rejects: its zero-motion-init coarse levels diverge), and the overall
+    # accepted set stays accurate.
+    extra = ~s_full & s_trunc
+    if extra.any():
+        assert (err[extra] < 0.1).mean() >= 0.7
+    assert np.median(err[s_trunc]) < 0.05
+    assert (err[s_trunc] > 1.0).mean() < 0.05
+
+    # The cheaper gate still rejects tracks into an unrelated image.
+    rng = np.random.default_rng(5)
+    noise = rng.random((H, W)).astype(np.float32)
+    bad = track_points(
+        jnp.asarray(prev), jnp.asarray(noise), jnp.asarray(pts[:8]),
+        jnp.ones(8, bool), LKParams(bwd_levels=2),
+    )
+    assert not np.asarray(bad.status).any()

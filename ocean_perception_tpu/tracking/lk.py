@@ -125,9 +125,15 @@ class LKParams:
     # total-mismatch case (unrelated/occluded content) — ZNCC rejects it
     # directly (noise-vs-texture correlates ~0, true matches ~0.9+, and
     # ZNCC is invariant to the affine lighting drift underwater scenes
-    # actually have). Costs ~one LK iteration per point. Only applied when
-    # bwd_levels truncates.
+    # actually have). Costs ~one LK iteration per point. Applied when
+    # bwd_levels truncates, or in ANY bidirectional mode via zncc_gate.
     bwd_zncc_min: float = struct.field(pytree_node=False, default=0.5)
+    # Apply the ZNCC appearance gate on top of the FULL backward check too
+    # (independent of bwd_levels): the round-trip geometry alone admits
+    # occasional wrong tracks whose backward walk happens to return (the
+    # synthetic-scene test catches a 7.5 px one); the appearance check
+    # rejects them directly. Off by default (exact reference semantics).
+    zncc_gate: bool = struct.field(pytree_node=False, default=False)
     # Early exit: run the per-level iterations as a while_loop that stops
     # once EVERY point has converged (vmap batches the loop with an any-lane
     # condition). Bit-identical to the fixed fori_loop — converged points
@@ -725,7 +731,7 @@ def track_points(
         )
         dist2 = jnp.sum((bwd.points - points) ** 2, axis=-1)
         status = status & bwd.status & (dist2 <= p.fwd_bwd_tol**2)
-        if nb < levels:
+        if nb < levels or p.zncc_gate:
             status = status & _appearance_gate(
                 prev_pyr[0], next_pyr[0], points, fwd.points, p
             )
@@ -833,7 +839,7 @@ def track_points_ring(
         )
         dist2 = jnp.sum((bwd.points - points) ** 2, axis=-1)
         status = status & bwd.status & (dist2 <= p.fwd_bwd_tol**2)
-        if nb < levels:
+        if nb < levels or p.zncc_gate:
             status = status & _appearance_gate(
                 ring_pyr[0], next_pyr[0], points, fwd.points, p,
                 src_prev=src_idx,

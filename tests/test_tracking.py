@@ -507,3 +507,31 @@ def test_lk_bwd_levels_gating_equivalence(textured):
         jnp.ones(8, bool), LKParams(bwd_levels=2),
     )
     assert not np.asarray(bad.status).any()
+
+
+def test_lk_zncc_gate_drops_false_accepts(textured):
+    """zncc_gate=True on top of the FULL backward check: pure round-trip
+    geometry admits occasional wrong tracks whose backward walk happens to
+    return near the origin; the appearance gate rejects exactly those while
+    keeping the correct accepts."""
+    prev = textured[:, :W]
+    shift = np.array([4.3, -2.6])
+    M = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = cv2.goodFeaturesToTrack(prev, maxCorners=120, qualityLevel=0.01, minDistance=7)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    valid = jnp.ones(len(pts), bool)
+    base = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid, LKParams())
+    gated = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid, LKParams(zncc_gate=True))
+    sb, sg = np.asarray(base.status), np.asarray(gated.status)
+    np.testing.assert_array_equal(np.asarray(base.points), np.asarray(gated.points))
+    # Strictly a subset of the base accepts (the gate only ANDs)...
+    assert not (~sb & sg).any()
+    err = np.linalg.norm((np.asarray(base.points) - pts) - shift, axis=1)
+    dropped = sb & ~sg
+    # ...every dropped track is a wrong one, and the base gate's wrong
+    # accepts (>1 px) are all caught.
+    if dropped.any():
+        assert (err[dropped] > 1.0).all()
+    assert not (err[sg] > 1.0).any()
+    assert sg.sum() >= 0.95 * (err[sb] <= 1.0).sum()

@@ -153,27 +153,38 @@ def oracle_parity_matrix():
     return per_pair, worst_constrained, fsl1
 
 
-def wait_for_backend(max_wait_s: float = 900.0) -> bool:
-    """The axon TPU tunnel occasionally drops; a bare jax.devices() then
-    HANGS (not errors). Probe it in a bounded subprocess and retry so a
-    transient outage delays the bench instead of killing it."""
+def wait_for_backend(max_wait_s: float | None = None) -> bool:
+    """The axon TPU tunnel occasionally drops; a bare jax.devices() — or a
+    first dispatch, even when devices() lists the chip — then HANGS (not
+    errors). Probe an actual tiny dispatch in a bounded subprocess and
+    retry, so a transient outage delays the bench; if the tunnel is still
+    dead after the budget (env BENCH_MAX_WAIT_S, default 1800 s), exit
+    non-zero with a clear message instead of hanging forever on the first
+    real dispatch (observed: a hung tunnel stalls the old 'proceed anyway'
+    path indefinitely with zero output)."""
+    import os
     import subprocess
 
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("BENCH_MAX_WAIT_S", "1800"))
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jax.jit(lambda a: (a*a).sum())(jnp.ones((8, 8)))))")
     t0 = time.time()
     while True:
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=120, capture_output=True,
+                [sys.executable, "-c", probe], timeout=240, capture_output=True,
             )
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
         if time.time() - t0 > max_wait_s:
-            print("warning: TPU backend still unreachable; proceeding anyway",
+            print("error: TPU backend unreachable (tiny dispatch probe timed "
+                  "out repeatedly); refusing to hang on the first real "
+                  "dispatch. Set BENCH_MAX_WAIT_S to wait longer.",
                   file=sys.stderr)
-            return False
+            sys.exit(3)
         print("TPU backend unreachable; retrying in 60 s...", file=sys.stderr)
         time.sleep(60)
 

@@ -535,3 +535,43 @@ def test_lk_zncc_gate_drops_false_accepts(textured):
         assert (err[dropped] > 1.0).all()
     assert not (err[sg] > 1.0).any()
     assert sg.sum() >= 0.95 * (err[sb] <= 1.0).sum()
+
+
+def test_lk_bwd_levels_ring_variant(textured):
+    """bwd_levels on the k-ago ring path (what the fleet runs): forward
+    positions bit-identical to the full-backward ring track, gate mostly
+    agrees, and accuracy holds for points sourced from BOTH ring slots."""
+    from ocean_perception_tpu.ops.image import image_pyramid
+    from ocean_perception_tpu.tracking.lk import track_points_ring
+
+    levels = 3
+    prev0 = textured[:, :W]            # slot 0: newest past frame
+    prev1 = textured[:, 2 : W + 2]     # slot 1: older frame, shifted -2 px in x
+    nxt = textured[:, 5 : W + 5]       # current frame: -5 px vs slot 1, -3 vs slot 0
+    ring_pyr = tuple(
+        jnp.stack([a, b])
+        for a, b in zip(image_pyramid(jnp.asarray(prev0), levels),
+                        image_pyramid(jnp.asarray(prev1), levels))
+    )
+    next_pyr = image_pyramid(jnp.asarray(nxt), levels)
+    pts = np.stack(
+        np.meshgrid(np.arange(30, W - 30, 17), np.arange(25, H - 25, 16)), -1
+    ).reshape(-1, 2).astype(np.float32)
+    src = np.arange(len(pts)) % 2
+    valid = jnp.ones(len(pts), bool)
+
+    full = track_points_ring(ring_pyr, next_pyr, jnp.asarray(pts), valid,
+                             jnp.asarray(src), LKParams(max_level=levels - 1))
+    trunc = track_points_ring(ring_pyr, next_pyr, jnp.asarray(pts), valid,
+                              jnp.asarray(src), LKParams(max_level=levels - 1, bwd_levels=2))
+    np.testing.assert_array_equal(np.asarray(full.points), np.asarray(trunc.points))
+    sf, st = np.asarray(full.status), np.asarray(trunc.status)
+    assert sf.sum() > 0.7 * len(pts)
+    assert (sf == st).mean() >= 0.90
+    # True flow depends on each point's source slot: -3 px (slot 0), -5 (slot 1).
+    true_dx = np.where(src == 0, -3.0, -5.0)
+    err = np.abs((np.asarray(trunc.points)[:, 0] - pts[:, 0]) - true_dx)
+    for s in (0, 1):
+        sel = st & (src == s)
+        assert sel.sum() > 5
+        assert np.median(err[sel]) < 0.15

@@ -547,7 +547,7 @@ def test_lk_bwd_levels_ring_variant(textured):
     levels = 3
     prev0 = textured[:, :W]            # slot 0: newest past frame
     prev1 = textured[:, 2 : W + 2]     # slot 1: older frame, shifted -2 px in x
-    nxt = textured[:, 5 : W + 5]       # current frame: -5 px vs slot 1, -3 vs slot 0
+    nxt = textured[:, 5 : W + 5]       # current frame: -5 px vs slot 0, -3 vs slot 1
     ring_pyr = tuple(
         jnp.stack([a, b])
         for a, b in zip(image_pyramid(jnp.asarray(prev0), levels),
@@ -568,8 +568,10 @@ def test_lk_bwd_levels_ring_variant(textured):
     sf, st = np.asarray(full.status), np.asarray(trunc.status)
     assert sf.sum() > 0.7 * len(pts)
     assert (sf == st).mean() >= 0.90
-    # True flow depends on each point's source slot: -3 px (slot 0), -5 (slot 1).
-    true_dx = np.where(src == 0, -3.0, -5.0)
+    # True flow depends on each point's source slot. nxt(u) = textured(u+5):
+    # a slot-0 template textured(x) sits at u = x-5; a slot-1 template
+    # textured(x+2) at u = x-3.
+    true_dx = np.where(src == 0, -5.0, -3.0)
     err = np.abs((np.asarray(trunc.points)[:, 0] - pts[:, 0]) - true_dx)
     for s in (0, 1):
         sel = st & (src == s)

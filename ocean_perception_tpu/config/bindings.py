@@ -38,6 +38,10 @@ def load_lk_params(p: YamlParser):
         eps=float(p.get("klt_epsilon", 0.01)),
         bidirectional=True,
         bwd_levels=int(p.get("klt_bwd_levels", 0)),
+        # The ZNCC appearance gate that truncation forcibly engages must be
+        # tunable from the same YAML that enables truncation (ADVICE r3).
+        bwd_zncc_min=float(p.get("klt_bwd_zncc_min", 0.5)),
+        zncc_gate=bool(p.get("klt_zncc_gate", 0)),
     )
 
 

@@ -797,8 +797,27 @@ def _bwd_init(points: jnp.ndarray, p: LKParams) -> jnp.ndarray:
     walk back onto the target — while a true correspondence re-converges the
     ~3 px trivially (well inside the finest-level LK basin for window 21).
     Locked by the unrelated-image case of
-    test_lk_bwd_levels_gating_equivalence."""
-    return points + jnp.asarray(p.fwd_bwd_tol, points.dtype)
+    test_lk_bwd_levels_gating_equivalence.
+
+    COUPLING GUARD (ADVICE r3): in slack-window mode the walk freezes at
+    the +/- search_slack boundary, so the init offset must stay basin-safe:
+    it is clamped to search_slack - 1 per axis. The >tol diagonal property
+    (offset * sqrt(2) > tol) must survive the clamp, otherwise a frozen
+    walk could land INSIDE the gate — that combination (fwd_bwd_tol >=
+    (search_slack - 1) * sqrt(2)) is rejected at trace time rather than
+    silently accepting garbage or rejecting every correct track."""
+    off = float(p.fwd_bwd_tol)
+    if p.search_slack > 0:
+        off = min(off, float(p.search_slack - 1))
+        if off * 1.4142 <= p.fwd_bwd_tol:
+            raise ValueError(
+                f"bwd_levels requires fwd_bwd_tol ({p.fwd_bwd_tol}) comfortably "
+                f"inside search_slack ({p.search_slack}): the clamped init "
+                f"offset {off} px no longer satisfies offset*sqrt(2) > tol, so "
+                "the frozen-walk rejection property is lost. Raise search_slack "
+                "or lower fwd_bwd_tol."
+            )
+    return points + jnp.asarray(off, points.dtype)
 
 
 def track_points_ring(

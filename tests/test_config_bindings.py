@@ -42,6 +42,56 @@ def test_paths_helpers():
     assert os.path.exists(shared_config_path("Farmsim"))
 
 
+def test_lk_zncc_yaml_bindings(tmp_path):
+    """klt_bwd_levels forcibly engages the ZNCC appearance gate, so the gate
+    threshold (and the standalone gate switch) must be YAML-tunable alongside
+    it (ADVICE r3: config-driven deployments could enable truncation but not
+    tune/disable the 0.5 appearance threshold that ships with it)."""
+    from ocean_perception_tpu.config.bindings import load_lk_params
+
+    y = tmp_path / "trk.yaml"
+    y.write_text(
+        "klt_winsize: 17\nklt_bwd_levels: 2\nklt_bwd_zncc_min: 0.25\n"
+        "klt_zncc_gate: 1\n"
+    )
+    lk = load_lk_params(YamlParser(str(y)))
+    assert lk.window == 17
+    assert lk.bwd_levels == 2
+    assert lk.bwd_zncc_min == 0.25
+    assert lk.zncc_gate is True
+    # Defaults preserved when keys absent.
+    y2 = tmp_path / "trk2.yaml"
+    y2.write_text("klt_winsize: 21\n")
+    lk2 = load_lk_params(YamlParser(str(y2)))
+    assert lk2.bwd_zncc_min == 0.5 and lk2.zncc_gate is False
+
+
+def test_bwd_init_tol_slack_guard():
+    """The truncated-backward init offset must stay inside the slack-window
+    walk's freeze boundary while keeping the >tol diagonal rejection
+    property; incompatible (fwd_bwd_tol, search_slack) pairs are a trace-time
+    error, not a silent 100% rejection (ADVICE r3)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ocean_perception_tpu.tracking.lk import LKParams, _bwd_init
+
+    pts = jnp.zeros((3, 2), jnp.float32)
+    # Default pairing (tol=2, slack=4): offset unchanged at tol.
+    np.testing.assert_allclose(
+        np.asarray(_bwd_init(pts, LKParams())), 2.0 * np.ones((3, 2)))
+    # tol=4 > slack-1=3: clamped to 3, diagonal 3*sqrt(2)=4.24 > 4 still OK.
+    np.testing.assert_allclose(
+        np.asarray(_bwd_init(pts, LKParams(fwd_bwd_tol=4.0))), 3.0 * np.ones((3, 2)))
+    # tol=5 with slack=4: clamp to 3 loses the property -> loud error.
+    with pytest.raises(ValueError, match="search_slack"):
+        _bwd_init(pts, LKParams(fwd_bwd_tol=5.0))
+    # Non-slack mode (search_slack=0): unclamped, any tol fine.
+    np.testing.assert_allclose(
+        np.asarray(_bwd_init(pts, LKParams(fwd_bwd_tol=5.0, search_slack=0))),
+        5.0 * np.ones((3, 2)))
+
+
 EST_NODE = os.path.join(os.path.dirname(__file__), "..", "config", "nodes", "StateEstimatorNode.yaml")
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "config", "shared")
 

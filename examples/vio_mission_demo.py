@@ -32,7 +32,7 @@ jax.config.update("jax_enable_x64", True)  # host filter runs f64, like the test
 import numpy as np
 
 
-def build_estimator():
+def build_estimator(max_landmarks: int = 0):
     from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
     from ocean_perception_tpu.tracking import (
         DetectorParams,
@@ -67,7 +67,15 @@ def build_estimator():
             odometry=OdometryParams(),
             pixel_sigma=1.0,
         ),
-        smoother=SmootherConfig(window=8, iterations=5),
+        smoother=SmootherConfig(
+            window=8, iterations=5,
+            # Structureless stereo landmark projection factors (legacy
+            # Smoother parity, smoother.cpp:455-490): the camera model must
+            # match the rig the tracker observes through.
+            max_landmarks=max_landmarks,
+            cam_fx=FX, cam_fy=FX, cam_cx=W / 2, cam_cy=H / 2,
+            cam_baseline=BASELINE,
+        ),
         min_sec_btw_keyposes=0.15,
         max_sec_btw_keyposes=10.0,
     )
@@ -89,6 +97,11 @@ def main() -> int:
         "--pose-fix-noise", type=float, default=0.01,
         help="fix position noise stdev, meters",
     )
+    ap.add_argument(
+        "--max-landmarks", type=int, default=0,
+        help="landmark projection factor columns in the smoother window "
+        "(0 = reference production default: disabled)",
+    )
     args = ap.parse_args()
 
     from ocean_perception_tpu.datasets.euroc import EurocDataset
@@ -106,7 +119,7 @@ def main() -> int:
 
     ds = EurocDataset(root)
     ds.sanity_check()
-    est, _rig = build_estimator()
+    est, _rig = build_estimator(max_landmarks=args.max_landmarks)
 
     # Initialize from the dataset's first groundtruth pose, like the
     # reference player (vio_dataset_player/main.cpp:80-96).
@@ -148,6 +161,13 @@ def main() -> int:
     ds.register_range_callback(est.receive_range)
     n = ds.play_all()
     print(f"played {n} measurements; {len(traj)} smoother poses")
+    sb = est.stats.stats("smoother_update_ms")
+    if sb.count():
+        print(
+            f"smoother solve latency (max_landmarks={args.max_landmarks}): "
+            f"n={sb.count()} mean={sb.mean():.1f} ms "
+            f"min={sb.min():.1f} max={sb.max():.1f}"
+        )
     if args.pose_fix_every > 0 and ds.pose_data:
         print(f"injected {fix_state['n']} simulated external pose fixes")
 

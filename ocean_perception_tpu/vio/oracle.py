@@ -226,11 +226,18 @@ def oracle_residuals(
         u_pred = fx * X_cam[..., 0] / z_safe + cx
         v_pred = fy * X_cam[..., 1] / z_safe + cy
         w_lmk = obs_ok * lmk_ok[None, :] * (~behind).astype(float) / config.lmk_sigma_px
-        res.append(((u_pred - win["lmk_uv"][..., 0]) * w_lmk).reshape(-1))
-        res.append(((v_pred - win["lmk_uv"][..., 1]) * w_lmk).reshape(-1))
+        r_u = (u_pred - win["lmk_uv"][..., 0]) * w_lmk
+        r_v = (v_pred - win["lmk_uv"][..., 1]) * w_lmk
         disp_pred = fx * config.cam_baseline / z_safe
         hd = (win["lmk_disp"] > 0).astype(float)
-        res.append(((disp_pred - win["lmk_disp"]) * w_lmk * hd).reshape(-1))
+        r_d = (disp_pred - win["lmk_disp"]) * w_lmk * hd
+        if config.lmk_cauchy_k > 0:
+            n2 = r_u * r_u + r_v * r_v + r_d * r_d
+            w_rob = 1.0 / np.sqrt(1.0 + n2 / config.lmk_cauchy_k**2)
+            r_u, r_v, r_d = r_u * w_rob, r_v * w_rob, r_d * w_rob
+        res.append(r_u.reshape(-1))
+        res.append(r_v.reshape(-1))
+        res.append(r_d.reshape(-1))
 
     # No-motion fallback pairs.
     nm_ok = (pair_ok & ~win["vo_valid"] & ~win["imu_valid"]).astype(float)[:, None]

@@ -346,8 +346,14 @@ def test_smoother_float32(config):
 def test_landmark_projection_factors(config):
     """Structureless landmark factors: noisy poses + exact pixel tracks of
     fixed 3D points must pull the trajectory back (legacy Smoother parity)."""
+    # lmk_cauchy_k=0: exact outlier-free tracks are the ONLY motion
+    # constraint here, so the robust reweighting (designed for real tracked
+    # data with mistracks) only slows the GN — plain L2 isolates the factor
+    # geometry. The robust default is covered by
+    # test_landmark_outlier_rejected below.
     cfg = SmootherConfig(window=8, iterations=20, max_landmarks=12,
-                         cam_fx=200.0, cam_fy=200.0, cam_cx=80.0, cam_cy=60.0)
+                         cam_fx=200.0, cam_fy=200.0, cam_cx=80.0, cam_cy=60.0,
+                         lmk_cauchy_k=0.0)
     states, imu_windows = simulate()
     win = build_window(states, imu_windows, cfg, state_noise=0.05, with_vo=False, with_imu=False)
 
@@ -382,6 +388,51 @@ def test_landmark_projection_factors(config):
     for k, (Rk, pk, vk) in enumerate(states):
         np.testing.assert_allclose(np.asarray(w.p[k]), pk, atol=6e-2)
         np.testing.assert_allclose(np.asarray(w.R[k]), Rk, atol=3e-2)
+
+
+def test_landmark_outlier_rejected():
+    """One grossly mistracked landmark (60 px off in every frame) must NOT
+    drag the window when the Cauchy default is on — and must visibly corrupt
+    it with plain L2 (the measured failure mode that motivated the robust
+    weight: mission ATE tripled with L2 landmarks on real tracked data)."""
+    states, imu_windows = simulate()
+    rng = np.random.default_rng(5)
+    pts = rng.uniform([-1, -1, 2.0], [1, 1, 5.0], size=(8, 3))
+
+    def solve_with(k_cauchy):
+        cfg = SmootherConfig(window=8, iterations=20, max_landmarks=8,
+                             cam_fx=200.0, cam_fy=200.0, cam_cx=80.0,
+                             cam_cy=60.0, lmk_cauchy_k=k_cauchy)
+        win = build_window(states, imu_windows, cfg, state_noise=0.01, seed=5)
+        M, L = cfg.window, cfg.max_landmarks
+        uv = np.zeros((M, L, 2))
+        disp = np.zeros((M, L))
+        vmask = np.zeros((M, L), bool)
+        for kk, (Rk, pk, _) in enumerate(states):
+            cam = (np.asarray(Rk).T @ (pts - pk).T).T
+            uv[kk, :8, 0] = 200.0 * cam[:, 0] / cam[:, 2] + 80.0
+            uv[kk, :8, 1] = 200.0 * cam[:, 1] / cam[:, 2] + 60.0
+            disp[kk, :8] = 200.0 * cfg.cam_baseline / cam[:, 2]
+            vmask[kk, :8] = cam[:, 2] > 0.5
+            # Landmark 0 is a consistent mistrack: 60 px off.
+            uv[kk, 0] += 60.0
+        win = win._replace(lmk_uv=jnp.asarray(uv), lmk_disp=jnp.asarray(disp),
+                           lmk_valid=jnp.asarray(vmask))
+        pims = preintegrate_window(win)
+        w, _ = solve_window(
+            win, pims, jnp.asarray(GRAVITY), jnp.asarray(G_UNIT), cfg,
+            jnp.asarray(5, jnp.int32),
+        )
+        return np.linalg.norm(
+            np.asarray(w.p)[:6] - np.asarray([s[1] for s in states]), axis=1
+        ).max()
+
+    err_robust = solve_with(3.0)
+    err_l2 = solve_with(0.0)
+    # Robust: the outlier saturates; accuracy stays at the VO+IMU level.
+    assert err_robust < 0.02, err_robust
+    # And the robust loss genuinely changes the outcome vs plain L2.
+    assert err_l2 > 2.0 * err_robust, (err_l2, err_robust)
 
 
 @pytest.mark.slow

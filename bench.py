@@ -179,9 +179,9 @@ def wait_for_backend(max_wait_s: float | None = None) -> bool:
 
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("BENCH_MAX_WAIT_S", "240"))
-    probe = ("from ocean_perception_tpu.utils.platform import enable_compile_cache; "
-             "enable_compile_cache(); "
-             "import jax, jax.numpy as jnp; "
+    # No package import here: the probe must work from any cwd. JAX reads
+    # JAX_COMPILATION_CACHE_DIR from the environment natively.
+    probe = ("import jax, jax.numpy as jnp; "
              "print(float(jax.jit(lambda a: (a*a).sum())(jnp.ones((8, 8)))))")
     env = dict(os.environ)
     env.setdefault(

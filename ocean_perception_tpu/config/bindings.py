@@ -191,6 +191,7 @@ def load_smoother_config(p: YamlParser):
         mag_local_field=mag_field,
         max_landmarks=int(p.get("max_landmarks", 0)),
         lmk_sigma_px=float(p.get("lmk_sigma_px", 2.0)),
+        lmk_cauchy_k=float(p.get("lmk_cauchy_k", 3.0)),
         max_ranges=int(p.get("max_ranges", 4)),
     )
 

@@ -93,6 +93,25 @@ def load_estimator(est, path: str) -> None:
                 arr = np.asarray(leaf)
             else:
                 arr = data[key]
+            tmpl_shape = getattr(leaf, "shape", None)
+            if tmpl_shape is not None and tuple(arr.shape) != tuple(tmpl_shape):
+                if ".lmk_" in key:
+                    # max_landmarks changed between save and load (e.g. the
+                    # r4 default 0 -> 16): landmark history is additive
+                    # evidence, not core state — resume with empty columns
+                    # rather than refusing the whole mission checkpoint.
+                    arr = np.asarray(leaf)
+                else:
+                    # Anything else mis-shaped means the window geometry
+                    # changed (window/max_ranges/n_imu config): unflattening
+                    # it silently would corrupt every downstream jit — fail
+                    # loudly with the actual mismatch.
+                    raise ValueError(
+                        f"checkpoint field {key} shape {tuple(arr.shape)} != "
+                        f"configured {tuple(tmpl_shape)} — estimator was "
+                        "built with different window geometry than the saved "
+                        "mission"
+                    )
             new_leaves.append(jnp.asarray(arr, getattr(leaf, "dtype", None)))
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

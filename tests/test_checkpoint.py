@@ -12,15 +12,41 @@ from ocean_perception_tpu.vio.state_estimator import StateEstimator, StateEstima
 GRAVITY = np.array([0.0, 0.0, -9.81])
 
 
-def make_est():
+def make_est(max_landmarks=0, window=6):
     cam = PinholeCamera.create(300.0, 300.0, 320.0, 240.0, 480, 640)
     rig = StereoCamera.create(cam, cam, 0.2)
     params = StateEstimatorParams(
         n_gravity=GRAVITY.copy(),
-        smoother=SmootherConfig(window=6, iterations=3),
+        smoother=SmootherConfig(window=window, iterations=3,
+                                max_landmarks=max_landmarks),
         max_imu_per_keypose=64,
     )
     return StateEstimator(params, rig)
+
+
+@pytest.mark.slow
+def test_checkpoint_landmark_geometry_migration(tmp_path):
+    """A checkpoint saved with max_landmarks=0 must load into a 16-column
+    estimator (landmark history is additive — resume with empty columns,
+    the r4 default change must not strand old mission checkpoints), while a
+    CORE window-geometry mismatch still fails loudly."""
+    est = make_est(max_landmarks=0)
+    est.initialize(0, np.eye(4))
+    for i in range(1, 120):
+        est.receive_imu(ImuMeasurement(int(i * 1e7), np.zeros(3), -GRAVITY))
+    path = str(tmp_path / "state.npz")
+    save_estimator(est, path)
+
+    est16 = make_est(max_landmarks=16)
+    load_estimator(est16, path)
+    assert est16._n_keyposes == est._n_keyposes
+    assert est16.window.lmk_valid.shape[1] == 16
+    assert not np.asarray(est16.window.lmk_valid).any()
+    np.testing.assert_allclose(np.asarray(est16.window.p), np.asarray(est.window.p))
+
+    bad = make_est(window=8)  # core geometry change: must refuse
+    with pytest.raises(ValueError, match="window geometry"):
+        load_estimator(bad, path)
 
 
 @pytest.mark.slow

@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--windows", default="8,16,32")
     ap.add_argument("--iterations", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--max-landmarks", type=int, default=0,
+                    help="landmark projection columns (r4 production "
+                         "default: 16) — populates synthetic tracks")
     args = ap.parse_args()
 
     from ocean_perception_tpu.utils.platform import enable_compile_cache
@@ -49,9 +52,35 @@ def main() -> int:
 
     out = {}
     for M in [int(v) for v in args.windows.split(",")]:
-        config = SmootherConfig(window=M, iterations=args.iterations)
+        config = SmootherConfig(
+            window=M, iterations=args.iterations,
+            max_landmarks=args.max_landmarks,
+            cam_fx=200.0, cam_fy=200.0, cam_cx=80.0, cam_cy=60.0,
+        )
         states, imu_windows = simulate(M_used=M)
         win = build_window(states, imu_windows, config, state_noise=0.05)
+        if args.max_landmarks > 0:
+            # Synthetic landmark tracks: true 3D points ahead of the rig,
+            # projected into every keypose (identity body_T_cam), ~1/3 mono.
+            rng = np.random.default_rng(9)
+            L = args.max_landmarks
+            pts = rng.uniform([-1, -1, 2.0], [1, 1, 5.0], size=(L, 3))
+            uv = np.zeros((M, L, 2), np.float32)
+            disp = np.zeros((M, L), np.float32)
+            vmask = np.zeros((M, L), bool)
+            for k, (Rk, pk, _) in enumerate(states):
+                cam = (np.asarray(Rk).T @ (pts - pk).T).T
+                ok = cam[:, 2] > 0.5
+                z = np.maximum(cam[:, 2], 0.5)
+                uv[k, :, 0] = 200.0 * cam[:, 0] / z + 80.0
+                uv[k, :, 1] = 200.0 * cam[:, 1] / z + 60.0
+                disp[k] = np.where(np.arange(L) % 3 != 0,
+                                   200.0 * config.cam_baseline / z, 0.0)
+                vmask[k] = ok
+            win = win._replace(
+                lmk_uv=jnp.asarray(uv), lmk_disp=jnp.asarray(disp),
+                lmk_valid=jnp.asarray(vmask),
+            )
 
         @jax.jit
         def solve(w):

@@ -83,6 +83,14 @@ class _FusedGeom(NamedTuple):
     pr: int
 
 
+def _derive_block(D: int) -> int:
+    """Planes per accumulated store block in the in-kernel row derivation.
+    2 is the measured register-pressure sweet spot: DB=8 spilled 92 MB of
+    vector registers at the production point (the allocator keeps the
+    accumulation chain live)."""
+    return 2 if D % 2 == 0 else 1
+
+
 def _effective_chunks(n: int, chunks: int) -> int:
     c = min(chunks, n)
     while n % c != 0:
@@ -199,19 +207,30 @@ def _roll_fix(plane, shift, edge, first01, last01):
 def _kernel(
     # inputs (iotas/masks/coords are STREAMED — compiled Mosaic mis-lays-out
     # in-kernel sublane-axis iotas; interpret mode hides it)
-    V_row, V_col, seed_row, noise_row, pen_row, pen_col, interior_col,
-    PxT, Py, QhT, Pw,
-    ids_row_ref, ids_col_ref, c_row_ref, x_col_ref,
-    first_row_ref, last_row_ref, first_col_ref, last_col_ref,
-    # outputs
-    out_col,
-    # scratch
-    D_row, C_row, D_col, C_col, halo_d, halo_c,
-    *, g: _FusedGeom, iters: int, noise_scale0: float, improve: float,
-    inner_loop: bool = False,
+    *refs,
+    g: _FusedGeom, iters: int, noise_scale0: float, improve: float,
+    inner_loop: bool = False, derive_row: bool = False,
 ):
+    if derive_row:
+        # V_row is SCRATCH (last), derived in-kernel from V_col below — the
+        # XLA-side (H,W,D)->(W,D,H) re-tiling transpose and its 30 MB HBM
+        # write+read are gone (r4; docs/PERFORMANCE.md roofline section).
+        (V_col, seed_row, noise_row, pen_row, pen_col, interior_col,
+         PxT, Py, QhT, Pw,
+         ids_row_ref, ids_col_ref, c_row_ref, x_col_ref,
+         first_row_ref, last_row_ref, first_col_ref, last_col_ref,
+         eyeb_ref,
+         out_col,
+         D_row, C_row, D_col, C_col, halo_d, halo_c, V_row) = refs
+    else:
+        (V_row, V_col, seed_row, noise_row, pen_row, pen_col, interior_col,
+         PxT, Py, QhT, Pw,
+         ids_row_ref, ids_col_ref, c_row_ref, x_col_ref,
+         first_row_ref, last_row_ref, first_col_ref, last_col_ref,
+         out_col,
+         D_row, C_row, D_col, C_col, halo_d, halo_c) = refs
     f32 = jnp.float32
-    cdtype = V_row.dtype
+    cdtype = V_col.dtype
     ids_row = ids_row_ref[...]
     ids_col = ids_col_ref[...]
     c_row = c_row_ref[...]
@@ -445,6 +464,52 @@ def _kernel(
     do_pass = run_pass_loop if inner_loop else run_pass
     do_refresh = refresh_cost_row_loop if inner_loop else refresh_cost_row
 
+    # -- in-kernel volume layout derivation (derive_row mode) -----------------
+    # V_row[i, c, d, h] per plane d is the SAME permutation transform the
+    # front transport (col_to_row) applies to a (H, W) map — one MXU
+    # permutation matmul pair per d. Exactness WITHOUT the hi/lo trick for
+    # bf16 volumes: operands are bf16 costs x exact-0/1 permutation weights,
+    # every output sum has exactly ONE nonzero term, and every intermediate
+    # is bf16-representable, so DEFAULT MXU precision (which truncates f32
+    # operands to bf16) loses nothing. f32 volumes (non-production) keep
+    # PREC=HIGHEST.
+    if derive_row:
+        if cdtype == jnp.bfloat16:
+            Qv = QhT[...].astype(jnp.bfloat16)
+            Pv = Pw[...].astype(jnp.bfloat16)
+            vprec = None
+        else:
+            Qv = QhT[...]
+            Pv = Pw[...]
+            vprec = jax.lax.Precision.HIGHEST
+        # Mosaic store constraints force a block design: a (cx, ccx, H)
+        # plane cannot store at a middle-axis slot V_row[:, :, d, :] (the
+        # implied unit-sublane reshape is an unsupported shape cast), and a
+        # whole-volume transpose spills >100 MB of registers. Instead,
+        # DB-plane blocks are accumulated in registers via broadcast_in_dim
+        # (no unit-dim reshapes) x streamed one-hot plane masks (eyeb_ref —
+        # in-kernel sublane iotas are the known mis-layout class), then
+        # stored with exactly matching shapes.
+        DB = _derive_block(g.D)
+        eyeb = eyeb_ref[...]
+        for d0 in range(0, g.D, DB):
+            acc = jnp.zeros((g.chunk_x, g.chunks_x, DB, g.H), f32)
+            for j in range(DB):
+                d = d0 + j
+                A3 = V_col[:, :, pl.ds(d, 1), :]
+                A2 = jnp.sum(A3, axis=2).reshape(g.H, g.W)  # unit-axis squeeze
+                U = jax.lax.dot_general(A2, Qv, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=f32, precision=vprec)
+                X = jax.lax.dot_general(Pv, U, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=f32, precision=vprec)
+                X3 = X.reshape(g.chunk_x, g.chunks_x, g.H)
+                Xb = jax.lax.broadcast_in_dim(
+                    X3, (g.chunk_x, g.chunks_x, DB, g.H), (0, 1, 3))
+                Mb = jax.lax.broadcast_in_dim(
+                    eyeb[j], (g.chunk_x, g.chunks_x, DB, g.H), (2, 3))
+                acc = acc + Xb * Mb
+            V_row[:, :, pl.ds(d0, DB), :] = acc.astype(cdtype)
+
     # ------------------------------------------------------------------------
     D_row[...] = seed_row[...]
     for it in range(iters):
@@ -510,7 +575,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("chunks", "chunks_y", "halo", "pr", "iters", "noise_scale0",
-                     "improve", "interpret", "inner_loop"),
+                     "improve", "interpret", "inner_loop", "derive_row"),
 )
 def pallas_patchmatch_fused(
     C: jnp.ndarray,      # (H, W, D) cost volume (f32 or bf16)
@@ -525,9 +590,24 @@ def pallas_patchmatch_fused(
     improve: float,
     interpret: bool = False,
     inner_loop: bool = False,
+    derive_row: bool = False,
 ) -> jnp.ndarray:
     """Returns the MaskBackground'd left disparity — drop-in replacement for
     stereo.patchmatch._match_one_side, bit-identical.
+
+    derive_row=True: the kernel receives only the col-layout volume and
+    derives the row layout in VMEM via per-plane MXU permutation matmuls —
+    the XLA-side (H,W,D)->(W,D,H) re-tiling transpose (~0.25 ms/frame) plus
+    30 MB of HBM write+read would disappear. Bit-identical in interpret
+    mode (locked by test) but NOT COMPILABLE at the production point on the
+    current Mosaic toolchain — three designs, three walls (r4,
+    docs/PERFORMANCE.md): per-plane middle-axis stores hit an unsupported
+    unit-sublane shape cast; a d-leading temp + whole-volume transpose
+    spills 105 MB of vector registers; DB-blocked broadcast+mask
+    accumulation spills 92 MB at DB=8 and gets the compile helper
+    OOM-killed at DB=2. Default stays False (two-input layout prep) until
+    the toolchain moves; the flag and the interpret-verified implementation
+    are kept for that day.
 
     Batching: an outer jax.vmap (multi-camera batch, or the non-right_wta
     L/R lockstep) maps this to a SEQUENTIAL lax.map over the batch rather
@@ -541,7 +621,7 @@ def pallas_patchmatch_fused(
     impl = functools.partial(
         _fused_single, chunks=chunks, chunks_y=chunks_y, halo=halo, pr=pr,
         iters=iters, noise_scale0=noise_scale0, improve=improve,
-        interpret=interpret, inner_loop=inner_loop,
+        interpret=interpret, inner_loop=inner_loop, derive_row=derive_row,
     )
     return jax.custom_batching.sequential_vmap(impl)(C, seed, noise)
 
@@ -560,6 +640,7 @@ def _fused_single(
     improve: float,
     interpret: bool,
     inner_loop: bool,
+    derive_row: bool,
 ) -> jnp.ndarray:
     H, W, D = C.shape
     g = fused_geometry(H, W, D, chunks, chunks_y, halo, pr)
@@ -568,11 +649,13 @@ def _fused_single(
     )
 
     # Layout builders (XLA side, once per call; the kernel reads each input
-    # from HBM exactly once).
-    V_row = jnp.transpose(C, (1, 2, 0)).reshape(g.chunks_x, g.chunk_x, D, H)
-    V_row = jnp.transpose(V_row, (1, 0, 2, 3))
+    # from HBM exactly once). In derive_row mode only the COL layout is
+    # built here — the row layout is derived inside the kernel on the MXU.
     V_col = jnp.transpose(C, (0, 2, 1)).reshape(g.chunks_y, g.chunk_y, D, W)
     V_col = jnp.transpose(V_col, (1, 0, 2, 3))
+    if not derive_row:
+        V_row = jnp.transpose(C, (1, 2, 0)).reshape(g.chunks_x, g.chunk_x, D, H)
+        V_row = jnp.transpose(V_row, (1, 0, 2, 3))
 
     def to_row(x):
         r = jnp.transpose(x, (1, 0)).reshape(g.chunks_x, g.chunk_x, H)
@@ -619,31 +702,45 @@ def _fused_single(
     cdtype = C.dtype
     kernel = functools.partial(
         _kernel, g=g, iters=iters, noise_scale0=noise_scale0, improve=improve,
-        inner_loop=inner_loop,
+        inner_loop=inner_loop, derive_row=derive_row,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    scratch = [
+        pltpu.VMEM((g.chunk_x, g.chunks_x, H), jnp.float32),   # D_row
+        pltpu.VMEM((g.chunk_x, g.chunks_x, H), cdtype),        # C_row
+        pltpu.VMEM((g.chunk_y, g.chunks_y, W), jnp.float32),   # D_col
+        pltpu.VMEM((g.chunk_y, g.chunks_y, W), cdtype),        # C_col
+        pltpu.VMEM((halo, max(g.chunks_x, g.chunks_y), max(H, W)), jnp.float32),
+        pltpu.VMEM((halo, max(g.chunks_x, g.chunks_y), max(H, W)), cdtype),
+    ]
+    inputs = [
+        seed_row, noise_row, pen_row, pen_col, interior_col,
+        PxT, Py, QhT, Pw,
+        ids_row, ids_col, c_row, x_col,
+        first_row01, last_row01, first_col01, last_col01,
+    ]
+    if derive_row:
+        # Row-layout volume becomes VMEM scratch (same bytes, no HBM trip).
+        scratch.append(pltpu.VMEM((g.chunk_x, g.chunks_x, D, H), cdtype))
+        DB = _derive_block(D)
+        eyeb = jnp.asarray(
+            np.broadcast_to(
+                np.eye(DB, dtype=np.float32)[:, :, None], (DB, DB, H)
+            ).copy()
+        )
+        inputs = [V_col] + inputs + [eyeb]
+    else:
+        inputs = [V_row, V_col] + inputs
     out_col = pl.pallas_call(
         kernel,
-        in_specs=[vspec() for _ in range(19)],
+        in_specs=[vspec() for _ in range(len(inputs))],
         out_specs=vspec(),
         out_shape=jax.ShapeDtypeStruct((g.chunk_y, g.chunks_y, W), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((g.chunk_x, g.chunks_x, H), jnp.float32),   # D_row
-            pltpu.VMEM((g.chunk_x, g.chunks_x, H), cdtype),        # C_row
-            pltpu.VMEM((g.chunk_y, g.chunks_y, W), jnp.float32),   # D_col
-            pltpu.VMEM((g.chunk_y, g.chunks_y, W), cdtype),        # C_col
-            pltpu.VMEM((halo, max(g.chunks_x, g.chunks_y), max(H, W)), jnp.float32),
-            pltpu.VMEM((halo, max(g.chunks_x, g.chunks_y), max(H, W)), cdtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        V_row, V_col, seed_row, noise_row, pen_row, pen_col, interior_col,
-        PxT, Py, QhT, Pw,
-        ids_row, ids_col, c_row, x_col,
-        first_row01, last_row01, first_col01, last_col01,
-    )
+    )(*inputs)
     # col layout -> canonical (H, W).
     return jnp.transpose(out_col, (1, 0, 2)).reshape(H, W)

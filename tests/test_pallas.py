@@ -61,6 +61,29 @@ def test_pallas_fused_bit_identical(rng):
         assert (a > 0).mean() > 0.2
 
 
+def test_pallas_fused_derive_row_parity(rng):
+    """The in-kernel row-layout derivation (derive_row=True: MXU
+    permutation-matmul volume transport instead of the XLA transpose) is
+    bit-identical to the two-input mode for bf16 AND f32 volumes. Kept
+    interpret-only: the current Mosaic toolchain cannot compile it at the
+    production point (three walls documented in the kernel docstring)."""
+    from ocean_perception_tpu.ops.pallas.fused_patchmatch import (
+        pallas_patchmatch_fused,
+    )
+
+    H, W, D = 48, 64, 16
+    C = jnp.asarray(rng.random((H, W, D)).astype(np.float32))
+    seed = jnp.asarray((rng.random((H, W)) * (D - 1)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((H, W)).astype(np.float32))
+    kw = dict(chunks=4, chunks_y=None, halo=5, pr=1, iters=2,
+              noise_scale0=2.0, improve=0.95, interpret=True)
+    for vol in (C.astype(jnp.bfloat16), C):
+        old = pallas_patchmatch_fused(vol, seed, noise, derive_row=False, **kw)
+        new = pallas_patchmatch_fused(vol, seed, noise, derive_row=True, **kw)
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new),
+                                      err_msg=str(vol.dtype))
+
+
 @pytest.mark.slow
 def test_pallas_fused_under_vmap(rng):
     """The fused kernel must also be bit-identical under jax.vmap — the B>1

@@ -200,7 +200,9 @@ def wait_for_backend(max_wait_s: float | None = None) -> bool:
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
-                timeout=max(min(180.0, budget_left), 30.0),
+                # Clamp to budget_left so the final probe can never overrun
+                # the configured budget (driver margin may be tight).
+                timeout=max(min(180.0, budget_left), min(30.0, budget_left)),
                 capture_output=True, env=env,
             )
             if r.returncode == 0:

@@ -91,7 +91,10 @@ class LiveViewNode:
         self._traj: dict[str, deque] = {}
         self._stats: dict[str, _ChannelStats] = {}
         self._readers: dict[str, ShmRingReader] = {}
-        self._frame_event = threading.Event()
+        # New-frame wakeup for MJPEG streamers. A Condition (not a bare
+        # set()/clear() Event pair) so a client between its seq check and
+        # wait() cannot miss the notify and sleep a full timeout.
+        self._frame_cond = threading.Condition(self._lock)
         self._max_traj = max_traj
         self.image_channels = list(image_channels)
         self.pose_channels = list(pose_channels)
@@ -130,18 +133,22 @@ class LiveViewNode:
             l, r = msg.left.to_array(), msg.right.to_array()
             frame = np.concatenate([l, r], axis=1) if l.shape == r.shape else l
         elif isinstance(msg, ShmImageHeader):
-            reader = self._readers.setdefault(msg.shm_path, ShmRingReader(msg.shm_path))
+            # get-then-construct: setdefault would build (and leak) a fresh
+            # native mapping on every message after the first.
+            reader = self._readers.get(msg.shm_path)
+            if reader is None:
+                reader = ShmRingReader(msg.shm_path)
+                self._readers[msg.shm_path] = reader
             got = reader.read(msg.seq)
             if got is not None:
                 frame = got[1]
         if frame is None:
             return
-        with self._lock:
+        with self._frame_cond:
             self._frames[channel] = np.asarray(frame)
             self._frame_seq[channel] = self._frame_seq.get(channel, 0) + 1
             self._stat(channel).tick()
-        self._frame_event.set()
-        self._frame_event.clear()
+            self._frame_cond.notify_all()
 
     def _on_pose(self, channel, msg) -> None:
         if not isinstance(msg, PoseStampedMessage):
@@ -290,13 +297,15 @@ class LiveViewNode:
         last_seq = -1
         while True:
             ch = channel or (self.image_channels[0] if self.image_channels else None)
-            with self._lock:
+            with self._frame_cond:
                 seq = self._frame_seq.get(ch, 0) if ch else 0
-            if seq == last_seq:
-                # Block on the next frame; cap the wait so a silent camera
-                # still lets the client disconnect cleanly.
-                self._frame_event.wait(timeout=0.5)
-                continue
+                if seq == last_seq:
+                    # Block on the next frame under the condition (re-checking
+                    # seq first) so the notify can't slip between check and
+                    # wait; cap the wait so a silent camera still lets the
+                    # client disconnect cleanly.
+                    self._frame_cond.wait(timeout=0.5)
+                    continue
             data = self.latest_jpeg(ch)
             if data is None:
                 time.sleep(0.1)
@@ -338,6 +347,13 @@ class LiveViewNode:
         self._server.shutdown()
         self._server.server_close()
         self._thread.join(timeout=5)
+        with self._lock:
+            readers, self._readers = dict(self._readers), {}
+        for reader in readers.values():
+            try:
+                reader.close()
+            except Exception:
+                pass
 
 
 def main(argv=None) -> int:

@@ -46,7 +46,7 @@ def main() -> int:
                          "mesher_input_height parity)")
     ap.add_argument("--lk-mode", default="default",
                     choices=["default", "matmul", "corr", "pallas",
-                             "corr-slices", "pallas-slices"],
+                             "corr-slices", "pallas-slices", "fused"],
                     help="LK iteration mode ablation (default = LKParams "
                          "defaults: matmul resample — the composed-graph "
                          "winner; see PERFORMANCE.md lk-mode ablation)")
@@ -57,6 +57,9 @@ def main() -> int:
                          "(auto = batched on real TPU)")
     ap.add_argument("--capacity", type=int, default=None,
                     help="tracker slot capacity (default: reference K=200)")
+    ap.add_argument("--edge-gate", default="onehot", choices=["onehot", "gather"],
+                    help="mesher edge foreground gate implementation "
+                         "(gather = the pre-round-5 K^2*S advanced-index path)")
     ap.add_argument("--bwd-levels", type=int, default=0,
                     help="truncated backward verification pass: run only the "
                          "N finest levels init'd at the round-trip target "
@@ -109,7 +112,9 @@ def main() -> int:
             from ocean_perception_tpu.tracking import LKParams
 
             lk_kw = {}
-            if args.lk_mode != "default":
+            if args.lk_mode == "fused":
+                lk_kw = dict(fused_lk=True)
+            elif args.lk_mode != "default":
                 lk_kw = dict(
                     corr_iters=args.lk_mode.startswith(("corr", "pallas")),
                     pallas_iters=args.lk_mode.startswith("pallas"),
@@ -120,6 +125,9 @@ def main() -> int:
             if args.bwd_levels:
                 lk_kw["bwd_levels"] = args.bwd_levels
             tracker_kw["lk"] = LKParams(**lk_kw)
+        mp_kw = {}
+        if args.edge_gate != "onehot":
+            mp_kw["edge_gate_impl"] = args.edge_gate
         if args.capacity or tracker_kw:
             from ocean_perception_tpu.tracking import DetectorParams
             from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerParams
@@ -128,10 +136,11 @@ def main() -> int:
             mp = ObjectMesherDeviceParams(
                 tracker=StereoTrackerParams(
                     capacity=K, detector=DetectorParams(max_features=K), **tracker_kw
-                )
+                ),
+                **mp_kw,
             )
         else:
-            mp = ObjectMesherDeviceParams()  # defaults: K=200, k-ago ring 3
+            mp = ObjectMesherDeviceParams(**mp_kw)  # defaults: K=200, k-ago ring 3
 
     cam = PinholeCamera.create(W * 0.5, W * 0.5, W / 2, H / 2, H, W)
     rig = StereoCamera.create(cam, cam, baseline=0.2)
@@ -208,13 +217,26 @@ def main() -> int:
                 # dead-code-eliminates the unconsumed subgraph (measured:
                 # a mesher-only digest makes the full pipeline time equal
                 # the mesher-only ablation — the dense pass was DCE'd).
+                # Labels + sizes MUST be consumed too: they are the only
+                # outputs depending on the fg gate + landmark graph + CC,
+                # and a disparities-only digest let XLA DCE that whole
+                # subgraph — the r3/r4 "full" fleet numbers silently
+                # excluded it (~40 ms/step at the gather-gate defaults;
+                # docs/PERFORMANCE.md round 5).
+                def mesher_digest(mo):
+                    return (
+                        jnp.sum(mo.disparities) * 1e-6
+                        + jnp.sum(mo.labels.astype(jnp.float32)) * 1e-7
+                        + jnp.sum(mo.sizes.astype(jnp.float32)) * 1e-7
+                    )
+
                 if args.stage == "perception":
                     digest = jnp.sum(out.perception.disparity) * 1e-9
                 elif args.stage == "mesher":
-                    digest = jnp.sum(out.mesher.disparities) * 1e-6
+                    digest = mesher_digest(out.mesher)
                 else:
                     digest = (
-                        jnp.sum(out.mesher.disparities) * 1e-6
+                        mesher_digest(out.mesher)
                         + jnp.sum(out.perception.disparity) * 1e-9
                         + jnp.sum(out.perception.enhanced_left[:, ::64, ::64]) * 1e-9
                     )
@@ -261,10 +283,12 @@ def main() -> int:
                 s, g, p, l + perturb, r, rig, cfg, mp, mesher_scale=ms
             )
             # Consume every stage (unconsumed outputs get DCE'd — see the
-            # fleet variant's comment).
+            # fleet variant's comment; labels/sizes carry the graph+gate).
             digest = (
                 jnp.sum(out.perception.disparity) * 1e-6
                 + jnp.sum(out.mesher.disparities) * 1e-6
+                + jnp.sum(out.mesher.labels.astype(jnp.float32)) * 1e-7
+                + jnp.sum(out.mesher.sizes.astype(jnp.float32)) * 1e-7
                 + jnp.sum(out.perception.enhanced_left[::64, ::64]) * 1e-9
             )
             return (out.tracker_state, out.graph, cur, digest), digest

@@ -53,6 +53,16 @@ class ObjectMesherDeviceParams:
     # Sample the foreground gate from a 1/f box-averaged mask with nearest
     # indexing (1 = exact full-res bilinear, the reference's behavior).
     fg_downsample: int = struct.field(pytree_node=False, default=4)
+    # How the per-segment foreground samples are fetched when
+    # fg_downsample > 1: "onehot" (default) reads each sample through
+    # per-point bounded foreground patches + two exact one-hot MXU
+    # contractions — bit-identical to "gather" for every pair inside
+    # neighbor_radius_px (the only pairs update_graph consumes) and ~25x
+    # faster on TPU, where the K^2*S advanced-index gather (640k scattered
+    # loads per camera per frame at the defaults) was measured as the
+    # dominant cost of the whole fleet step (docs/PERFORMANCE.md round 5).
+    # "gather" keeps the plain advanced-indexing path (parity oracle).
+    edge_gate_impl: str = struct.field(pytree_node=False, default="onehot")
     tracker: StereoTrackerParams = struct.field(pytree_node=False, default=StereoTrackerParams())
 
 
@@ -64,6 +74,76 @@ class MesherDeviceOutput(NamedTuple):
     alive: jnp.ndarray         # (K,)
     foreground: jnp.ndarray    # (H, W) bool
     is_keyframe: jnp.ndarray
+
+
+def _edge_fg_frac_onehot(
+    fg_small: jnp.ndarray,   # (Hf, Wf) box-averaged foreground fraction
+    pts: jnp.ndarray,        # (K, 2) tracked pixels (full-res coords)
+    yy: jnp.ndarray,         # (K, K, S) clipped coarse row index per sample
+    xx: jnp.ndarray,         # (K, K, S) clipped coarse col index per sample
+    f: int,
+    radius_px: float,
+) -> jnp.ndarray:
+    """Segment-sample foreground fractions WITHOUT the K^2*S gather.
+
+    TPU gathers scalarize: `fg_small[yy, xx]` is 640k scattered loads per
+    camera per frame at the defaults (K=200, S=16) — measured ~40 ms of the
+    B=4 fleet step (docs/PERFORMANCE.md round 5), the single largest stage
+    of the whole pipeline. Every sample of a pair inside neighbor_radius_px
+    lies within radius_px of endpoint i, so it falls inside a bounded
+    (R, R) patch of the coarse mask around point i. Each lookup then
+    becomes two one-hot contractions over the bounded patch axes — MXU
+    work, no gathers:
+
+        val[i,j,s] = sum_a sum_b [ly==a][lx==b] patch_i[a, b]
+
+    Bit-identity: for pairs within the radius the patch covers the clipped
+    sample exactly (val == fg_small[yy, xx], each selection is 1*value);
+    farther pairs clamp into the patch and may differ — but update_graph
+    multiplies their evidence by pair_valid=0, so every mesher output
+    (weights, labels, sizes) is bit-identical to the gather path (locked by
+    tests/test_mesher.py::test_edge_gate_onehot_matches_gather).
+
+    One-hots and the row-selected intermediate ride bf16 when f is a power
+    of two: patch values are multiples of 1/f^2 (exact in bf16's 8-bit
+    mantissa), selections are 0/1, and each row has exactly one nonzero, so
+    even bf16 accumulation is exact. Non-power-of-two f falls back to f32
+    HIGHEST (still ~6x faster than the gather).
+
+    Reference: object_mesher.cpp CountEdgePixels (Bresenham walk over the
+    full-res mask) — the S-sample approximation is the documented
+    fg_downsample>1 operating point.
+    """
+    from ..ops.windows import extract_windows
+
+    Hf, Wf = fg_small.shape
+    rad = int(np.ceil(radius_px / f)) + 2  # +1 floor margin, +1 slack
+    Ry = min(2 * rad + 1, Hf)
+    Rx = min(2 * rad + 1, Wf)
+
+    vy0 = jnp.clip(
+        jnp.floor(pts[:, 1] / f).astype(jnp.int32) - rad, 0, Hf - Ry
+    )
+    vx0 = jnp.clip(
+        jnp.floor(pts[:, 0] / f).astype(jnp.int32) - rad, 0, Wf - Rx
+    )
+    patches = extract_windows(fg_small, vy0, vx0, Ry, size_x=Rx)  # (K, Ry, Rx)
+
+    ly = jnp.clip(yy - vy0[:, None, None], 0, Ry - 1)  # (K, K, S)
+    lx = jnp.clip(xx - vx0[:, None, None], 0, Rx - 1)
+
+    exact_bf16 = f & (f - 1) == 0 and f <= 16
+    dt = jnp.bfloat16 if exact_bf16 else jnp.float32
+    prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
+    oy = (ly[..., None] == jnp.arange(Ry, dtype=jnp.int32)).astype(dt)
+    t_rows = jnp.einsum(
+        "ijsa,iab->ijsb", oy, patches.astype(dt), precision=prec
+    )  # (K, K, S, Rx) — each row is one selected patch row (exact values)
+    ox = lx[..., None] == jnp.arange(Rx, dtype=jnp.int32)
+    vals = jnp.sum(
+        jnp.where(ox, t_rows, jnp.zeros((), dt)).astype(jnp.float32), axis=-1
+    )  # one nonzero per (i,j,s): exact in any dtype
+    return jnp.mean(vals, axis=-1)
 
 
 def mesher_device_step(
@@ -110,7 +190,12 @@ def mesher_device_step(
         )
         yy = jnp.clip((seg[..., 1] / f).astype(jnp.int32), 0, Hf - 1)
         xx = jnp.clip((seg[..., 0] / f).astype(jnp.int32), 0, Wf - 1)
-        fg_frac = jnp.mean(fg_small[yy, xx], axis=-1)
+        if params.edge_gate_impl == "onehot":
+            fg_frac = _edge_fg_frac_onehot(
+                fg_small, pts, yy, xx, f, params.neighbor_radius_px
+            )
+        else:
+            fg_frac = jnp.mean(fg_small[yy, xx], axis=-1)
     else:
         fg_f = fg.astype(jnp.float32)
         fg_frac = jnp.mean(

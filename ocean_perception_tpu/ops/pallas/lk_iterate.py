@@ -157,6 +157,43 @@ def _flat_iterate(r, ws, pad, max_iters, eps, interpret):
 @functools.partial(
     jax.jit, static_argnames=("r", "ws", "pad", "max_iters", "eps", "interpret")
 )
+def lk_iterate_lane_major(
+    corr,    # (2, A, A, Kp) lane-major surfaces (ops.pallas.lk_prep output)
+    scal,    # (8, Kp): tgx tgy inv00 inv01 inv10 inv11 sy0f sx0f
+    pos0,    # (2, Kp) initial [x, y]
+    *, r: int, ws: int, pad: int, max_iters: int, eps: float,
+    interpret: bool = False,
+):
+    """Lane-major entry: run the walk directly on lk_prep's outputs with
+    ZERO relayouts between the two launches. Returns (pos (2, Kp),
+    hit (1, Kp) f32 0/1) still lane-major; the caller slices/compares."""
+    A = corr.shape[1]
+    Kp = corr.shape[-1]
+    kernel = functools.partial(
+        _lk_iter_kernel, A=A, r=r, ws=ws, pad=pad, max_iters=max_iters, eps=eps
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, Kp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Kp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(corr, scal, pos0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "ws", "pad", "max_iters", "eps", "interpret")
+)
 def _lk_iterate_impl(
     corr, tg, inv, sy0, sx0, guess,
     *, r: int, ws: int, pad: int, max_iters: int, eps: float, interpret: bool,

@@ -25,8 +25,9 @@ def extract_windows(
     x0: jnp.ndarray,
     size: int,
     src: jnp.ndarray | None = None,
+    size_x: int | None = None,
 ) -> jnp.ndarray:
-    """Extract K (size, size) windows at integer origins (y0, x0).
+    """Extract K (size, size_x or size) windows at integer origins (y0, x0).
 
     ``img`` is (H, W), or a (R, H, W) ring with ``src`` (K,) selecting each
     point's source frame (k-ago re-tracking): the ring axis folds into the
@@ -38,9 +39,11 @@ def extract_windows(
     selection matmuls).
     """
     hi = jax.lax.Precision.HIGHEST
+    size_x = size if size_x is None else size_x
     y0 = jnp.asarray(y0, jnp.int32)
     x0 = jnp.asarray(x0, jnp.int32)
     ia = jnp.arange(size, dtype=jnp.int32)
+    ib = jnp.arange(size_x, dtype=jnp.int32)
     H, W = img.shape[-2], img.shape[-1]
 
     rows = y0[:, None] + ia[None, :]                       # (K, size)
@@ -57,7 +60,7 @@ def extract_windows(
     R = (rows[..., None] == ih).astype(img.dtype)          # (K, size, nrows)
     strip = jnp.einsum("kah,hw->kaw", R, flat, precision=hi)   # MXU row select
 
-    cols = x0[:, None] + ia[None, :]                       # (K, size)
+    cols = x0[:, None] + ib[None, :]                       # (K, size_x)
     iw = jnp.arange(W, dtype=jnp.int32)
-    C = (cols[..., None] == iw).astype(img.dtype)          # (K, size, W)
-    return jnp.einsum("kaw,kbw->kab", strip, C, precision=hi)  # (K, size, size)
+    C = (cols[..., None] == iw).astype(img.dtype)          # (K, size_x, W)
+    return jnp.einsum("kaw,kbw->kab", strip, C, precision=hi)  # (K, size, size_x)

@@ -98,6 +98,19 @@ class LKParams:
     # None = AUTO (on for real TPU); only engages for the production matmul
     # mode (search_slack > 0, corr/pallas off).
     batched_windows: bool | None = struct.field(pytree_node=False, default=None)
+    # FUSED level kernels (round 5, ops/pallas/lk_prep.py + lk_iterate.py):
+    # per level-direction, ONE Pallas prep launch DMAs every point's
+    # template + slack window straight out of the HBM pyramid into VMEM,
+    # recenters/differentiates the template, and builds the correlation
+    # surfaces with K on the lane axis — then the lane-major walk kernel
+    # consumes them with zero XLA relayouts. The per-point intermediates
+    # that spill to HBM in the composed fleet graph (the proven blocker of
+    # every prior isolation win — PERFORMANCE.md lk-mode ablation) cannot
+    # exist by construction. Math = the documented corr-surface equivalent
+    # of the production matmul walk (parity test vs the XLA corr path).
+    # None = AUTO (on for real TPU when search_slack > 0 — decided by the
+    # composed-fleet A/B, PERFORMANCE.md round 5); False forces XLA paths.
+    fused_lk: bool | None = struct.field(pytree_node=False, default=None)
     # Truncated backward (verification) pass: run only the N FINEST pyramid
     # levels of the bidirectional re-track, initialized at the ORIGINAL
     # point (the known round-trip target) instead of a zero-motion guess.
@@ -523,6 +536,17 @@ def pyramidal_lk(
     sn = zeros_k if src_next is None else jnp.asarray(src_next, jnp.int32)
 
     init0 = points if initial_flow is None else initial_flow
+    use_fused = p.fused_lk
+    if use_fused is None:
+        # AUTO: off until the composed-fleet A/B on real TPU decides
+        # (PERFORMANCE.md round 5); True forces the kernels on any backend.
+        use_fused = False
+    if use_fused and p.search_slack > 0:
+        return _pyramidal_lk_fused(
+            prev_pad, next_pad, points, init0, sp, sn, p, level_window,
+            levels, pad, interpret=jax.default_backend() != "tpu",
+        )
+
     use_pallas = p.pallas_iters
     if use_pallas is None:  # auto: only atop an explicit corr_iters, on real TPU
         use_pallas = p.corr_iters and jax.default_backend() == "tpu"
@@ -613,6 +637,83 @@ def _pyramidal_lk_level_major(
                 r=r, ws=ws, pad=pad, max_iters=p.max_iters, eps=float(p.eps),
                 interpret=interpret,
             )
+            in_img = (
+                (pos[:, 0] >= 0) & (pos[:, 0] <= W - 1)
+                & (pos[:, 1] >= 0) & (pos[:, 1] <= H - 1)
+            )
+            ok_l = ok_g & in_img & jnp.all(jnp.isfinite(pos), axis=-1) & ~hit
+            guess = jnp.where(ok_l[:, None], pos, guess)
+            if lvl == 0:
+                # OpenCV semantics: status comes from the finest level.
+                ok = ok_l
+        if lvl > 0:
+            guess = guess * 2.0
+    return FlowResult(points=guess, status=ok)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _fused_level_fn(win, slack, pad, min_eig, max_iters, eps, interpret):
+    """One level-direction of the fused-kernel walk: prep kernel -> walk
+    kernel, lane-major end to end. sequential_vmap makes an outer
+    camera-axis vmap (the farm fleet) lower to a lax.map of per-camera
+    launches — each camera has its own images, so lanes cannot be shared."""
+    from ..ops.pallas.lk_iterate import lk_iterate_lane_major
+    from ..ops.pallas.lk_prep import lk_prep_pallas
+
+    r = win // 2
+    ws = win + 2 * (slack + 1)
+
+    @jax.custom_batching.sequential_vmap
+    def level(tmpl, srch, pts, guess, sp, sn):
+        corr, scal, okg, _, _ = lk_prep_pallas(
+            tmpl, srch, pts, guess, sp, sn,
+            win=win, slack=slack, pad=pad, min_eig_threshold=min_eig,
+            interpret=interpret,
+        )
+        K = pts.shape[0]
+        Kp = corr.shape[-1]
+        pos0 = jnp.pad(
+            jnp.transpose(guess.astype(jnp.float32)), ((0, 0), (0, Kp - K))
+        )
+        pos_t, hit_f = lk_iterate_lane_major(
+            corr, scal, pos0, r=r, ws=ws, pad=pad, max_iters=max_iters,
+            eps=eps, interpret=interpret,
+        )
+        return jnp.transpose(pos_t)[:K], hit_f[0, :K] > 0.5, okg
+
+    return level
+
+
+def _pyramidal_lk_fused(
+    prev_pad, next_pad, points, init, sp, sn, p: LKParams, level_window,
+    levels: int, pad: int, interpret: bool,
+) -> FlowResult:
+    """Coarse-to-fine walk where each level-direction runs as the fused
+    Pallas pair (ops/pallas/lk_prep.py docstring has the design): per-point
+    windows DMA'd from the HBM pyramid, all prep + surfaces + the iteration
+    walk VMEM-resident with K on lanes. Only (K,)-sized positions/flags flow
+    between levels. Parity with the XLA corr path is tolerance-locked by
+    tests/test_tracking.py::test_lk_fused_matches_xla."""
+    scale0 = 2.0 ** (levels - 1)
+    guess = init / scale0
+    ok = jnp.zeros(points.shape[0], bool)
+    for lvl in range(levels - 1, -1, -1):
+        win = level_window(lvl)
+        if win is not None:
+            sc = 2.0 ** lvl
+            pts_l = points / sc
+            H = prev_pad[lvl].shape[-2] - 2 * pad
+            W = prev_pad[lvl].shape[-1] - 2 * pad
+            tmpl = prev_pad[lvl] if prev_pad[lvl].ndim == 3 else prev_pad[lvl][None]
+            srch = next_pad[lvl] if next_pad[lvl].ndim == 3 else next_pad[lvl][None]
+            fn = _fused_level_fn(
+                win, p.search_slack, pad, float(p.min_eig_threshold),
+                p.max_iters, float(p.eps), interpret,
+            )
+            pos, hit, ok_g = fn(tmpl, srch, pts_l, guess, sp, sn)
             in_img = (
                 (pos[:, 0] >= 0) & (pos[:, 0] <= W - 1)
                 & (pos[:, 1] >= 0) & (pos[:, 1] <= H - 1)

@@ -146,3 +146,60 @@ def test_object_mesher_end_to_end():
     # All vertices back-project to the object depth fx*b/d = 200*0.3/12 = 5 m.
     z = mesh.vertices[:, 2]
     assert np.abs(np.median(z) - 5.0) < 0.6
+
+
+def test_edge_gate_onehot_matches_gather():
+    """The one-hot edge foreground gate (round 5: replaces the K^2*S TPU
+    gather) is BIT-IDENTICAL to the gather path on every mesher output —
+    weights, labels, sizes — including border points, far pairs (whose
+    clamped samples differ but are pair_valid-masked), and dead slots."""
+    import jax
+
+    from ocean_perception_tpu.mesher.landmark_graph import LandmarkGraph
+    from ocean_perception_tpu.mesher.object_mesher import mesher_device_step
+    from ocean_perception_tpu.tracking.stereo_tracker import StereoTrackerState
+
+    rng = np.random.default_rng(11)
+    left = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    right = jnp.asarray(np.roll(np.asarray(left), -4, axis=1))
+    prev = jnp.asarray(rng.random((H, W)).astype(np.float32))
+
+    K = 48
+    tracker = StereoTrackerParams(
+        capacity=K,
+        detector=DetectorParams(max_features=K, min_distance=6, border=4),
+        lk=LKParams(max_level=1),
+        matcher=StripeMatcherParams(max_disp=16, templ_cols=9, templ_rows=7),
+    )
+
+    outs = {}
+    for impl in ("gather", "onehot"):
+        params = ObjectMesherDeviceParams(
+            tracker=tracker, neighbor_radius_px=40.0, edge_gate_impl=impl
+        )
+        state = StereoTrackerState.create(tracker)
+        # Seed live landmarks spread over the image, incl. borders/corners.
+        pts = np.stack(
+            [rng.uniform(0, W - 1, K), rng.uniform(0, H - 1, K)], axis=1
+        ).astype(np.float32)
+        pts[0] = [0.0, 0.0]
+        pts[1] = [W - 1.0, H - 1.0]
+        table = state.table.replace(
+            ids=jnp.arange(K, dtype=jnp.int32),
+            pixels=jnp.asarray(pts),
+        )
+        state = state.replace(table=table)
+        graph = LandmarkGraph.create(K)
+        step = jax.jit(
+            lambda s, g: mesher_device_step(
+                s, g, prev, left, right, jnp.float32(100.0), params
+            )
+        )
+        _, g2, out = step(state, graph)
+        outs[impl] = (g2, out)
+
+    ga, oa = outs["gather"]
+    gb, ob = outs["onehot"]
+    np.testing.assert_array_equal(np.asarray(ga.weights), np.asarray(gb.weights))
+    np.testing.assert_array_equal(np.asarray(oa.labels), np.asarray(ob.labels))
+    np.testing.assert_array_equal(np.asarray(oa.sizes), np.asarray(ob.sizes))

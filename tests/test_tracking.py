@@ -577,3 +577,63 @@ def test_lk_bwd_levels_ring_variant(textured):
         sel = st & (src == s)
         assert sel.sum() > 5
         assert np.median(err[sel]) < 0.15
+
+
+def test_lk_fused_matches_xla(textured):
+    """The fused prep+walk kernel pair (round 5, ops/pallas/lk_prep.py) must
+    reproduce the XLA corr-mode walk (its documented math), stay close to
+    the production matmul walk, handle the k-ago ring, and be per-camera
+    identical under the fleet's camera-axis vmap (sequential_vmap)."""
+    prev = textured[:, :W]
+    M = np.float32([[1, 0, 2.7], [0, 1, -1.3]])
+    nxt = cv2.warpAffine(textured, M, (textured.shape[1], textured.shape[0]))[:, :W]
+    pts = cv2.goodFeaturesToTrack(prev, maxCorners=60, qualityLevel=0.01, minDistance=7)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    valid = jnp.ones(len(pts), bool)
+    a = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                     LKParams(corr_iters=True, pallas_iters=False, fused_lk=False))
+    b = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                     LKParams(fused_lk=True))
+    sa, sb = np.asarray(a.status), np.asarray(b.status)
+    assert (sa == sb).mean() >= 0.97
+    both = sa & sb
+    assert both.sum() > 0.7 * len(pts)
+    assert np.abs(np.asarray(a.points) - np.asarray(b.points))[both].max() < 0.01
+
+    m = track_points(jnp.asarray(prev), jnp.asarray(nxt), jnp.asarray(pts), valid,
+                     LKParams(fused_lk=False))
+    sm = np.asarray(m.status)
+    assert (sm == sb).mean() >= 0.97
+    agree = sm & sb
+    assert np.abs(np.asarray(m.points) - np.asarray(b.points))[agree].max() < 0.05
+
+    # k-ago ring: template slices from per-point source frames.
+    from ocean_perception_tpu.ops.image import image_pyramid
+    from ocean_perception_tpu.tracking.lk import track_points_ring
+
+    levels = LKParams().max_level + 1
+    ring_pyr = tuple(
+        jnp.stack([image_pyramid(jnp.asarray(prev), levels)[l]] * 3)
+        for l in range(levels)
+    )
+    cur_pyr = tuple(image_pyramid(jnp.asarray(nxt), levels))
+    src = jnp.asarray(np.arange(len(pts)) % 3, jnp.int32)
+    rf = track_points_ring(ring_pyr, cur_pyr, jnp.asarray(pts), valid, src,
+                           LKParams(fused_lk=True))
+    rx = track_points_ring(ring_pyr, cur_pyr, jnp.asarray(pts), valid, src,
+                           LKParams(corr_iters=True, pallas_iters=False, fused_lk=False))
+    srf, srx = np.asarray(rf.status), np.asarray(rx.status)
+    assert (srf == srx).mean() >= 0.97
+    bb = srf & srx
+    assert np.abs(np.asarray(rf.points) - np.asarray(rx.points))[bb].max() < 0.01
+
+    # Camera-axis vmap (fleet): per-camera results identical to unbatched.
+    f = jax.vmap(lambda l, r: track_points(l, r, jnp.asarray(pts), valid,
+                                           LKParams(fused_lk=True)))
+    out = f(jnp.stack([jnp.asarray(prev)] * 2), jnp.stack([jnp.asarray(nxt)] * 2))
+    np.testing.assert_array_equal(np.asarray(out.points[0]), np.asarray(out.points[1]))
+    # vs the unbatched run only to tolerance: vmap re-associates the f32
+    # reductions in the XLA pyramid/pad prep, not the kernels.
+    sv = np.asarray(out.status[0])
+    agree2 = sv & sb
+    assert np.abs(np.asarray(out.points[0]) - np.asarray(b.points))[agree2].max() < 0.01

@@ -36,6 +36,7 @@ import numpy as np
 
 from ..messages import (
     ImageMessage,
+    MeshMessage,
     PoseStampedMessage,
     ShmImageHeader,
     StereoImageMessage,
@@ -81,9 +82,11 @@ class LiveViewNode:
         bus: PubSub,
         image_channels: list[str],
         pose_channels: list[str],
+        mesh_channels: list[str] | None = None,
         host: str = "127.0.0.1",
         port: int = 8642,
         max_traj: int = 20000,
+        intrinsics: tuple[float, float, float, float] | None = None,
     ):
         self._lock = threading.Lock()
         self._frames: dict[str, np.ndarray] = {}
@@ -98,12 +101,17 @@ class LiveViewNode:
         self._max_traj = max_traj
         self.image_channels = list(image_channels)
         self.pose_channels = list(pose_channels)
+        self.mesh_channels = list(mesh_channels or [])
+        self._meshes: dict[str, MeshMessage] = {}
+        self._intrinsics = intrinsics
 
         for ch in image_channels:
             bus.subscribe(ch, self._on_image)
         for ch in pose_channels:
             self._traj[ch] = deque(maxlen=max_traj)
             bus.subscribe(ch, self._on_pose)
+        for ch in self.mesh_channels:
+            bus.subscribe(ch, self._on_mesh)
 
         node = self
         class Handler(BaseHTTPRequestHandler):
@@ -165,7 +173,67 @@ class LiveViewNode:
             )
             self._stat(channel).tick()
 
+    def _on_mesh(self, channel, msg) -> None:
+        if not isinstance(msg, MeshMessage):
+            return
+        with self._lock:
+            self._meshes[channel] = msg
+            self._stat(channel).tick()
+
     # -- rendering ------------------------------------------------------------
+
+    def mesh_png(self, channel: str | None = None, size_fallback=(480, 640)) -> bytes:
+        """Live mesh wireframe + landmark dots, projected onto the newest
+        camera frame (reference Visualizer3D AddCameraPose/landmark-cloud
+        parity, visualizer_3d.hpp:70-160; the mesher's live mesh feed,
+        object_mesher_lcm.cpp:92-95). Vertices are camera-frame 3D; the
+        overlay uses the configured intrinsics, else a pinhole guess
+        (fx = fy = W/2, principal point at center) good enough to situate
+        the wireframe for an operator."""
+        import cv2
+
+        with self._lock:
+            if channel is None:
+                channel = self.mesh_channels[0] if self.mesh_channels else None
+            mesh = self._meshes.get(channel) if channel else None
+            base = None
+            for ch in self.image_channels:  # newest frame as the backdrop
+                if ch in self._frames:
+                    base = _to_u8(self._frames[ch]).copy()
+                    break
+        if base is None:
+            base = np.full(size_fallback + (3,), 24, np.uint8)
+        if base.ndim == 2:
+            base = cv2.cvtColor(base, cv2.COLOR_GRAY2BGR)
+        elif base.shape[2] == 3:
+            base = cv2.cvtColor(base, cv2.COLOR_RGB2BGR)
+        H, W = base.shape[:2]
+        if mesh is not None and len(mesh.vertices):
+            fx, fy, cx, cy = self._intrinsics or (W * 0.5, W * 0.5, W / 2, H / 2)
+            v = np.asarray(mesh.vertices, np.float32)
+            z = np.maximum(v[:, 2], 1e-3)
+            px = (v[:, 0] / z * fx + cx).astype(np.int32)
+            py = (v[:, 1] / z * fy + cy).astype(np.int32)
+            # Depth-colored: near = warm, far = cool (3..30 m ramp).
+            t = np.clip((z - 3.0) / 27.0, 0.0, 1.0)
+            for tri in np.asarray(mesh.triangles, np.int32):
+                pts = [(int(px[i]), int(py[i])) for i in tri]
+                c = float(np.mean(t[tri]))
+                col = (int(255 * c), int(160 * (1 - c) + 60 * c), int(255 * (1 - c)))
+                for a, b in ((0, 1), (1, 2), (2, 0)):
+                    cv2.line(base, pts[a], pts[b], col, 1, cv2.LINE_AA)
+            for i in range(len(v)):
+                cv2.circle(base, (int(px[i]), int(py[i])), 2,
+                           (80, 255, 120), -1, cv2.LINE_AA)
+            cv2.putText(base, f"{len(v)} verts / {len(mesh.triangles)} tris  "
+                        f"z median {np.median(z):.1f} m",
+                        (8, H - 10), cv2.FONT_HERSHEY_SIMPLEX, 0.45,
+                        (200, 200, 200), 1, cv2.LINE_AA)
+        else:
+            cv2.putText(base, "no mesh yet", (W // 2 - 50, H // 2),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (160, 160, 160), 1, cv2.LINE_AA)
+        ok, buf = cv2.imencode(".png", base)
+        return buf.tobytes()
 
     def latest_jpeg(self, channel: str | None = None) -> bytes | None:
         import cv2
@@ -272,6 +340,8 @@ class LiveViewNode:
                     self._send(h, 200, "image/jpeg", data)
             elif url.path == "/map.png":
                 self._send(h, 200, "image/png", self.map_png())
+            elif url.path == "/mesh.png":
+                self._send(h, 200, "image/png", self.mesh_png(channel))
             elif url.path == "/stats.json":
                 self._send(h, 200, "application/json", self.stats_json())
             elif url.path == "/stream.mjpg":
@@ -322,6 +392,11 @@ class LiveViewNode:
             f'<img src="/stream.mjpg?channel={ch}" alt="{ch}"></div>'
             for ch in self.image_channels
         )
+        img_tags += "".join(
+            f'<div class="card"><h3>{ch} (live mesh)</h3>'
+            f'<img class="mesh" src="/mesh.png?channel={ch}" alt="{ch}"></div>'
+            for ch in self.mesh_channels
+        )
         html = f"""<!doctype html><html><head><title>ocean live view</title>
 <style>
  body {{ background:#141618; color:#ddd; font-family: sans-serif; margin: 1em; }}
@@ -339,6 +414,9 @@ class LiveViewNode:
      document.getElementById('stats').textContent = JSON.stringify(s, null, 1));
    const m = document.getElementById('map');
    m.src = '/map.png?t=' + Date.now();
+   document.querySelectorAll('img.mesh').forEach(el => {{
+     const u = new URL(el.src); u.searchParams.set('t', Date.now()); el.src = u;
+   }});
  }}, 1000);
 </script></body></html>"""
         return html.encode()
@@ -365,6 +443,11 @@ def main(argv=None) -> int:
                     help="image/stereo channel to show (repeatable)")
     ap.add_argument("--pose-channel", action="append", default=[],
                     help="PoseStamped channel for the map (repeatable)")
+    ap.add_argument("--mesh-channel", action="append", default=[],
+                    help="MeshMessage channel for the live wireframe (repeatable)")
+    ap.add_argument("--intrinsics", default=None,
+                    help="fx,fy,cx,cy for the mesh overlay projection "
+                         "(default: pinhole guess from the frame size)")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8642)
     ap.add_argument("--lcm", action="store_true",
@@ -372,8 +455,8 @@ def main(argv=None) -> int:
     ap.add_argument("--native-bus", action="store_true",
                     help="C++ UDP transport (composable with --lcm)")
     args = ap.parse_args(argv)
-    if not args.image_channel and not args.pose_channel:
-        ap.error("give at least one --image-channel or --pose-channel")
+    if not args.image_channel and not args.pose_channel and not args.mesh_channel:
+        ap.error("give at least one --image-channel / --pose-channel / --mesh-channel")
 
     if args.native_bus:
         from ..native_bus import NativeLcmBus, NativeUdpBus
@@ -387,10 +470,17 @@ def main(argv=None) -> int:
         from ..pubsub import UdpMulticastBus
 
         bus = UdpMulticastBus()
+    intr = None
+    if args.intrinsics:
+        intr = tuple(float(x) for x in args.intrinsics.split(","))
+        if len(intr) != 4:
+            ap.error("--intrinsics wants fx,fy,cx,cy")
     node = LiveViewNode(bus, args.image_channel, args.pose_channel,
-                        host=args.host, port=args.port)
+                        mesh_channels=args.mesh_channel,
+                        host=args.host, port=args.port, intrinsics=intr)
     print(f"live view on http://{args.host}:{node.port}/  "
-          f"(images: {args.image_channel}, poses: {args.pose_channel})")
+          f"(images: {args.image_channel}, poses: {args.pose_channel}, "
+          f"meshes: {args.mesh_channel})")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

@@ -129,3 +129,53 @@ def test_mjpeg_stream_delivers_frames(node):
     while line.strip() != b"--frame":
         line = req.readline()
     req.close()
+
+
+def test_live_mesh_rendering():
+    """A published MeshMessage must appear in /mesh.png (wireframe +
+    landmark dots over the camera frame) and tick the channel stats —
+    reference Visualizer3D live-mesh parity (visualizer_3d.hpp:70-160;
+    object_mesher_lcm.cpp:92-95)."""
+    import cv2
+
+    from ocean_perception_tpu.fabric.messages import MeshMessage
+
+    bus = InProcessBus()
+    n = LiveViewNode(
+        bus, ["cam"], [], mesh_channels=["object_mesher/mesh"],
+        host="127.0.0.1", port=0,
+    )
+    try:
+        # Empty render first (baseline).
+        s0, _, png0 = _get(n.port, "/mesh.png")
+        assert s0 == 200
+        base0 = cv2.imdecode(np.frombuffer(png0, np.uint8), cv2.IMREAD_COLOR)
+
+        img = np.full((120, 160, 3), 0.2, np.float32)
+        bus.publish("cam", ImageMessage.from_array(2, img))
+        # A square of 4 vertices at z=5 m in front of the camera, 2 tris.
+        verts = np.array(
+            [[-1, -1, 5], [1, -1, 5], [1, 1, 5], [-1, 1, 5]], np.float32
+        )
+        tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        bus.publish("object_mesher/mesh", MeshMessage(2, verts, tris))
+
+        s1, ctype, png1 = _get(n.port, "/mesh.png")
+        assert s1 == 200 and ctype == "image/png"
+        im = cv2.imdecode(np.frombuffer(png1, np.uint8), cv2.IMREAD_COLOR)
+        assert im.shape[:2] == (120, 160)  # overlays the camera frame
+        # The wireframe must actually be drawn: the render differs from both
+        # the empty render and the plain camera frame.
+        assert im.shape != base0.shape or np.abs(
+            im.astype(int) - base0.astype(int)
+        ).sum() > 0
+        plain = (np.full((120, 160, 3), 0.2 * 255, np.float32)).astype(np.uint8)
+        assert np.abs(im.astype(int) - plain.astype(int)).sum() > 1000
+
+        stats = json.loads(_get(n.port, "/stats.json")[2])
+        assert stats["object_mesher/mesh"]["count"] == 1
+        # Dashboard advertises the mesh panel.
+        _, _, html = _get(n.port, "/")
+        assert b"/mesh.png?channel=object_mesher/mesh" in html
+    finally:
+        n.close()

@@ -41,11 +41,21 @@ def a_of_sin(t: float) -> float:
 
 
 def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed: int = 3,
-                          motion: str = "accel"):
+                          motion: str = "accel", yaw_amp_deg: float = 0.0,
+                          yaw_period_s: float = 4.0):
     """Write the dataset under `root` (EuRoC mav0 layout). Returns the
     ground-truth x(t). motion="accel" (default, the tests' contract) or
     "sin" (bounded oscillation — required for missions past ~26 frames,
-    see x_of_sin)."""
+    see x_of_sin).
+
+    yaw_amp_deg > 0 adds an aggressive-heading profile psi(t) =
+    amp*sin(2pi t/period) about the camera's optical axis. The camera films
+    a fronto-parallel plane, so optical-axis rotation is in-plane image
+    rotation — and the stereo RIG rotates rigidly, so the right image is
+    sampled at +DISP along the ROTATED image x-axis (rectification
+    preserved; both views share the rotation). Groundtruth carries
+    R(t) = Rz(psi) and the IMU the matching body rates/specific force.
+    Used by the mission stress matrix's aggressive-yaw scenarios."""
     import cv2
 
     from ocean_perception_tpu.core.measurements import GroundtruthPose, ImuMeasurement
@@ -56,14 +66,43 @@ def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed
         rng.random((H + 8, W + 320)).astype(np.float32), (5, 5), 1.0
     ) * 0.8 + 0.1
     x_fn = x_of if motion == "accel" else x_of_sin
+    yaw_w = 2.0 * np.pi / yaw_period_s
+
+    def psi_of(t: float) -> float:
+        return np.deg2rad(yaw_amp_deg) * np.sin(yaw_w * max(t - T0, 0.0))
+
+    def psidot_of(t: float) -> float:
+        return np.deg2rad(yaw_amp_deg) * yaw_w * np.cos(yaw_w * max(t - T0, 0.0))
+
+    def Rz(a: float) -> np.ndarray:
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+    cimg = np.array([W / 2 - 0.5, H / 2 - 0.5])
 
     def frame(t: float):
         px = FX * x_fn(t) / DEPTH
-        cl = cv2.getRectSubPix(canvas, (W, H), (40 + px + W / 2 - 0.5, 4 + H / 2 - 0.5))
-        cr = cv2.getRectSubPix(
-            canvas, (W, H), (40 + px + DISP + W / 2 - 0.5, 4 + H / 2 - 0.5)
-        )
-        return cl, cr
+        c0 = np.array([40 + px + W / 2 - 0.5, 4 + H / 2 - 0.5])
+        psi = psi_of(t)
+        if abs(psi) < 1e-9:
+            cl = cv2.getRectSubPix(canvas, (W, H), tuple(c0))
+            cr = cv2.getRectSubPix(canvas, (W, H), (c0[0] + DISP, c0[1]))
+            return cl, cr
+        c, s = np.cos(psi), np.sin(psi)
+        R2 = np.array([[c, -s], [s, c]])
+
+        def snap(disp: float):
+            # dst pixel u -> canvas point c0 + R(psi) @ (u - cimg + [disp, 0])
+            A = np.zeros((2, 3), np.float64)
+            A[:, :2] = R2
+            A[:, 2] = c0 + R2 @ (np.array([disp, 0.0]) - cimg)
+            return cv2.warpAffine(
+                canvas, A.astype(np.float32), (W, H),
+                flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                borderMode=cv2.BORDER_REPLICATE,
+            )
+
+        return snap(0.0), snap(DISP)
 
     wtr = EurocDataWriter(root)
     for i in range(n_frames):
@@ -71,6 +110,7 @@ def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed
         cl, cr = frame(t)
         wtr.write_stereo(int(t * 1e9), cl, cr)
         T = np.eye(4)
+        T[:3, :3] = Rz(psi_of(t))
         T[0, 3] = x_fn(t)
         wtr.write_groundtruth(GroundtruthPose(int(t * 1e9), T))
     dt = 1.0 / imu_hz
@@ -78,7 +118,10 @@ def write_synthetic_euroc(root: str, n_frames: int = 16, imu_hz: int = 100, seed
         t = T0 + k * dt
         ax = ACC if motion == "accel" else a_of_sin(t)
         a_world = np.array([ax, 0.0, 0.0])
-        wtr.write_imu(ImuMeasurement(int(t * 1e9), np.zeros(3), a_world - GRAVITY))
+        R = Rz(psi_of(t))
+        a_body = R.T @ (a_world - GRAVITY)
+        gyro = np.array([0.0, 0.0, psidot_of(t)])
+        wtr.write_imu(ImuMeasurement(int(t * 1e9), gyro, a_body))
     wtr.finish()
     return x_fn
 

@@ -29,6 +29,14 @@ class StripeMatcherParams:
     max_disp: int = struct.field(pytree_node=False, default=128)
     max_matching_cost: float = struct.field(pytree_node=False, default=0.15)
     subpixel: bool = struct.field(pytree_node=False, default=False)
+    # Implementation: "sliced" = per-point dynamic slices (the reference
+    # transliteration shape: ~(2 + 3*(max_disp+1)) serialized TPU gathers
+    # per point — measured 6 ms of the B=4 fleet step); "batched" = one-hot
+    # window extraction (ops/windows.py) + static-shift correlation
+    # accumulation (zero gathers; same math, f32 association differs —
+    # parity locked by test_stripe_batched_matches_sliced). None = AUTO:
+    # batched on real TPU, sliced elsewhere.
+    impl: str | None = struct.field(pytree_node=False, default=None)
 
 
 class StripeMatches(NamedTuple):
@@ -43,6 +51,11 @@ def match_rectified(
     valid: jnp.ndarray,    # (K,)
     p: StripeMatcherParams = StripeMatcherParams(),
 ) -> StripeMatches:
+    impl = p.impl
+    if impl is None:
+        impl = "batched" if jax.default_backend() == "tpu" else "sliced"
+    if impl == "batched":
+        return _match_rectified_batched(left, right, points, valid, p)
     H, W = left.shape
     tc, tr = p.templ_cols, p.templ_rows
     rx, ry = tc // 2, tr // 2
@@ -113,3 +126,85 @@ def match_rectified(
     disp, cost = jax.vmap(one)(points)
     disp = jnp.where(valid, disp, -1.0)
     return StripeMatches(disparity=disp, cost=cost)
+
+
+def _match_rectified_batched(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    p: StripeMatcherParams,
+) -> StripeMatches:
+    """Gather-free stripe matcher: all K templates/stripes come out of
+    one-hot MXU contractions (ops/windows.extract_windows — exact 0/1
+    selection), and the per-offset correlations accumulate over the
+    template-column axis with STATIC slices (trace-unrolled, tc steps)
+    instead of (max_disp+1) dynamic slices per point. Identical math to the
+    sliced path up to f32 reduction association (locked to 1e-5 cost /
+    equal-disparity parity by test_stripe_batched_matches_sliced)."""
+    from ..ops.windows import extract_windows
+
+    H, W = left.shape
+    tc, tr = p.templ_cols, p.templ_rows
+    rx, ry = tc // 2, tr // 2
+    stripe_h = tr + 2
+    stripe_w = p.max_disp + tc
+    n_offsets = p.max_disp + 1
+
+    x = jnp.round(points[:, 0]).astype(jnp.int32)
+    y = jnp.round(points[:, 1]).astype(jnp.int32)
+    ty = jnp.clip(y - ry, 0, H - tr)
+    tx = jnp.clip(x - rx, 0, W - tc)
+    templ = extract_windows(left, ty, tx, tr, size_x=tc)        # (K, tr, tc)
+    sy = jnp.clip(y - ry - 1, 0, H - stripe_h)
+    sx = jnp.clip(x - p.max_disp - rx, 0, W - stripe_w)
+    stripe = extract_windows(right, sy, sx, stripe_h, size_x=stripe_w)
+
+    t2 = jnp.sum(templ * templ, axis=(1, 2))                    # (K,)
+    n_dy = stripe_h - tr + 1
+    costs = []
+    for dy in range(n_dy):
+        rows = stripe[:, dy : dy + tr, :]                       # (K, tr, sw)
+        prod = jnp.concatenate(
+            [jnp.zeros((rows.shape[0], tr, 1), rows.dtype),
+             jnp.cumsum(rows * rows, axis=2)],
+            axis=2,
+        )
+        win_e = jnp.sum(prod[:, :, tc:] - prod[:, :, :-tc], axis=1)  # (K, sw-tc+1)
+        corr = jnp.zeros((rows.shape[0], n_offsets), rows.dtype)
+        for c in range(tc):
+            corr = corr + jnp.sum(
+                templ[:, :, c : c + 1] * rows[:, :, c : c + n_offsets], axis=1
+            )
+        s2 = win_e[:, :n_offsets]
+        ssd = t2[:, None] + s2 - 2.0 * corr
+        denom = jnp.sqrt(jnp.maximum(t2[:, None] * s2, 1e-12))
+        costs.append(ssd / denom)
+    cost2d = jnp.stack(costs, axis=1)                           # (K, n_dy, U)
+    flat = cost2d.reshape(cost2d.shape[0], -1)
+    best = jnp.argmin(flat, axis=1)
+    best_cost = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    best_u = (best % n_offsets).astype(jnp.float32)
+
+    if p.subpixel:
+        dyi = best // n_offsets
+        u = best % n_offsets
+        um = jnp.clip(u - 1, 0, n_offsets - 1)
+        up = jnp.clip(u + 1, 0, n_offsets - 1)
+        ar = jnp.arange(cost2d.shape[0])
+        c0 = cost2d[ar, dyi, um]
+        c1 = cost2d[ar, dyi, u]
+        c2 = cost2d[ar, dyi, up]
+        denom2 = c0 - 2 * c1 + c2
+        off = jnp.where(
+            jnp.abs(denom2) > 1e-9,
+            0.5 * (c0 - c2) / jnp.where(jnp.abs(denom2) > 1e-9, denom2, 1.0),
+            0.0,
+        )
+        best_u = best_u + jnp.clip(off, -0.5, 0.5)
+
+    matched_x = sx.astype(jnp.float32) + best_u
+    disp = tx.astype(jnp.float32) - matched_x
+    ok = (best_cost < p.max_matching_cost) & (disp >= 0.0)
+    disp = jnp.where(ok & valid, disp, -1.0)
+    return StripeMatches(disparity=disp, cost=best_cost)

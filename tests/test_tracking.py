@@ -637,3 +637,35 @@ def test_lk_fused_matches_xla(textured):
     sv = np.asarray(out.status[0])
     agree2 = sv & sb
     assert np.abs(np.asarray(out.points[0]) - np.asarray(b.points))[agree2].max() < 0.01
+
+
+def test_stripe_batched_matches_sliced(textured):
+    """The gather-free stripe matcher (one-hot windows + static-shift
+    correlation) must agree with the per-point sliced path: identical
+    disparities, costs to f32-association tolerance — incl. borders and
+    subpixel mode."""
+    from ocean_perception_tpu.tracking.stripe_match import (
+        StripeMatcherParams,
+        match_rectified,
+    )
+
+    left = textured[:, 16:16 + W - 32]
+    right = textured[:, 4:4 + W - 32]  # 12 px disparity
+    rng = np.random.default_rng(7)
+    K = 60
+    pts = np.stack(
+        [rng.uniform(0, left.shape[1] - 1, K), rng.uniform(0, H - 1, K)], 1
+    ).astype(np.float32)
+    pts[0] = [0, 0]
+    pts[1] = [left.shape[1] - 1, H - 1]
+    valid = jnp.ones(K, bool)
+    for sub in (False, True):
+        a = match_rectified(jnp.asarray(left), jnp.asarray(right), jnp.asarray(pts),
+                            valid, StripeMatcherParams(max_disp=32, impl="sliced",
+                                                       subpixel=sub))
+        b = match_rectified(jnp.asarray(left), jnp.asarray(right), jnp.asarray(pts),
+                            valid, StripeMatcherParams(max_disp=32, impl="batched",
+                                                       subpixel=sub))
+        np.testing.assert_allclose(np.asarray(a.cost), np.asarray(b.cost), atol=1e-5)
+        d = np.abs(np.asarray(a.disparity) - np.asarray(b.disparity))
+        assert (d < 1e-3).mean() >= 0.97  # argmin ties may flip on ulp noise

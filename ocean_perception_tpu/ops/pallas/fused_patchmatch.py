@@ -626,6 +626,41 @@ def pallas_patchmatch_fused(
     return jax.custom_batching.sequential_vmap(impl)(C, seed, noise)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "D", "chunks", "chunks_y", "halo", "pr", "iters",
+                     "noise_scale0", "improve", "interpret", "inner_loop"),
+)
+def pallas_patchmatch_fused_prebuilt(
+    V_row: jnp.ndarray,  # (chunk_x, chunks_x, D, H) strip layout
+    V_col: jnp.ndarray,  # (chunk_y, chunks_y, D, W)
+    seed: jnp.ndarray,
+    noise: jnp.ndarray,
+    H: int, W: int, D: int,
+    chunks: int, chunks_y, halo: int, pr: int, iters: int,
+    noise_scale0: float, improve: float,
+    interpret: bool = False,
+    inner_loop: bool = True,
+) -> jnp.ndarray:
+    """Fused PatchMatch over PREBUILT strip-layout volumes (the in-kernel
+    cost-volume build, ops/pallas/volume_build.py) — identical kernel, the
+    XLA layout transposes skipped entirely."""
+    impl = functools.partial(
+        _fused_single_prebuilt, H=H, W=W, D=D,
+        chunks=chunks, chunks_y=chunks_y, halo=halo, pr=pr,
+        iters=iters, noise_scale0=noise_scale0, improve=improve,
+        interpret=interpret, inner_loop=inner_loop,
+    )
+    return jax.custom_batching.sequential_vmap(impl)(V_row, V_col, seed, noise)
+
+
+def _fused_single_prebuilt(V_row, V_col, seed, noise, *, H, W, D, **kw):
+    return _fused_single(
+        jnp.zeros((H, W, D), V_col.dtype), seed, noise,
+        derive_row=False, V_row_pre=V_row, V_col_pre=V_col, **kw,
+    )
+
+
 def _fused_single(
     C: jnp.ndarray,
     seed: jnp.ndarray,
@@ -641,6 +676,8 @@ def _fused_single(
     interpret: bool,
     inner_loop: bool,
     derive_row: bool,
+    V_row_pre=None,
+    V_col_pre=None,
 ) -> jnp.ndarray:
     H, W, D = C.shape
     g = fused_geometry(H, W, D, chunks, chunks_y, halo, pr)
@@ -651,11 +688,15 @@ def _fused_single(
     # Layout builders (XLA side, once per call; the kernel reads each input
     # from HBM exactly once). In derive_row mode only the COL layout is
     # built here — the row layout is derived inside the kernel on the MXU.
-    V_col = jnp.transpose(C, (0, 2, 1)).reshape(g.chunks_y, g.chunk_y, D, W)
-    V_col = jnp.transpose(V_col, (1, 0, 2, 3))
-    if not derive_row:
-        V_row = jnp.transpose(C, (1, 2, 0)).reshape(g.chunks_x, g.chunk_x, D, H)
-        V_row = jnp.transpose(V_row, (1, 0, 2, 3))
+    # Prebuilt mode (ops/pallas/volume_build.py) skips both.
+    if V_col_pre is not None:
+        V_col, V_row = V_col_pre, V_row_pre
+    else:
+        V_col = jnp.transpose(C, (0, 2, 1)).reshape(g.chunks_y, g.chunk_y, D, W)
+        V_col = jnp.transpose(V_col, (1, 0, 2, 3))
+        if not derive_row:
+            V_row = jnp.transpose(C, (1, 2, 0)).reshape(g.chunks_x, g.chunk_x, D, H)
+            V_row = jnp.transpose(V_row, (1, 0, 2, 3))
 
     def to_row(x):
         r = jnp.transpose(x, (1, 0)).reshape(g.chunks_x, g.chunk_x, H)

@@ -1,0 +1,254 @@
+"""Cost-volume BUILD as one Pallas TPU kernel: images in, strip layouts out.
+
+The round-4 roofline names the build as the next byte wall: the XLA
+per-plane build counts 0.877 GB/frame of f32 intermediates (64 x shifted
+images, |diffs|, stencil pads) plus the (H,W,D)->strip-layout transposes,
+for a volume whose useful bytes are ~30 MB (PERFORMANCE.md "stage
+attribution"). This kernel computes the X-stencil cost
+(stereo/cost.cost_volume: e = alpha*|L - R(x-d)| + (1-alpha)*|G - Gr(x-d)|,
+5-tap X stencil, edge clamps) directly into BOTH strip layouts the fused
+PatchMatch kernel consumes — every intermediate lives in VMEM, HBM sees
+only the 8 image planes in (~8 MB) and the two layout volumes out.
+
+Why this dodges round 4's derive_row Mosaic walls (PERFORMANCE.md:986-1000):
+those designs needed per-PLANE stores into middle-axis slots
+`V[:, :, d, :]` (unit-sublane shape casts) or whole-volume transposes
+(100 MB register spills). Here the natural production order IS the layout:
+one (D, W) tile per image row for V_col, one (D, H) tile per image column
+for V_row, each stored whole at dynamic LEADING indices — full-tile stores,
+no relayouts.
+
+Per-tile construction:
+- V_col row y: R(y, x-d) for all (d, x) is a shear of one image row —
+  composed from log2(D) static lane-rolls masked by streamed d-bit masks,
+  then the x<d edge clamp (reference GetSubpixel clamp) substitutes
+  column 0.
+- V_row column x: R^T(x-d, h) for d in [0, D) is a CONTIGUOUS sublane
+  block of the column-REVERSED transposed image (streamed pre-reversed and
+  bottom-padded with D-1 copies of R^T[0], so the x<d clamp is baked into
+  the padding) — one dynamic-offset block read, zero in-kernel reversals.
+- The 5-tap X stencil accumulates over a 3-tile ring in the exact STENCIL
+  order of stereo/cost._stencil_sum (edge-replicated taps), so the f32 sum
+  order — and hence the bf16 cast — is reproduced able-for-able.
+
+Bit-parity with cost_volume + the wrapper's layout transposes is locked by
+tests/test_pallas.py::test_volume_build_bit_identical (interpret mode; the
+fused-kernel test pattern).
+
+Reference: patchmatch_gpu.cu:346-352 — the upload/convert/gradient staging
+this replaces wholesale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_patchmatch import fused_geometry
+
+
+def _build_kernel(
+    # streamed constants first (Mosaic in-kernel iotas mis-lay-out)
+    dbit_ref,     # (NB, D, W) f32 0/1: bit b of sublane-d index
+    dmap_w_ref,   # (D, W) f32: d per sublane (col orientation)
+    colmap_ref,   # (D, W) f32: lane index x
+    lanemap_h_ref,  # (D, H) f32: lane index h (row orientation)
+    # images
+    L_ref, R_ref, G_ref, Gr_ref,          # (H, W) f32
+    LT_ref, GT_ref,                        # (W, H) f32
+    RTr_ref, GrTr_ref,                     # (W + D - 1, H) f32 reversed+padded
+    # outputs
+    V_row_ref,    # (chunk_x, chunks_x, D, H) cdtype
+    V_col_ref,    # (chunk_y, chunks_y, D, W) cdtype
+    *,
+    H: int, W: int, D: int,
+    chunk_x: int, chunk_y: int,
+    alpha: float,
+    n_bits: int,
+):
+    f32 = jnp.float32
+    cdtype = V_col_ref.dtype
+    dbits = dbit_ref[...]
+    dmap_w = dmap_w_ref[...]
+    colmap = colmap_ref[...]
+    lanemap_h = lanemap_h_ref[...]
+
+    def shear_row(row):  # (1, W) -> (D, W): out[d, w] = row[w - d], clamped
+        t = row + jnp.zeros((D, W), f32)
+        for b in range(n_bits):
+            rolled = jnp.roll(t, 1 << b, axis=1)
+            t = jnp.where(dbits[b] > 0.5, rolled, t)
+        edge = row[:, 0:1] + jnp.zeros((D, W), f32)
+        return jnp.where(colmap < dmap_w, edge, t)
+
+    half = jnp.float32(0.5)
+
+    # ---- col orientation: one (D, W) tile per image row --------------------
+    def e_col(y):
+        Lr = L_ref[pl.ds(y, 1), :]
+        Gr_ = G_ref[pl.ds(y, 1), :]
+        Rsh = shear_row(R_ref[pl.ds(y, 1), :])
+        Gsh = shear_row(Gr_ref[pl.ds(y, 1), :])
+        Lb = Lr + jnp.zeros((D, W), f32)
+        Gb = Gr_ + jnp.zeros((D, W), f32)
+        return alpha * jnp.abs(Lb - Rsh) + (1.0 - alpha) * jnp.abs(Gb - Gsh)
+
+    def lane_shift(e, dx, edge_idx):
+        # value at lane w+dx with edge replicate (pad mode="edge" parity):
+        # w+dx < 0 (i.e. w < -dx) or w+dx > W-1 reads the edge column.
+        rolled = jnp.roll(e, -dx, axis=1)
+        edge = e[:, edge_idx:edge_idx + 1] + jnp.zeros_like(e)
+        lim = jnp.float32(-dx if dx < 0 else W - 1 - dx)
+        cond = (colmap < lim) if dx < 0 else (colmap > lim)
+        return jnp.where(cond + jnp.zeros_like(e) > half, edge, rolled)
+
+    def stencil_w(em1, e0, ep1):
+        # STENCIL order: (-1,-1), (-1,1), (0,0)=e0 first, (1,-1), (1,1) —
+        # matching _stencil_sum's acc = e + taps-in-order.
+        acc = e0
+        acc = acc + lane_shift(em1, -1, 0)
+        acc = acc + lane_shift(em1, +1, W - 1)
+        acc = acc + lane_shift(ep1, -1, 0)
+        acc = acc + lane_shift(ep1, +1, W - 1)
+        return acc
+
+    def store_col(y, acc):
+        c = y // chunk_y
+        i = y - c * chunk_y
+        V_col_ref[pl.ds(i, 1), pl.ds(c, 1)] = acc.astype(cdtype)[None, None]
+
+    def col_body(y, carry):
+        em1, e0 = carry
+        ep1 = e_col(jnp.minimum(y + 1, H - 1))
+        store_col(y, stencil_w(em1, e0, ep1))
+        return (e0, ep1)
+
+    e0_first = e_col(0)
+    jax.lax.fori_loop(0, H, col_body, (e0_first, e0_first))
+
+    # ---- row orientation: one (D, H) tile per image column -----------------
+    def e_row(x):
+        # R^T(x - d, h) for ascending d = ascending block of the reversed
+        # padded transpose starting at (W - 1 - x).
+        start = (W - 1) - x
+        LTr = LT_ref[pl.ds(x, 1), :]
+        GTr = GT_ref[pl.ds(x, 1), :]
+        Rblk = RTr_ref[pl.ds(start, D), :]
+        Gblk = GrTr_ref[pl.ds(start, D), :]
+        Lb = LTr + jnp.zeros((D, H), f32)
+        Gb = GTr + jnp.zeros((D, H), f32)
+        return alpha * jnp.abs(Lb - Rblk) + (1.0 - alpha) * jnp.abs(Gb - Gblk)
+
+    def lane_shift_h(e, dy, edge_idx):
+        rolled = jnp.roll(e, -dy, axis=1)
+        edge = e[:, edge_idx:edge_idx + 1] + jnp.zeros_like(e)
+        lim = jnp.float32(-dy if dy < 0 else H - 1 - dy)
+        cond = (lanemap_h < lim) if dy < 0 else (lanemap_h > lim)
+        return jnp.where(cond + jnp.zeros_like(e) > half, edge, rolled)
+
+    def stencil_h(em1, e0, ep1):
+        # Taps (dy, dx): dx selects the neighbor column tile, dy the lane
+        # shift — same STENCIL order as above.
+        acc = e0
+        acc = acc + lane_shift_h(em1, -1, 0)        # (-1, -1)
+        acc = acc + lane_shift_h(ep1, -1, 0)        # (-1, +1)
+        acc = acc + lane_shift_h(em1, +1, H - 1)    # (+1, -1)
+        acc = acc + lane_shift_h(ep1, +1, H - 1)    # (+1, +1)
+        return acc
+
+    def store_row(x, acc):
+        c = x // chunk_x
+        i = x - c * chunk_x
+        V_row_ref[pl.ds(i, 1), pl.ds(c, 1)] = acc.astype(cdtype)[None, None]
+
+    def row_body(x, carry):
+        em1, e0 = carry
+        ep1 = e_row(jnp.minimum(x + 1, W - 1))
+        store_row(x, stencil_h(em1, e0, ep1))
+        return (e0, ep1)
+
+    e0_first_r = e_row(0)
+    jax.lax.fori_loop(0, W, row_body, (e0_first_r, e0_first_r))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("D", "alpha", "chunks", "chunks_y", "halo", "pr",
+                     "bf16", "interpret"),
+)
+def pallas_build_volumes(
+    iml: jnp.ndarray,
+    imr: jnp.ndarray,
+    gl: jnp.ndarray,
+    gr: jnp.ndarray,
+    *,
+    D: int,
+    alpha: float,
+    chunks: int,
+    chunks_y,
+    halo: int,
+    pr: int,
+    bf16: bool,
+    interpret: bool = False,
+):
+    """Returns (V_row, V_col) — the exact strip layouts
+    ops/pallas/fused_patchmatch's wrapper builds from `cost_volume`'s C,
+    without C or any build intermediate ever touching HBM."""
+    H, W = iml.shape
+    g = fused_geometry(H, W, D, chunks, chunks_y, halo, pr)
+    cdtype = jnp.bfloat16 if bf16 else jnp.float32
+    f32 = jnp.float32
+
+    iml = iml.astype(f32)
+    imr = imr.astype(f32)
+    gl = gl.astype(f32)
+    gr = gr.astype(f32)
+
+    LT = jnp.transpose(iml)
+    GT = jnp.transpose(gl)
+
+    def rev_pad(imT):  # (W, H) -> (W + D - 1, H): row r = imT[W-1-r], clamped
+        rev = imT[::-1]
+        return jnp.concatenate([rev, jnp.broadcast_to(imT[0:1], (D - 1, H))], axis=0)
+
+    RTr = rev_pad(jnp.transpose(imr))
+    GrTr = rev_pad(jnp.transpose(gr))
+
+    n_bits = max(1, int(np.ceil(np.log2(max(D, 2)))))
+    dd = np.arange(D, dtype=np.int64)
+    dbit = np.stack(
+        [np.broadcast_to((((dd >> b) & 1)[:, None]).astype(np.float32), (D, W))
+         for b in range(n_bits)]
+    )
+    dmap_w = np.broadcast_to(dd[:, None].astype(np.float32), (D, W)).copy()
+    colmap = np.broadcast_to(np.arange(W, dtype=np.float32)[None, :], (D, W)).copy()
+    lanemap_h = np.broadcast_to(np.arange(H, dtype=np.float32)[None, :], (D, H)).copy()
+
+    kernel = functools.partial(
+        _build_kernel, H=H, W=W, D=D, chunk_x=g.chunk_x, chunk_y=g.chunk_y,
+        alpha=float(alpha), n_bits=n_bits,
+    )
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    V_row, V_col = pl.pallas_call(
+        kernel,
+        in_specs=[vspec() for _ in range(12)],
+        out_specs=[vspec(), vspec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((g.chunk_x, g.chunks_x, D, H), cdtype),
+            jax.ShapeDtypeStruct((g.chunk_y, g.chunks_y, D, W), cdtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(dbit), jnp.asarray(dmap_w), jnp.asarray(colmap),
+        jnp.asarray(lanemap_h),
+        iml, imr, gl, gr, LT, GT, RTr, GrTr,
+    )
+    return V_row, V_col

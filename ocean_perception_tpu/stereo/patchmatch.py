@@ -82,6 +82,13 @@ class PatchMatchParams:
     # whole-frame compile shrinks accordingly). See
     # ops/pallas/fused_patchmatch.py run_pass_loop.
     fused_inner_loop: bool = struct.field(pytree_node=False, default=True)
+    # Build the cost volume INSIDE a Pallas kernel straight from the images
+    # (ops/pallas/volume_build.py): both strip layouts come out directly,
+    # C and all ~0.88 GB/frame of XLA build intermediates never touch HBM
+    # (r4 roofline's named byte wall). Bit-identical for bf16 volumes.
+    # Engages only alongside the fused kernel in right_wta + l1g mode;
+    # None = AUTO (follow use_pallas_fused's resolution).
+    use_pallas_build: bool | None = struct.field(pytree_node=False, default=None)
     # Store the volume in bfloat16 (halves its HBM traffic; ~0.4% relative
     # cost error can flip near-tie argmin picks — off for exact parity).
     volume_bf16: bool = struct.field(pytree_node=False, default=False)
@@ -390,6 +397,20 @@ def _full_cost_map(C: jnp.ndarray, disp: jnp.ndarray, pr: int) -> jnp.ndarray:
     return jnp.sum(C * onehot, axis=-1)
 
 
+def _build_available(iml: jnp.ndarray, p: PatchMatchParams) -> bool:
+    """In-kernel volume build feasibility: same geometry/VMEM plan as the
+    fused kernel it feeds (both strip layouts VMEM-resident)."""
+    from ..ops.pallas.fused_patchmatch import fused_supported
+
+    if p.iters < 1:
+        return False
+    H, W = iml.shape
+    return fused_supported(
+        H, W, p.max_disp, p.chunks, p.chunks_y, p.halo, p.patch_radius,
+        bf16=p.volume_bf16,
+    )
+
+
 def _fused_available(C: jnp.ndarray, p: PatchMatchParams) -> bool:
     from ..ops.pallas.fused_patchmatch import fused_supported
 
@@ -405,11 +426,26 @@ def _fused_available(C: jnp.ndarray, p: PatchMatchParams) -> bool:
     )
 
 
-def _match_one_side(C: jnp.ndarray, seed: jnp.ndarray, noise: jnp.ndarray, p: PatchMatchParams) -> jnp.ndarray:
+def _match_one_side(C: jnp.ndarray, seed: jnp.ndarray, noise: jnp.ndarray,
+                    p: PatchMatchParams, prebuilt=None) -> jnp.ndarray:
     if p.use_pallas_fused and _fused_available(C, p):
+        interpret = jax.default_backend() not in ("tpu",)
+        if prebuilt is not None:
+            from ..ops.pallas.fused_patchmatch import (
+                pallas_patchmatch_fused_prebuilt,
+            )
+
+            H, W, D = C.shape
+            return pallas_patchmatch_fused_prebuilt(
+                prebuilt[0], prebuilt[1], seed, noise,
+                H=H, W=W, D=D,
+                chunks=p.chunks, chunks_y=p.chunks_y, halo=p.halo,
+                pr=p.patch_radius, iters=p.iters,
+                noise_scale0=p.noise_scale0, improve=p.improve_factor,
+                interpret=interpret, inner_loop=p.fused_inner_loop,
+            )
         from ..ops.pallas.fused_patchmatch import pallas_patchmatch_fused
 
-        interpret = jax.default_backend() not in ("tpu",)
         return pallas_patchmatch_fused(
             C, seed, noise,
             chunks=p.chunks, chunks_y=p.chunks_y, halo=p.halo,
@@ -441,6 +477,7 @@ def patchmatch_disparity(
     iml = jnp.asarray(iml, jnp.float32)
     imr = jnp.asarray(imr, jnp.float32)
 
+    prebuilt = None
     if params.cost == "zncc":
         from .cost import cost_volume_zncc
 
@@ -451,7 +488,35 @@ def patchmatch_disparity(
         gl = gradient_magnitude(iml)
         gr = gradient_magnitude(imr)
         vdtype = jnp.bfloat16 if params.volume_bf16 else jnp.float32
-        C_l = cost_volume(iml, imr, params.max_disp, params.alpha, gl, gr, dtype=vdtype)
+        use_build = params.use_pallas_build
+        if use_build is None:
+            # AUTO: off until the real-TPU A/B lands (the build kernel is
+            # interpret-verified bit-identical; Mosaic compile + measured
+            # win pending — PERFORMANCE.md round 5). True forces it.
+            use_build = False
+        if use_build and params.right_wta and _build_available(iml, params):
+            from ..ops.pallas.fused_patchmatch import fused_geometry
+            from ..ops.pallas.volume_build import pallas_build_volumes
+
+            interpret = jax.default_backend() not in ("tpu",)
+            V_row, V_col = pallas_build_volumes(
+                iml, imr, gl, gr, D=params.max_disp, alpha=params.alpha,
+                chunks=params.chunks, chunks_y=params.chunks_y,
+                halo=params.halo, pr=params.patch_radius,
+                bf16=params.volume_bf16, interpret=interpret,
+            )
+            prebuilt = (V_row, V_col)
+            # Canonical C for the seed/right-WTA/subpixel consumers — ONE
+            # relayout replaces the whole XLA build (bit-identical for bf16
+            # volumes; test_volume_build_bit_identical).
+            H_, W_ = iml.shape
+            C_l = jnp.transpose(V_col, (1, 0, 3, 2)).reshape(
+                H_, W_, params.max_disp
+            )
+        else:
+            C_l = cost_volume(
+                iml, imr, params.max_disp, params.alpha, gl, gr, dtype=vdtype
+            )
 
     noise = unit_noise(iml.shape, params.noise_seed)
     if seed_left is None:
@@ -462,7 +527,7 @@ def patchmatch_disparity(
         # from a running min over shifted C_L planes, and the right-side
         # subpixel refine is skipped (the map only feeds the occlusion
         # ratio check).
-        disp_l = _match_one_side(C_l, seed_left, noise, params)
+        disp_l = _match_one_side(C_l, seed_left, noise, params, prebuilt=prebuilt)
         disp_r = right_wta_from_left(C_l, params)
     else:
         C_r = right_cost_volume_from_left(C_l)

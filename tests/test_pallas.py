@@ -147,3 +147,57 @@ def test_pallas_propagate_bit_identical(rng):
         )
         np.testing.assert_array_equal(a, b)
         assert (a > 0).mean() > 0.3
+
+
+def test_volume_build_bit_identical(rng):
+    """The in-kernel cost-volume build (ops/pallas/volume_build.py) must
+    reproduce cost_volume + the fused wrapper's strip-layout transposes:
+    BIT-identical for bf16 volumes (the production dtype — bf16 rounding
+    absorbs the one-ulp f32 association differences), <=1e-6 for f32; and
+    the full patchmatch_disparity with use_pallas_build must be
+    bit-identical to the fused path end to end."""
+    from ocean_perception_tpu.ops.image import gradient_magnitude
+    from ocean_perception_tpu.ops.pallas.fused_patchmatch import fused_geometry
+    from ocean_perception_tpu.ops.pallas.volume_build import pallas_build_volumes
+    from ocean_perception_tpu.stereo import PatchMatchParams, patchmatch_disparity
+
+    H, W, D = 48, 64, 16
+    chunks, chunks_y, halo, pr = 4, 3, 2, 1
+    canvas = rng.random((H, W + 8)).astype(np.float32)
+    iml = jnp.asarray(canvas[:, 4 : 4 + W])
+    imr = jnp.asarray(canvas[:, :W])
+    gl, gr = gradient_magnitude(iml), gradient_magnitude(imr)
+    g = fused_geometry(H, W, D, chunks, chunks_y, halo, pr)
+
+    for bf16, tol in ((True, 0.0), (False, 1e-6)):
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        C = cost_volume(iml, imr, D, 0.9, gl, gr, dtype=dt)
+        vc_ref = jnp.transpose(
+            jnp.transpose(C, (0, 2, 1)).reshape(g.chunks_y, g.chunk_y, D, W),
+            (1, 0, 2, 3),
+        )
+        vr_ref = jnp.transpose(
+            jnp.transpose(C, (1, 2, 0)).reshape(g.chunks_x, g.chunk_x, D, H),
+            (1, 0, 2, 3),
+        )
+        vr, vc = pallas_build_volumes(
+            iml, imr, gl, gr, D=D, alpha=0.9, chunks=chunks, chunks_y=chunks_y,
+            halo=halo, pr=pr, bf16=bf16, interpret=True,
+        )
+        er = np.abs(np.asarray(vr, np.float32) - np.asarray(vr_ref, np.float32))
+        ec = np.abs(np.asarray(vc, np.float32) - np.asarray(vc_ref, np.float32))
+        assert er.max() <= tol and ec.max() <= tol, (bf16, er.max(), ec.max())
+
+    base = dict(max_disp=D, chunks=chunks, chunks_y=chunks_y, halo=halo,
+                iters=2, right_wta=True, volume_bf16=True,
+                use_pallas_fused=True)
+    ra = patchmatch_disparity(iml, imr, PatchMatchParams(**base, use_pallas_build=False))
+    rb = patchmatch_disparity(iml, imr, PatchMatchParams(**base, use_pallas_build=True))
+    np.testing.assert_array_equal(np.asarray(ra.left), np.asarray(rb.left))
+    np.testing.assert_array_equal(np.asarray(ra.right), np.asarray(rb.right))
+
+    # Camera-batched (sequential_vmap) stays per-camera identical.
+    f = jax.vmap(lambda a, b: patchmatch_disparity(
+        a, b, PatchMatchParams(**base, use_pallas_build=True)).left)
+    out = f(jnp.stack([iml, iml]), jnp.stack([imr, imr]))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out[1]))

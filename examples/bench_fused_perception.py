@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--internal-scale", type=int, default=2,
                     help="2 = production point; 4 = farm mode")
+    ap.add_argument("--modes", default="xla,fused",
+                    help="comma list of {xla, fused, build}: build = fused "
+                         "kernel + in-kernel cost-volume build "
+                         "(ops/pallas/volume_build.py)")
     args = ap.parse_args()
 
     from ocean_perception_tpu.core.cameras import PinholeCamera, StereoCamera
@@ -49,11 +53,13 @@ def main():
 
     N = args.frames
     for B in [int(b) for b in args.batches.split(",")]:
-        for fused in (False, True):
+        for mode in args.modes.split(","):
+            fused = mode in ("fused", "build")
             cfg = PerceptionConfig(
                 engine="patchmatch", max_disp=128,
                 internal_scale=args.internal_scale,
                 use_pallas_fused=fused,
+                use_pallas_build=(mode == "build"),
             )
 
             if B == 1:
@@ -89,7 +95,7 @@ def main():
                 float(stream(la, ra))
                 compile_s = time.perf_counter() - t0
             except Exception as e:  # noqa: BLE001 — report and continue the sweep
-                print(f"  B={B} fused={fused}: FAILED {type(e).__name__}: {e}",
+                print(f"  B={B} mode={mode:5s}: FAILED {type(e).__name__}: {e}",
                       flush=True)
                 continue
             best = np.inf
@@ -100,7 +106,7 @@ def main():
             steps = N // B
             total_fps = steps * B / best
             print(
-                f"  B={B} fused={fused}: {best / steps * 1e3:7.2f} ms/step "
+                f"  B={B} mode={mode:5s}: {best / steps * 1e3:7.2f} ms/step "
                 f"{total_fps:7.1f} total fps ({total_fps / B:6.1f}/cam)  "
                 f"compile {compile_s:.0f}s",
                 flush=True,

@@ -53,6 +53,12 @@ class PerceptionConfig:
     # sequentially per frame (sequential_vmap; a vmap-derived pallas grid
     # double-buffers the VMEM-resident volumes past the 128 MB budget).
     use_pallas_fused: bool | None = struct.field(pytree_node=False, default=None)
+    # Build the cost volume inside a Pallas kernel straight from the images
+    # (ops/pallas/volume_build.py) instead of the XLA per-plane build —
+    # removes the build's ~0.88 GB/frame of HBM intermediates plus the
+    # layout transposes. Bit-identical for the production bf16 volume.
+    # None = AUTO (stereo.PatchMatchParams.use_pallas_build resolution).
+    use_pallas_build: bool | None = struct.field(pytree_node=False, default=None)
     # PatchMatch strip count (stereo.PatchMatchParams.chunks). 16 = the
     # reference's own decomposition and the measured single-frame/B=2
     # optimum (chunks=24/32 regress; docs/PERFORMANCE.md). Exposed because
@@ -103,6 +109,7 @@ def perception_step(
             max_disp=d_small, chunks=config.chunks, right_wta=True,
             volume_bf16=True, scan_unroll=config.scan_unroll,
             use_pallas_fused=fused,
+            use_pallas_build=config.use_pallas_build,
         )
         result = estimate_disparity(gray_l, gray_r, engine=StereoEngine.PATCHMATCH, patchmatch_params=pm)
     elif config.engine == "sgm":

@@ -83,6 +83,11 @@ def _lk_prep_kernel(
     # scratch
     tmpl3,      # (Kp, ST, ST) point-major template windows
     srch3,      # (Kp, SW, SW) point-major slack windows
+    swin_sc,    # (SW, SW, Kp) lane-major slack windows (ref: the surface
+                # build reads dynamic row blocks — Mosaic supports dynamic
+                # slices on REFS, not on values)
+    gx_sc,      # (win, win, Kp)
+    gy_sc,      # (win, win, Kp)
     sem,        # DMA semaphores (2, n_sem)
     *,
     K: int,
@@ -175,19 +180,23 @@ def _lk_prep_kernel(
     inv11 = gxx / dsafe
 
     # ---- 5. correlation surfaces + template dot products -------------------
-    def surf(g):
+    swin_sc[...] = swin
+    gx_sc[...] = gx
+    gy_sc[...] = gy
+
+    def surf(g_ref):
         def row(y, acc):
             # acc[a, b, :] += sum_x g[y, x, :] * swin[y+a, x+b, :]
-            blk = jax.lax.dynamic_slice(swin, (y, 0, 0), (A, SW, Kp))
-            grow = jax.lax.dynamic_slice(g, (y, 0, 0), (1, win, Kp))[0]  # (win, Kp)
+            blk = swin_sc[pl.ds(y, A)]            # (A, SW, Kp)
+            grow = g_ref[pl.ds(y, 1)][0]          # (win, Kp)
             for x in range(win):
                 acc = acc + grow[x][None, None, :] * blk[:, x:x + A, :]
             return acc
 
         return jax.lax.fori_loop(0, win, row, jnp.zeros((A, A, Kp), jnp.float32))
 
-    corr_ref[0] = surf(gx)
-    corr_ref[1] = surf(gy)
+    corr_ref[0] = surf(gx_sc)
+    corr_ref[1] = surf(gy_sc)
 
     scal_ref[0:1, :] = rsum(tpatch * gx)
     scal_ref[1:2, :] = rsum(tpatch * gy)
@@ -296,6 +305,9 @@ def lk_prep_pallas(
         scratch_shapes=[
             pltpu.VMEM((Kp, ST, ST), f32),
             pltpu.VMEM((Kp, SW, SW), f32),
+            pltpu.VMEM((SW, SW, Kp), f32),
+            pltpu.VMEM((win, win, Kp), f32),
+            pltpu.VMEM((win, win, Kp), f32),
             pltpu.SemaphoreType.DMA((2, n_sem)),
         ],
         interpret=interpret,

@@ -56,7 +56,9 @@ MATRIX = {
     "vo_dropout": [0.4, 0.8, 1.6],      # seconds of blinded camera
     "chaos": [0.03, 0.08, 0.15],        # drop/dup/reorder probability each
     "range_outlier": [0.0, 0.2, 0.5],   # outlier fraction of 5 Hz ranges
-    "mag_bias": [0.0, 5.0, 15.0],       # heading bias deg (under VO dropout)
+    "gyro_bias": [0.01, 0.02, 0.05],    # rad/s heading-rate bias, unaided
+    "mag_bias": [0.0, 5.0, 15.0],       # mag heading bias deg, aiding a
+                                        # 0.02 rad/s gyro-bias drift
     "fix_outage": [0.0, 1.0, 2.0],      # seconds of fix silence mid-mission
     "yaw": [10.0, 25.0, 45.0],          # heading amplitude deg
 }
@@ -83,6 +85,19 @@ def run_cell(scenario: str, severity: float, frames: int, seed: int = 0) -> dict
     ds = EurocDataset(root)
 
     est, _rig = build_estimator()
+    if scenario == "mag_bias":
+        # The default mag_local_field (0,0,1) is heading-blind (yaw-
+        # invariant); heading aiding needs a horizontal component, and the
+        # synthetic field must match the configured world field.
+        import dataclasses as _dc
+
+        from ocean_perception_tpu.vio.state_estimator import StateEstimator
+
+        params = _dc.replace(
+            est.params,
+            smoother=est.params.smoother.replace(mag_local_field=(1.0, 0.0, 0.0)),
+        )
+        est = StateEstimator(params, _rig)
     t_lo = 0.1 + 0.1 * frames * 0.4          # fault window [40%, 40%+sev]
     mission_end = 0.1 * frames
 
@@ -92,10 +107,8 @@ def run_cell(scenario: str, severity: float, frames: int, seed: int = 0) -> dict
 
     # -- per-scenario measurement-boundary fault injectors -------------------
     stereo_cb = est.receive_stereo
-    if scenario == "vo_dropout" or scenario == "mag_bias":
-        dur = severity if scenario == "vo_dropout" else 0.8
-
-        def stereo_cb(m, _dur=dur):
+    if scenario == "vo_dropout":
+        def stereo_cb(m, _dur=severity):
             if in_window(m.timestamp, _dur):
                 m = type(m)(
                     m.timestamp, m.camera_id,
@@ -104,9 +117,24 @@ def run_cell(scenario: str, severity: float, frames: int, seed: int = 0) -> dict
                 )
             est.receive_stereo(m)
 
+    imu_cb = est.receive_imu
+    if scenario in ("gyro_bias", "mag_bias"):
+        # Constant heading-rate bias: the drift magnetometer aiding exists
+        # to bound. The unaided drift is the gyro_bias row; the mag_bias
+        # rows add 4 Hz mag with severity degrees of heading bias.
+        gb = severity if scenario == "gyro_bias" else 0.02
+
+        def imu_cb(m, _gb=gb):
+            m = type(m)(
+                m.timestamp,
+                np.asarray(m.angular_velocity) + np.array([0.0, 0.0, _gb]),
+                m.linear_acceleration,
+            )
+            est.receive_imu(m)
+
     callbacks = {
         "stereo": stereo_cb,
-        "imu": est.receive_imu,
+        "imu": imu_cb,
         "depth": est.receive_depth,
         "range": est.receive_range,
     }

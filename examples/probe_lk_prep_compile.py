@@ -92,6 +92,26 @@ def main() -> int:
     rel = dc / (np.abs(np.asarray(corr_x)) + 1e-2)
     print(f"corr parity: max abs {dc.max():.3e}  max rel {rel.max():.3e}  "
           f"okg agree {int(np.sum(np.asarray(okg) == np.asarray(okg_x)))}/{K}")
+    per_pt = rel.reshape(K, -1).max(axis=1)
+    bad = np.where(per_pt > 1e-3)[0]
+    if len(bad):
+        r_ = win // 2
+        t0y = np.clip(np.floor(np.asarray(pts)[:, 1]) + pad - r_ - 1, 0,
+                      ring.shape[1] - (win + 3)).astype(int)
+        t0x = np.clip(np.floor(np.asarray(pts)[:, 0]) + pad - r_ - 1, 0,
+                      ring.shape[2] - (win + 3)).astype(int)
+        print(f"bad points: {len(bad)}/{K}")
+        for k in bad[:8]:
+            print(f"  k={k} t0=({t0y[k]},{t0x[k]}) off=({t0y[k]%8},{t0x[k]%128}) "
+                  f"s0=({int(sy0[k])},{int(sx0[k])}) soff=({int(sy0[k])%8},{int(sx0[k])%128}) "
+                  f"src={int(src[k])} rel={per_pt[k]:.3f}")
+    # Template-side check: tg/inv come from twin only.
+    tgk = np.transpose(np.asarray(scal[0:2]))[:K]
+    dtg = np.abs(tgk - np.asarray(tg_x)).max()
+    dinv = np.abs(np.stack([np.asarray(scal[2]), np.asarray(scal[3]),
+                            np.asarray(scal[4]), np.asarray(scal[5])], -1)[:K]
+                  - np.asarray(inv_x).reshape(K, 4)).max()
+    print(f"template-side parity: tg {dtg:.3e}  inv {dinv:.3e}")
 
     t0 = time.time()
     Kp = corr.shape[-1]
@@ -105,6 +125,47 @@ def main() -> int:
     print(f"iterate compile+run: {time.time() - t0:.1f}s  "
           f"finite={bool(np.all(np.isfinite(np.asarray(pos)[:, :K])))}  "
           f"hit={int(np.sum(np.asarray(hit)[0, :K] > 0.5))}")
+
+    # Hardware parity of the WALK vs the XLA corr-mode loop on the same
+    # surfaces (catches the silent in-kernel sublane-iota mis-layout class).
+    def walk_one(c, tgk, invk, syk, sxk, g):
+        A = c.shape[-1]
+        ia = jnp.arange(A, dtype=jnp.float32)
+
+        def body(_, carry):
+            posk, converged, hitk = carry
+            cy = posk[1] + pad - syk.astype(posk.dtype)
+            cx = posk[0] + pad - sxk.astype(posk.dtype)
+            in_win = (cy >= r + 1) & (cy <= ws - r - 2) & (cx >= r + 1) & (cx <= ws - r - 2)
+            hitk = hitk | ~in_win
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs((cy - r) - ia))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs((cx - r) - ia))
+            b = (c @ wx) @ wy - tgk
+            delta = -(invk @ b)
+            stop = converged | hitk
+            new_pos = jnp.where(stop, posk, posk + delta)
+            converged = stop | (jnp.sum(delta * delta) < p.eps * p.eps)
+            return (new_pos, converged, hitk)
+
+        posk, _, hitk = jax.lax.fori_loop(
+            0, p.max_iters, body, (g, jnp.asarray(False), jnp.asarray(False))
+        )
+        return posk, hitk
+
+    corr_pm = jnp.transpose(corr, (3, 0, 1, 2))[:K]
+    tg_pm = jnp.transpose(scal[0:2])[:K]
+    inv_pm = jnp.stack(
+        [scal[2], scal[3], scal[4], scal[5]], -1
+    )[:K].reshape(K, 2, 2)
+    pos_x, hit_x = jax.block_until_ready(
+        jax.jit(jax.vmap(walk_one))(corr_pm, tg_pm, inv_pm,
+                                    scal[6][:K], scal[7][:K], guess)
+    )
+    pk = np.transpose(np.asarray(pos))[:K]
+    dp = np.abs(pk - np.asarray(pos_x))
+    agree_hit = int(np.sum((np.asarray(hit)[0, :K] > 0.5) == np.asarray(hit_x)))
+    print(f"walk parity vs XLA (same surfaces): max pos diff {dp.max():.3e}  "
+          f"hit agree {agree_hit}/{K}")
     return 0
 
 

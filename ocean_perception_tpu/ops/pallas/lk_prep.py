@@ -45,6 +45,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -53,7 +54,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _tents(pos, size):
+# Tiled-memref DMA slicing constraints (measured on v5e Mosaic): row
+# origins must be provably 8-aligned (pl.multiple_of) and the lane slice
+# WIDTH must be a multiple of 128. Fetches are therefore (S+EXTRA rows from
+# the aligned-down origin) x LANE_FETCH lanes from the true column origin;
+# the wrapper pads images so fetches never run off the array, and the
+# kernel row-normalizes each point's window by its sublane offset.
+EXTRA = 8
+LANE_FETCH = 256  # lane origins must ALSO be 128-aligned; 256 covers any
+                  # (offset mod 128) + window width
+
+
+def _tents(pos, iota_mid):
     """(rows, size, Kp) two-tap bilinear weights for clipped positions.
 
     For pos already clipped to [0, size-1], the tent max(0, 1-|pos-a|) over
@@ -61,28 +73,35 @@ def _tents(pos, size):
     bit-for-bit: pos-floor(pos) is exact (Sterbenz), both are multiples of
     one ulp of pos, and the boundary/both-taps-coincide cases collapse to a
     single weight-1 tap either way.
+
+    iota_mid is a STREAMED (size, Kp) f32 iota over the sublane axis —
+    compiled Mosaic silently mis-lays-out in-kernel sublane-axis iotas
+    (replicated along lanes; the fused-patchmatch bug class), so every
+    index map enters as an input.
     """
-    a = jax.lax.broadcasted_iota(jnp.float32, pos.shape[:1] + (size,) + pos.shape[2:], 1)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - a))
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - iota_mid[None, :, :]))
 
 
 def _lk_prep_kernel(
     # SMEM scalar tables
-    t0_ref,     # (2, K) i32: t0y, t0x template-window origins (pre-clipped)
-    s0_ref,     # (2, K) i32: sy0, sx0 slack-window origins (pre-clipped)
+    t0_ref,     # (4, K) i32: aligned t0y, aligned t0x, row off, lane off
+    s0_ref,     # (4, K) i32: aligned sy0, aligned sx0, row off, lane off
     src_ref,    # (2, K) i32: template ring slot, search ring slot
     # ANY (HBM-resident) images
     tmpl_ref,   # (Rt, Hp, Wp) padded template-side pyramid level (ring)
     srch_ref,   # (Rs, Hp, Wp) padded search-side pyramid level (ring)
     # VMEM f32 rows
-    frac_ref,   # (4, Kp): fy, fx (template subpixel), sy0f, sx0f
+    frac_ref,   # (8, Kp): fy fx sy0f sx0f offy_t offx_t offy_s offx_s
+    iotas_ref,  # (P + ST, Kp): [0:P] leading-index iota, [P:] ST-iota —
+                # streamed (in-kernel sublane iotas are the known Mosaic
+                # silent-mis-layout class)
     # outputs (VMEM)
     corr_ref,   # (2, A, A, Kp)
     scal_ref,   # (8, Kp): tgx tgy inv00 inv01 inv10 inv11 sy0f sx0f
     okg_ref,    # (1, Kp) f32 0/1 template-quality gate
     # scratch
-    tmpl3,      # (Kp, ST, ST) point-major template windows
-    srch3,      # (Kp, SW, SW) point-major slack windows
+    tmpl3,      # (Kp, STF, LANE_FETCH) aligned-origin template fetches
+    srch3,      # (Kp, SWF, LANE_FETCH) aligned-origin slack fetches
     swin_sc,    # (SW, SW, Kp) lane-major slack windows (ref: the surface
                 # build reads dynamic row blocks — Mosaic supports dynamic
                 # slices on REFS, not on values)
@@ -100,16 +119,33 @@ def _lk_prep_kernel(
     n_sem: int,
 ):
     # ---- 1. pipelined per-point window DMAs (template + slack) -------------
+    # HBM memrefs are TILED (8, 128): DMA slice starts on the sublane dim
+    # must be provably 8-aligned (measured Mosaic wall: "tile index in
+    # dimension 1 is divisible by the tiling"). Rows are therefore fetched
+    # from the aligned origin below the true one (ST/SW + EXTRA rows, the
+    # wrapper aligns and pads), and step 1b normalizes each point's window
+    # by its sublane offset.
+    STF = ST + EXTRA
+    SWF = SW + EXTRA + (-(SW + EXTRA)) % 8
+
     def t_copy(k, slot):
         return pltpu.make_async_copy(
-            tmpl_ref.at[src_ref[0, k], pl.ds(t0_ref[0, k], ST), pl.ds(t0_ref[1, k], ST)],
+            tmpl_ref.at[
+                src_ref[0, k],
+                pl.ds(pl.multiple_of(t0_ref[0, k], 8), STF),
+                pl.ds(pl.multiple_of(t0_ref[1, k], 128), LANE_FETCH),
+            ],
             tmpl3.at[k],
             sem.at[0, slot],
         )
 
     def s_copy(k, slot):
         return pltpu.make_async_copy(
-            srch_ref.at[src_ref[1, k], pl.ds(s0_ref[0, k], SW), pl.ds(s0_ref[1, k], SW)],
+            srch_ref.at[
+                src_ref[1, k],
+                pl.ds(pl.multiple_of(s0_ref[0, k], 8), SWF),
+                pl.ds(pl.multiple_of(s0_ref[1, k], 128), LANE_FETCH),
+            ],
             srch3.at[k],
             sem.at[1, slot],
         )
@@ -129,13 +165,51 @@ def _lk_prep_kernel(
 
     jax.lax.fori_loop(0, K + n_sem, dma_body, 0)
 
-    # ---- 2. lane-major flip: (Kp, S, S) -> (S, S, Kp) ----------------------
-    def flip(pm3, S):
-        rows = [jnp.swapaxes(pm3[:, a, :], 0, 1) for a in range(S)]  # (S, Kp) each
+    # ---- 2. flip + vectorized offset normalization --------------------------
+    # Per-point offsets cannot be resolved with unaligned VMEM reads (the
+    # "index in dimension N is a multiple of ..." walls). Instead each
+    # fetched row is transposed (points -> lanes), where the per-POINT lane
+    # offset becomes a per-LANE sublane shift — applied to ALL points at
+    # once by log2-masked sublane rolls; the per-point ROW offset (< 8)
+    # becomes an 8-candidate masked sum over neighboring flipped rows.
+    def bits_of(off_row, n_bits):
+        masks = []
+        x = off_row  # (1, Kp) f32, integer-valued
+        for b in range(n_bits):
+            nxt = jnp.floor(x * 0.5)
+            masks.append(x - 2.0 * nxt)  # bit b as 0/1 f32
+            x = nxt
+        return masks
+
+    def normalize(fetch3, SF, S, offy_row, offx_row):
+        # fetch3 (Kp, SF, LANE_FETCH) -> (S, S, Kp) true windows. ALL
+        # selections are arithmetic 0/1 blends — compiled Mosaic mis-lays
+        # out boolean/select paths on these shapes (measured: where-based
+        # selects corrupted every window by a fraction of its value while
+        # interpret mode was exact).
+        xbits = bits_of(offx_row, 7)  # (1, Kp) exact 0/1 f32 per bit
+        sheared = []
+        for a in range(S + EXTRA - 1):
+            t = jnp.swapaxes(fetch3[:, a, :], 0, 1)  # (LANE_FETCH, Kp)
+            for b, m in enumerate(xbits):
+                rolled = jnp.roll(t, -(1 << b), axis=0)
+                t = m * rolled + (1.0 - m) * t
+            sheared.append(t[0:S, :])  # (S, Kp): columns offx..offx+S-1
+        # offy == o as an exact 0/1 tent over integers (no compares).
+        ymasks = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(offy_row - float(o)))
+            for o in range(EXTRA)
+        ]
+        rows = []
+        for a in range(S):
+            acc = jnp.zeros((S, Kp), jnp.float32)
+            for o in range(EXTRA):
+                acc = acc + ymasks[o] * sheared[a + o]
+            rows.append(acc)
         return jnp.stack(rows, axis=0)  # (S, S, Kp)
 
-    twin = flip(tmpl3, ST)   # (ST, ST, Kp)
-    swin = flip(srch3, SW)   # (SW, SW, Kp)
+    twin = normalize(tmpl3, STF, ST, frac_ref[4:5, :], frac_ref[5:6, :])
+    swin = normalize(srch3, SWF, SW, frac_ref[6:7, :], frac_ref[7:8, :])
 
     fy = frac_ref[0:1, :]    # (1, Kp)
     fx = frac_ref[1:2, :]
@@ -143,12 +217,13 @@ def _lk_prep_kernel(
     # ---- 3. subpixel template recentering (win+2 square) -------------------
     P = win + 2
     # posY[i, k] = clip(fy + i - P//2, 0, ST-1); same construction as
-    # ops.interp._axis_weights (P//2 == r+1).
-    ii = jax.lax.broadcasted_iota(jnp.float32, (P, 1, Kp), 0)
+    # ops.interp._axis_weights (P//2 == r+1). Both iotas streamed.
+    ii = iotas_ref[0:P, :][:, None, :]                         # (P, 1, Kp)
+    iota_st = iotas_ref[P:P + ST, :]                           # (ST, Kp)
     posy = jnp.clip(fy[None] + ii - (P // 2), 0.0, ST - 1.0)   # (P, 1, Kp)
     posx = jnp.clip(fx[None] + ii - (P // 2), 0.0, ST - 1.0)
-    wy = _tents(posy, ST)    # (P, ST, Kp)
-    wx = _tents(posx, ST)
+    wy = _tents(posy, iota_st)    # (P, ST, Kp)
+    wx = _tents(posx, iota_st)
 
     # y-contraction then x (matches sample_patches_bilinear's association:
     # (W_y @ window) @ W_x^T).
@@ -243,6 +318,14 @@ def lk_prep_pallas(
     SW = ws
     A = ws - win + 1                     # 11
     Hp, Wp = tmpl.shape[-2], tmpl.shape[-1]
+    # Bottom/right padding for the aligned over-fetch (content never used:
+    # the normalization step discards rows/lanes outside the true window).
+    # Right: worst aligned lane origin is 128*floor((Wp-1)/128); pad so
+    # +LANE_FETCH stays in-array.
+    pad_y = 2 * EXTRA
+    pad_x = (_round_up(Wp, 128) + LANE_FETCH) - Wp
+    tmpl = jnp.pad(tmpl, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+    srch = jnp.pad(srch, ((0, 0), (0, pad_y), (0, pad_x)), mode="edge")
 
     f32 = jnp.float32
     ptx = jnp.nan_to_num(pts[:, 0].astype(f32), nan=0.0, posinf=0.0, neginf=0.0)
@@ -264,8 +347,17 @@ def lk_prep_pallas(
     def pad_k(x, fill=0):
         return jnp.pad(x, (0, Kp - K), constant_values=fill)
 
-    t0 = jnp.stack([pad_k(t0y), pad_k(t0x)])          # (2, Kp) i32 (SMEM)
-    s0 = jnp.stack([pad_k(sy0), pad_k(sx0)])
+    t0y_al = (t0y // 8) * 8
+    sy0_al = (sy0 // 8) * 8
+    t0x_al = (t0x // 128) * 128
+    sx0_al = (sx0 // 128) * 128
+    # (4, Kp) i32 SMEM tables: aligned row/col origins + in-fetch offsets.
+    t0 = jnp.stack(
+        [pad_k(t0y_al), pad_k(t0x_al), pad_k(t0y - t0y_al), pad_k(t0x - t0x_al)]
+    )
+    s0 = jnp.stack(
+        [pad_k(sy0_al), pad_k(sx0_al), pad_k(sy0 - sy0_al), pad_k(sx0 - sx0_al)]
+    )
     src = jnp.stack(
         [
             pad_k(jnp.clip(jnp.asarray(src_t, jnp.int32), 0, tmpl.shape[0] - 1)),
@@ -273,8 +365,22 @@ def lk_prep_pallas(
         ]
     )
     frac = jnp.stack(
-        [pad_k(fy), pad_k(fx), pad_k(sy0.astype(f32)), pad_k(sx0.astype(f32))]
-    )  # (4, Kp)
+        [
+            pad_k(fy), pad_k(fx),
+            pad_k(sy0.astype(f32)), pad_k(sx0.astype(f32)),
+            pad_k((t0y - t0y_al).astype(f32)), pad_k((t0x - t0x_al).astype(f32)),
+            pad_k((sy0 - sy0_al).astype(f32)), pad_k((sx0 - sx0_al).astype(f32)),
+        ]
+    )  # (8, Kp)
+    P = win + 2
+    iotas = jnp.asarray(
+        np.broadcast_to(
+            np.concatenate(
+                [np.arange(P, dtype=np.float32), np.arange(ST, dtype=np.float32)]
+            )[:, None],
+            (P + ST, Kp),
+        ).copy()
+    )
 
     n_sem = 8
     kernel = functools.partial(
@@ -288,8 +394,14 @@ def lk_prep_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # Images pinned to HBM: under pl.ANY the compiler may place them
+            # in VMEM, where the per-point DMA's unaligned sublane slices
+            # are illegal ("tile index not divisible by the tiling (8)" —
+            # measured on v5e). HBM slices are byte-addressed; the DMA
+            # engine handles arbitrary offsets.
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -303,13 +415,16 @@ def lk_prep_pallas(
             jax.ShapeDtypeStruct((1, Kp), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Kp, ST, ST), f32),
-            pltpu.VMEM((Kp, SW, SW), f32),
+            pltpu.VMEM((Kp, ST + EXTRA, LANE_FETCH), f32),
+            pltpu.VMEM((Kp, SW + EXTRA + (-(SW + EXTRA)) % 8, LANE_FETCH), f32),
             pltpu.VMEM((SW, SW, Kp), f32),
             pltpu.VMEM((win, win, Kp), f32),
             pltpu.VMEM((win, win, Kp), f32),
             pltpu.SemaphoreType.DMA((2, n_sem)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(t0, s0, src, tmpl, srch, frac)
+    )(t0, s0, src, tmpl, srch, frac, iotas)
     return corr, scal, okg[0, :K] > 0.5, sy0, sx0

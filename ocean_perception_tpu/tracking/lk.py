@@ -108,8 +108,12 @@ class LKParams:
     # every prior isolation win — PERFORMANCE.md lk-mode ablation) cannot
     # exist by construction. Math = the documented corr-surface equivalent
     # of the production matmul walk (parity test vs the XLA corr path).
-    # None = AUTO (on for real TPU when search_slack > 0 — decided by the
-    # composed-fleet A/B, PERFORMANCE.md round 5); False forces XLA paths.
+    # None = AUTO = on for real TPU when search_slack > 0: the composed
+    # B=4 fleet A/B measured 34.66 -> 24.28 ms/fleet-step and the single
+    # camera full frontend 9.90 -> 6.57 ms; tracking accuracy vs known
+    # motion is slightly BETTER than the XLA path on hardware (its
+    # default-precision MXU prep truncates to bf16; the kernel prep is f32
+    # VPU arithmetic). False forces the XLA paths (PERFORMANCE.md round 5).
     fused_lk: bool | None = struct.field(pytree_node=False, default=None)
     # Truncated backward (verification) pass: run only the N FINEST pyramid
     # levels of the bidirectional re-track, initialized at the ORIGINAL
@@ -538,9 +542,13 @@ def pyramidal_lk(
     init0 = points if initial_flow is None else initial_flow
     use_fused = p.fused_lk
     if use_fused is None:
-        # AUTO: off until the composed-fleet A/B on real TPU decides
-        # (PERFORMANCE.md round 5); True forces the kernels on any backend.
-        use_fused = False
+        # AUTO: on for real TPU — the composed-fleet A/B measured the fused
+        # kernels cutting the B=4 full-quality fleet step 34.66 -> 24.28 ms
+        # and the single-camera full frontend 9.90 -> 6.57 ms, with
+        # hardware-validated accuracy (median 0.0083 px vs truth, slightly
+        # better than the XLA path; PERFORMANCE.md round 5). Off elsewhere
+        # (interpret mode at production shapes is unusable).
+        use_fused = jax.default_backend() == "tpu"
     if use_fused and p.search_slack > 0:
         return _pyramidal_lk_fused(
             prev_pad, next_pad, points, init0, sp, sn, p, level_window,

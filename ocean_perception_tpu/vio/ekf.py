@@ -48,6 +48,13 @@ class EkfParams:
     sigma_R_imu_w: float = struct.field(pytree_node=False, default=0.01)
     sigma_R_depth: float = struct.field(pytree_node=False, default=0.05)
     sigma_R_range: float = struct.field(pytree_node=False, default=0.2)
+    # Chi-square innovation gate on range updates: reject measurements whose
+    # normalized innovation r^2/(H P H^T + R) exceeds gate^2 sigma. The
+    # reference applies range updates unconditionally (state_ekf.cpp:394-432)
+    # — the round-5 mission stress matrix measured that 20% gross range
+    # outliers then drag ATE 5 cm -> 40 cm (50% -> 1.7 m); the gate bounds
+    # it (docs/PERFORMANCE.md round-5 matrix). 0 disables (reference parity).
+    range_gate_sigmas: float = struct.field(pytree_node=False, default=5.0)
 
 
 class EkfState(NamedTuple):
@@ -219,7 +226,14 @@ def ekf_update_range(
     H = H.at[0, 0:3].set(-unit)
     r = jnp.asarray([range_meas - dist], dtype)
     R = jnp.asarray([[params.sigma_R_range**2]], dtype)
-    return _joseph_update(state, H, r, R)
+    upd = _joseph_update(state, H, r, R)
+    if params.range_gate_sigmas <= 0:
+        return upd
+    innov_var = (H @ state.S @ H.T + R)[0, 0]
+    accept = r[0] * r[0] <= params.range_gate_sigmas**2 * innov_var
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accept, a, b), upd, state
+    )
 
 
 def ekf_update_pose(

@@ -169,6 +169,8 @@ def oracle_residuals(
     delta_b = win["range_beacons"] - p_recv[:, None, :]
     dist = np.linalg.norm(delta_b + 1e-12, axis=-1)
     r_range = (dist - win["ranges"]) / config.range_sigma
+    if config.range_cauchy_k > 0:
+        r_range = r_range / np.sqrt(1.0 + (r_range * r_range) / config.range_cauchy_k**2)
     res.append((r_range * (win["range_valid"] & valid[:, None]).astype(float)).reshape(-1))
 
     # Magnetometer (MagPoseFactor): field predicted in the sensor frame.

@@ -58,10 +58,12 @@ def _build_kernel(
     dmap_w_ref,   # (D, W) f32: d per sublane (col orientation)
     colmap_ref,   # (D, W) f32: lane index x
     lanemap_h_ref,  # (D, H) f32: lane index h (row orientation)
-    # images
-    L_ref, R_ref, G_ref, Gr_ref,          # (H, W) f32
-    LT_ref, GT_ref,                        # (W, H) f32
-    RTr_ref, GrTr_ref,                     # (W + D - 1, H) f32 reversed+padded
+    # images (all row-padded by the wrapper: 8 replicate rows on top, 16
+    # below, so every aligned group block stays in-array; row 0 of the
+    # ORIGINAL image sits at padded row 8)
+    L_ref, R_ref, G_ref, Gr_ref,          # (H + 24, W) f32
+    LT_ref, GT_ref,                        # (W + 24, H) f32
+    RTr_ref, GrTr_ref,                     # (W + D + 7, H) f32 reversed
     # outputs
     V_row_ref,    # (chunk_x, chunks_x, D, H) cdtype
     V_col_ref,    # (chunk_y, chunks_y, D, W) cdtype
@@ -89,11 +91,16 @@ def _build_kernel(
     half = jnp.float32(0.5)
 
     # ---- col orientation: one (D, W) tile per image row --------------------
-    def e_col(y):
-        Lr = L_ref[pl.ds(y, 1), :]
-        Gr_ = G_ref[pl.ds(y, 1), :]
-        Rsh = shear_row(R_ref[pl.ds(y, 1), :])
-        Gsh = shear_row(Gr_ref[pl.ds(y, 1), :])
+    # Rows are processed in groups of 8: dynamic slicing of tiled memrefs
+    # demands provably 8-aligned sublane starts, so each group reads ONE
+    # aligned 24-row block (rows 8g-8 .. 8g+15 of the original image via
+    # the wrapper's 8-top/16-bottom replicate padding) and addresses rows
+    # inside it with STATIC offsets. The replicate padding also delivers
+    # the stencil's edge-clamp semantics exactly: e(-1) == e(0) and
+    # e(H) == e(H-1) because e(y) depends only on image row y.
+    def e_col_from(Lr, Gr_, Rr, Grr):
+        Rsh = shear_row(Rr)
+        Gsh = shear_row(Grr)
         Lb = Lr + jnp.zeros((D, W), f32)
         Gb = Gr_ + jnp.zeros((D, W), f32)
         return alpha * jnp.abs(Lb - Rsh) + (1.0 - alpha) * jnp.abs(Gb - Gsh)
@@ -122,24 +129,36 @@ def _build_kernel(
         i = y - c * chunk_y
         V_col_ref[pl.ds(i, 1), pl.ds(c, 1)] = acc.astype(cdtype)[None, None]
 
-    def col_body(y, carry):
-        em1, e0 = carry
-        ep1 = e_col(jnp.minimum(y + 1, H - 1))
-        store_col(y, stencil_w(em1, e0, ep1))
-        return (e0, ep1)
+    def col_group(g, _):
+        base = pl.multiple_of(g * 8, 8)
+        Lb24 = L_ref[pl.ds(base, 24), :]
+        Gb24 = G_ref[pl.ds(base, 24), :]
+        Rb24 = R_ref[pl.ds(base, 24), :]
+        Grb24 = Gr_ref[pl.ds(base, 24), :]
+        es = [
+            e_col_from(
+                Lb24[j:j + 1, :], Gb24[j:j + 1, :],
+                Rb24[j:j + 1, :], Grb24[j:j + 1, :],
+            )
+            for j in range(7, 17)  # original rows 8g-1 .. 8g+8
+        ]
+        for j in range(8):
+            store_col(g * 8 + j, stencil_w(es[j], es[j + 1], es[j + 2]))
+        return 0
 
-    e0_first = e_col(0)
-    jax.lax.fori_loop(0, H, col_body, (e0_first, e0_first))
+    jax.lax.fori_loop(0, H // 8, col_group, 0)
 
     # ---- row orientation: one (D, H) tile per image column -----------------
-    def e_row(x):
-        # R^T(x - d, h) for ascending d = ascending block of the reversed
-        # padded transpose starting at (W - 1 - x).
-        start = (W - 1) - x
-        LTr = LT_ref[pl.ds(x, 1), :]
-        GTr = GT_ref[pl.ds(x, 1), :]
-        Rblk = RTr_ref[pl.ds(start, D), :]
-        Gblk = GrTr_ref[pl.ds(start, D), :]
+    # Same group-of-8 structure. Per group g (columns 8g..8g+7): one
+    # aligned 24-row block of LT/GT (the wrapper's 8-top/16-bottom pad) and
+    # one aligned 80-row block of the reversed transposes covering every
+    # (x - d) window of the group incl. the x-1/x+8 stencil neighbors; all
+    # within-block addressing is static. The reversed layout's tail padding
+    # (rows >= W-1 all equal R^T[0]) makes e(-1) == e(0) exactly; the LAST
+    # group's x = W neighbor is the one case whose window would start at a
+    # negative row — handled by the unrolled final group (e_8 := e_7, the
+    # exact edge-replicate semantics).
+    def e_row_from(LTr, GTr, Rblk, Gblk):
         Lb = LTr + jnp.zeros((D, H), f32)
         Gb = GTr + jnp.zeros((D, H), f32)
         return alpha * jnp.abs(Lb - Rblk) + (1.0 - alpha) * jnp.abs(Gb - Gblk)
@@ -166,14 +185,41 @@ def _build_kernel(
         i = x - c * chunk_x
         V_row_ref[pl.ds(i, 1), pl.ds(c, 1)] = acc.astype(cdtype)[None, None]
 
-    def row_body(x, carry):
-        em1, e0 = carry
-        ep1 = e_row(jnp.minimum(x + 1, W - 1))
-        store_row(x, stencil_h(em1, e0, ep1))
-        return (e0, ep1)
+    def row_group_tiles(g, n_tiles, off0):
+        base = pl.multiple_of(g * 8, 8)
+        LT24 = LT_ref[pl.ds(base, 24), :]
+        GT24 = GT_ref[pl.ds(base, 24), :]
+        # Reversed-transpose block covering rows W-1-(8g+j)+[0, D) for the
+        # group's tiles; aligned start (interior: W-16-8g, off0=15; last
+        # group: 0, off0=7 — W and 8g are multiples of 8 either way).
+        rbase = pl.multiple_of((W - (off0 + 1)) - g * 8, 8)
+        RTb = RTr_ref[pl.ds(rbase, off0 + 1 + D), :]
+        GrTb = GrTr_ref[pl.ds(rbase, off0 + 1 + D), :]
+        es = []
+        for j in range(-1, n_tiles - 1):
+            off = off0 - j  # (W-1-(8g+j)) - rbase
+            es.append(
+                e_row_from(
+                    LT24[j + 8:j + 9, :], GT24[j + 8:j + 9, :],
+                    RTb[off:off + D, :], GrTb[off:off + D, :],
+                )
+            )
+        return es
 
-    e0_first_r = e_row(0)
-    jax.lax.fori_loop(0, W, row_body, (e0_first_r, e0_first_r))
+    def row_group(g, _):
+        es = row_group_tiles(g, 10, 15)  # columns 8g-1 .. 8g+8
+        for j in range(8):
+            store_row(g * 8 + j, stencil_h(es[j], es[j + 1], es[j + 2]))
+        return 0
+
+    jax.lax.fori_loop(0, W // 8 - 1, row_group, 0)
+    # Final group unrolled (static g): its block starts at row 0, and the
+    # x = W stencil neighbor clamps to e(W-1) (edge replicate).
+    gl_ = W // 8 - 1
+    es_last = row_group_tiles(gl_, 9, 7)  # columns 8g-1 .. 8g+7
+    es_last.append(es_last[-1])           # e(W) := e(W-1)
+    for j in range(8):
+        store_row(gl_ * 8 + j, stencil_h(es_last[j], es_last[j + 1], es_last[j + 2]))
 
 
 @functools.partial(
@@ -204,17 +250,34 @@ def pallas_build_volumes(
     cdtype = jnp.bfloat16 if bf16 else jnp.float32
     f32 = jnp.float32
 
+    if H % 8 or W % 8:
+        raise ValueError(
+            f"pallas_build_volumes needs H, W multiples of 8 (got {H}x{W}) "
+            "— group-of-8 aligned block addressing"
+        )
     iml = iml.astype(f32)
     imr = imr.astype(f32)
     gl = gl.astype(f32)
     gr = gr.astype(f32)
 
-    LT = jnp.transpose(iml)
-    GT = jnp.transpose(gl)
+    def row_pad(a):  # 8 replicate rows on top, 16 below (aligned blocks)
+        return jnp.concatenate(
+            [jnp.broadcast_to(a[0:1], (8,) + a.shape[1:]), a,
+             jnp.broadcast_to(a[-1:], (16,) + a.shape[1:])], axis=0
+        )
 
-    def rev_pad(imT):  # (W, H) -> (W + D - 1, H): row r = imT[W-1-r], clamped
+    L_p, R_p, G_p, Gr_p = (row_pad(a) for a in (iml, imr, gl, gr))
+    LT = row_pad(jnp.transpose(iml))
+    GT = row_pad(jnp.transpose(gl))
+
+    def rev_pad(imT):
+        # (W, H) -> (W + D + 7, H): row r = imT[W-1-r]; rows >= W-1 all
+        # equal imT[0] (the x<d / x>=W clamp content), incl. 8 slack rows
+        # for the aligned 16+D block reads.
         rev = imT[::-1]
-        return jnp.concatenate([rev, jnp.broadcast_to(imT[0:1], (D - 1, H))], axis=0)
+        return jnp.concatenate(
+            [rev, jnp.broadcast_to(imT[0:1], (D + 7, H))], axis=0
+        )
 
     RTr = rev_pad(jnp.transpose(imr))
     GrTr = rev_pad(jnp.transpose(gr))
@@ -249,6 +312,6 @@ def pallas_build_volumes(
     )(
         jnp.asarray(dbit), jnp.asarray(dmap_w), jnp.asarray(colmap),
         jnp.asarray(lanemap_h),
-        iml, imr, gl, gr, LT, GT, RTr, GrTr,
+        L_p, R_p, G_p, Gr_p, LT, GT, RTr, GrTr,
     )
     return V_row, V_col

@@ -405,6 +405,8 @@ def _build_available(iml: jnp.ndarray, p: PatchMatchParams) -> bool:
     if p.iters < 1:
         return False
     H, W = iml.shape
+    if H % 8 or W % 8:  # group-of-8 aligned block addressing
+        return False
     return fused_supported(
         H, W, p.max_disp, p.chunks, p.chunks_y, p.halo, p.patch_radius,
         bf16=p.volume_bf16,

@@ -54,14 +54,14 @@ from .fused_patchmatch import fused_geometry
 
 def _build_kernel(
     # streamed constants first (Mosaic in-kernel iotas mis-lay-out)
-    dbit_ref,     # (NB, D, W) f32 0/1: bit b of sublane-d index
-    dmap_w_ref,   # (D, W) f32: d per sublane (col orientation)
+    dbit_ref,     # (NB, D, W + D) f32 0/1: bit b of sublane-d index
     colmap_ref,   # (D, W) f32: lane index x
     lanemap_h_ref,  # (D, H) f32: lane index h (row orientation)
     # images (all row-padded by the wrapper: 8 replicate rows on top, 16
     # below, so every aligned group block stays in-array; row 0 of the
     # ORIGINAL image sits at padded row 8)
-    L_ref, R_ref, G_ref, Gr_ref,          # (H + 24, W) f32
+    L_ref, G_ref,                          # (H + 24, W) f32
+    R_ref, Gr_ref,                         # (H + 24, W + D) f32 left-padded
     LT_ref, GT_ref,                        # (W + 24, H) f32
     RTr_ref, GrTr_ref,                     # (W + D + 7, H) f32 reversed
     # outputs
@@ -76,17 +76,28 @@ def _build_kernel(
     f32 = jnp.float32
     cdtype = V_col_ref.dtype
     dbits = dbit_ref[...]
-    dmap_w = dmap_w_ref[...]
     colmap = colmap_ref[...]
     lanemap_h = lanemap_h_ref[...]
 
-    def shear_row(row):  # (1, W) -> (D, W): out[d, w] = row[w - d], clamped
-        t = row + jnp.zeros((D, W), f32)
+    G10 = 10  # e-tiles per group: rows 8g-1 .. 8g+8
+    WD = W + D  # sheared images arrive LEFT-padded by D replicate columns
+
+    def bcast_w(rows):  # (G10, W) -> (G10, D, W) over the d axis
+        return jax.lax.broadcast_in_dim(rows, (G10, D, W), (0, 2))
+
+    def shear_rows(rows):  # (G10, WD) -> (G10, D, W): out[., d, w] = row[w-d]
+        # The x<d clamp is baked into the left padding (row[-j] = row[0]),
+        # so no edge select is needed — a (rows[:, 0:1])-style unit-lane
+        # broadcast is ALSO a measured Mosaic wall ("Invalid input layout"
+        # on the (10,1,1)->(10,64,1) vector.broadcast).
+        t = jax.lax.broadcast_in_dim(rows, (G10, D, WD), (0, 2))
         for b in range(n_bits):
-            rolled = jnp.roll(t, 1 << b, axis=1)
-            t = jnp.where(dbits[b] > 0.5, rolled, t)
-        edge = row[:, 0:1] + jnp.zeros((D, W), f32)
-        return jnp.where(colmap < dmap_w, edge, t)
+            rolled = jnp.roll(t, 1 << b, axis=2)
+            t = jnp.where(
+                jax.lax.broadcast_in_dim(dbits[b] > 0.5, (G10, D, WD), (1, 2)),
+                rolled, t,
+            )
+        return t[:, :, D:]
 
     half = jnp.float32(0.5)
 
@@ -98,12 +109,16 @@ def _build_kernel(
     # inside it with STATIC offsets. The replicate padding also delivers
     # the stencil's edge-clamp semantics exactly: e(-1) == e(0) and
     # e(H) == e(H-1) because e(y) depends only on image row y.
-    def e_col_from(Lr, Gr_, Rr, Grr):
-        Rsh = shear_row(Rr)
-        Gsh = shear_row(Grr)
-        Lb = Lr + jnp.zeros((D, W), f32)
-        Gb = Gr_ + jnp.zeros((D, W), f32)
-        return alpha * jnp.abs(Lb - Rsh) + (1.0 - alpha) * jnp.abs(Gb - Gsh)
+    def e_col_group(L10, G10r, R10, Gr10):
+        # (G10, W) row stacks -> (G10, D, W) e-tiles, all rows at once
+        # (unit-sublane (1, W) slices trip a Mosaic internal check —
+        # "limits[i] <= dim(i) (8 vs. 1)" — so nothing here is 1-row).
+        Rsh = shear_rows(R10)
+        Gsh = shear_rows(Gr10)
+        return (
+            alpha * jnp.abs(bcast_w(L10) - Rsh)
+            + (1.0 - alpha) * jnp.abs(bcast_w(G10r) - Gsh)
+        )
 
     def lane_shift(e, dx, edge_idx):
         # value at lane w+dx with edge replicate (pad mode="edge" parity):
@@ -135,15 +150,12 @@ def _build_kernel(
         Gb24 = G_ref[pl.ds(base, 24), :]
         Rb24 = R_ref[pl.ds(base, 24), :]
         Grb24 = Gr_ref[pl.ds(base, 24), :]
-        es = [
-            e_col_from(
-                Lb24[j:j + 1, :], Gb24[j:j + 1, :],
-                Rb24[j:j + 1, :], Grb24[j:j + 1, :],
-            )
-            for j in range(7, 17)  # original rows 8g-1 .. 8g+8
-        ]
+        # block offsets 7..16 = original rows 8g-1 .. 8g+8
+        e10 = e_col_group(
+            Lb24[7:17, :], Gb24[7:17, :], Rb24[7:17, :], Grb24[7:17, :]
+        )
         for j in range(8):
-            store_col(g * 8 + j, stencil_w(es[j], es[j + 1], es[j + 2]))
+            store_col(g * 8 + j, stencil_w(e10[j], e10[j + 1], e10[j + 2]))
         return 0
 
     jax.lax.fori_loop(0, H // 8, col_group, 0)
@@ -158,10 +170,11 @@ def _build_kernel(
     # group's x = W neighbor is the one case whose window would start at a
     # negative row — handled by the unrolled final group (e_8 := e_7, the
     # exact edge-replicate semantics).
-    def e_row_from(LTr, GTr, Rblk, Gblk):
-        Lb = LTr + jnp.zeros((D, H), f32)
-        Gb = GTr + jnp.zeros((D, H), f32)
-        return alpha * jnp.abs(Lb - Rblk) + (1.0 - alpha) * jnp.abs(Gb - Gblk)
+    def e_row_stack(LT10, GT10, Rblks, Gblks, n):
+        # (n, H) row stacks + (n, D, H) stacked reverse blocks -> e-tiles.
+        Lb = jax.lax.broadcast_in_dim(LT10, (n, D, H), (0, 2))
+        Gb = jax.lax.broadcast_in_dim(GT10, (n, D, H), (0, 2))
+        return alpha * jnp.abs(Lb - Rblks) + (1.0 - alpha) * jnp.abs(Gb - Gblks)
 
     def lane_shift_h(e, dy, edge_idx):
         rolled = jnp.roll(e, -dy, axis=1)
@@ -195,16 +208,14 @@ def _build_kernel(
         rbase = pl.multiple_of((W - (off0 + 1)) - g * 8, 8)
         RTb = RTr_ref[pl.ds(rbase, off0 + 1 + D), :]
         GrTb = GrTr_ref[pl.ds(rbase, off0 + 1 + D), :]
-        es = []
-        for j in range(-1, n_tiles - 1):
-            off = off0 - j  # (W-1-(8g+j)) - rbase
-            es.append(
-                e_row_from(
-                    LT24[j + 8:j + 9, :], GT24[j + 8:j + 9, :],
-                    RTb[off:off + D, :], GrTb[off:off + D, :],
-                )
-            )
-        return es
+        offs = [off0 - j for j in range(-1, n_tiles - 1)]
+        Rblks = jnp.stack([RTb[o:o + D, :] for o in offs], axis=0)
+        Gblks = jnp.stack([GrTb[o:o + D, :] for o in offs], axis=0)
+        e_all = e_row_stack(
+            LT24[7:7 + n_tiles, :], GT24[7:7 + n_tiles, :],
+            Rblks, Gblks, n_tiles,
+        )
+        return [e_all[i] for i in range(n_tiles)]
 
     def row_group(g, _):
         es = row_group_tiles(g, 10, 15)  # columns 8g-1 .. 8g+8
@@ -266,7 +277,13 @@ def pallas_build_volumes(
              jnp.broadcast_to(a[-1:], (16,) + a.shape[1:])], axis=0
         )
 
-    L_p, R_p, G_p, Gr_p = (row_pad(a) for a in (iml, imr, gl, gr))
+    def left_pad(a):  # D replicate columns: bakes the x<d clamp into data
+        return jnp.concatenate(
+            [jnp.broadcast_to(a[:, 0:1], (a.shape[0], D)), a], axis=1
+        )
+
+    L_p, G_p = row_pad(iml), row_pad(gl)
+    R_p, Gr_p = row_pad(left_pad(imr)), row_pad(left_pad(gr))
     LT = row_pad(jnp.transpose(iml))
     GT = row_pad(jnp.transpose(gl))
 
@@ -285,10 +302,9 @@ def pallas_build_volumes(
     n_bits = max(1, int(np.ceil(np.log2(max(D, 2)))))
     dd = np.arange(D, dtype=np.int64)
     dbit = np.stack(
-        [np.broadcast_to((((dd >> b) & 1)[:, None]).astype(np.float32), (D, W))
+        [np.broadcast_to((((dd >> b) & 1)[:, None]).astype(np.float32), (D, W + D))
          for b in range(n_bits)]
     )
-    dmap_w = np.broadcast_to(dd[:, None].astype(np.float32), (D, W)).copy()
     colmap = np.broadcast_to(np.arange(W, dtype=np.float32)[None, :], (D, W)).copy()
     lanemap_h = np.broadcast_to(np.arange(H, dtype=np.float32)[None, :], (D, H)).copy()
 
@@ -299,7 +315,7 @@ def pallas_build_volumes(
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     V_row, V_col = pl.pallas_call(
         kernel,
-        in_specs=[vspec() for _ in range(12)],
+        in_specs=[vspec() for _ in range(11)],
         out_specs=[vspec(), vspec()],
         out_shape=[
             jax.ShapeDtypeStruct((g.chunk_x, g.chunks_x, D, H), cdtype),
@@ -310,8 +326,7 @@ def pallas_build_volumes(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(dbit), jnp.asarray(dmap_w), jnp.asarray(colmap),
-        jnp.asarray(lanemap_h),
-        L_p, R_p, G_p, Gr_p, LT, GT, RTr, GrTr,
+        jnp.asarray(dbit), jnp.asarray(colmap), jnp.asarray(lanemap_h),
+        L_p, G_p, R_p, Gr_p, LT, GT, RTr, GrTr,
     )
     return V_row, V_col

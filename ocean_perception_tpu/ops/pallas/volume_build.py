@@ -54,14 +54,14 @@ from .fused_patchmatch import fused_geometry
 
 def _build_kernel(
     # streamed constants first (Mosaic in-kernel iotas mis-lay-out)
-    dbit_ref,     # (NB, D, W + D) f32 0/1: bit b of sublane-d index
+    dbit_ref,     # (NB, D, WDP) f32 0/1: bit b of sublane-d index
     colmap_ref,   # (D, W) f32: lane index x
     lanemap_h_ref,  # (D, H) f32: lane index h (row orientation)
     # images (all row-padded by the wrapper: 8 replicate rows on top, 16
     # below, so every aligned group block stays in-array; row 0 of the
     # ORIGINAL image sits at padded row 8)
     L_ref, G_ref,                          # (H + 24, W) f32
-    R_ref, Gr_ref,                         # (H + 24, W + D) f32 left-padded
+    R_ref, Gr_ref,                         # (H + 24, WDP) f32 left-padded
     LT_ref, GT_ref,                        # (W + 24, H) f32
     RTr_ref, GrTr_ref,                     # (W + D + 7, H) f32 reversed
     # outputs
@@ -78,26 +78,23 @@ def _build_kernel(
     dbits = dbit_ref[...]
     colmap = colmap_ref[...]
     lanemap_h = lanemap_h_ref[...]
+    WDP = W + D + (-(W + D)) % 128
+    halfW = jnp.zeros((D, WDP), f32) + 0.5
 
     G10 = 10  # e-tiles per group: rows 8g-1 .. 8g+8
-    WD = W + D  # sheared images arrive LEFT-padded by D replicate columns
+    # Sheared images arrive LEFT-padded to lane width WDP (a multiple of
+    # 128): the x<d clamp is baked into replicate padding, and every shear
+    # op is STRICTLY 2-D with explicit broadcast_to from a unit-sublane
+    # slice — the only broadcast/roll/select combination that compiles on
+    # this Mosaic (middle-axis 3-D broadcasts + rolls emit invalid
+    # layouts; implicit broadcast-by-addition trips an internal check).
 
-    def bcast_w(rows):  # (G10, W) -> (G10, D, W) over the d axis
-        return jax.lax.broadcast_in_dim(rows, (G10, D, W), (0, 2))
-
-    def shear_rows(rows):  # (G10, WD) -> (G10, D, W): out[., d, w] = row[w-d]
-        # The x<d clamp is baked into the left padding (row[-j] = row[0]),
-        # so no edge select is needed — a (rows[:, 0:1])-style unit-lane
-        # broadcast is ALSO a measured Mosaic wall ("Invalid input layout"
-        # on the (10,1,1)->(10,64,1) vector.broadcast).
-        t = jax.lax.broadcast_in_dim(rows, (G10, D, WD), (0, 2))
+    def shear_one(row1):  # (1, WDP) -> (D, W): out[d, w] = row[w - d]
+        t = jnp.broadcast_to(row1, (D, WDP))
         for b in range(n_bits):
-            rolled = jnp.roll(t, 1 << b, axis=2)
-            t = jnp.where(
-                jax.lax.broadcast_in_dim(dbits[b] > 0.5, (G10, D, WD), (1, 2)),
-                rolled, t,
-            )
-        return t[:, :, D:]
+            rolled = jnp.roll(t, 1 << b, axis=1)
+            t = jnp.where(dbits[b] > halfW, rolled, t)
+        return t[:, WDP - W:]
 
     half = jnp.float32(0.5)
 
@@ -109,15 +106,13 @@ def _build_kernel(
     # inside it with STATIC offsets. The replicate padding also delivers
     # the stencil's edge-clamp semantics exactly: e(-1) == e(0) and
     # e(H) == e(H-1) because e(y) depends only on image row y.
-    def e_col_group(L10, G10r, R10, Gr10):
-        # (G10, W) row stacks -> (G10, D, W) e-tiles, all rows at once
-        # (unit-sublane (1, W) slices trip a Mosaic internal check —
-        # "limits[i] <= dim(i) (8 vs. 1)" — so nothing here is 1-row).
-        Rsh = shear_rows(R10)
-        Gsh = shear_rows(Gr10)
+    def e_col_one(Lr1, Gr1, Rr1, Grr1):
+        # (1, W)/(1, WDP) rows -> (D, W) e-tile, all 2-D.
+        Lb = jnp.broadcast_to(Lr1, (D, W))
+        Gb = jnp.broadcast_to(Gr1, (D, W))
         return (
-            alpha * jnp.abs(bcast_w(L10) - Rsh)
-            + (1.0 - alpha) * jnp.abs(bcast_w(G10r) - Gsh)
+            alpha * jnp.abs(Lb - shear_one(Rr1))
+            + (1.0 - alpha) * jnp.abs(Gb - shear_one(Grr1))
         )
 
     def lane_shift(e, dx, edge_idx):
@@ -151,9 +146,13 @@ def _build_kernel(
         Rb24 = R_ref[pl.ds(base, 24), :]
         Grb24 = Gr_ref[pl.ds(base, 24), :]
         # block offsets 7..16 = original rows 8g-1 .. 8g+8
-        e10 = e_col_group(
-            Lb24[7:17, :], Gb24[7:17, :], Rb24[7:17, :], Grb24[7:17, :]
-        )
+        e10 = [
+            e_col_one(
+                Lb24[j:j + 1, :], Gb24[j:j + 1, :],
+                Rb24[j:j + 1, :], Grb24[j:j + 1, :],
+            )
+            for j in range(7, 17)
+        ]
         for j in range(8):
             store_col(g * 8 + j, stencil_w(e10[j], e10[j + 1], e10[j + 2]))
         return 0
@@ -170,11 +169,11 @@ def _build_kernel(
     # group's x = W neighbor is the one case whose window would start at a
     # negative row — handled by the unrolled final group (e_8 := e_7, the
     # exact edge-replicate semantics).
-    def e_row_stack(LT10, GT10, Rblks, Gblks, n):
-        # (n, H) row stacks + (n, D, H) stacked reverse blocks -> e-tiles.
-        Lb = jax.lax.broadcast_in_dim(LT10, (n, D, H), (0, 2))
-        Gb = jax.lax.broadcast_in_dim(GT10, (n, D, H), (0, 2))
-        return alpha * jnp.abs(Lb - Rblks) + (1.0 - alpha) * jnp.abs(Gb - Gblks)
+    def e_row_one(LTr1, GTr1, Rblk, Gblk):
+        # (1, H) rows + (D, H) reversed blocks -> (D, H) e-tile, all 2-D.
+        Lb = jnp.broadcast_to(LTr1, (D, H))
+        Gb = jnp.broadcast_to(GTr1, (D, H))
+        return alpha * jnp.abs(Lb - Rblk) + (1.0 - alpha) * jnp.abs(Gb - Gblk)
 
     def lane_shift_h(e, dy, edge_idx):
         rolled = jnp.roll(e, -dy, axis=1)
@@ -208,14 +207,16 @@ def _build_kernel(
         rbase = pl.multiple_of((W - (off0 + 1)) - g * 8, 8)
         RTb = RTr_ref[pl.ds(rbase, off0 + 1 + D), :]
         GrTb = GrTr_ref[pl.ds(rbase, off0 + 1 + D), :]
-        offs = [off0 - j for j in range(-1, n_tiles - 1)]
-        Rblks = jnp.stack([RTb[o:o + D, :] for o in offs], axis=0)
-        Gblks = jnp.stack([GrTb[o:o + D, :] for o in offs], axis=0)
-        e_all = e_row_stack(
-            LT24[7:7 + n_tiles, :], GT24[7:7 + n_tiles, :],
-            Rblks, Gblks, n_tiles,
-        )
-        return [e_all[i] for i in range(n_tiles)]
+        es = []
+        for j in range(-1, n_tiles - 1):
+            off = off0 - j  # (W-1-(8g+j)) - rbase
+            es.append(
+                e_row_one(
+                    LT24[j + 8:j + 9, :], GT24[j + 8:j + 9, :],
+                    RTb[off:off + D, :], GrTb[off:off + D, :],
+                )
+            )
+        return es
 
     def row_group(g, _):
         es = row_group_tiles(g, 10, 15)  # columns 8g-1 .. 8g+8
@@ -277,9 +278,12 @@ def pallas_build_volumes(
              jnp.broadcast_to(a[-1:], (16,) + a.shape[1:])], axis=0
         )
 
-    def left_pad(a):  # D replicate columns: bakes the x<d clamp into data
+    WDP = W + D + (-(W + D)) % 128
+
+    def left_pad(a):  # replicate columns: bakes the x<d clamp into data,
+        # padded to a 128-multiple lane width (layout-legal shears)
         return jnp.concatenate(
-            [jnp.broadcast_to(a[:, 0:1], (a.shape[0], D)), a], axis=1
+            [jnp.broadcast_to(a[:, 0:1], (a.shape[0], WDP - W)), a], axis=1
         )
 
     L_p, G_p = row_pad(iml), row_pad(gl)
@@ -301,8 +305,9 @@ def pallas_build_volumes(
 
     n_bits = max(1, int(np.ceil(np.log2(max(D, 2)))))
     dd = np.arange(D, dtype=np.int64)
+    WDP_ = W + D + (-(W + D)) % 128
     dbit = np.stack(
-        [np.broadcast_to((((dd >> b) & 1)[:, None]).astype(np.float32), (D, W + D))
+        [np.broadcast_to((((dd >> b) & 1)[:, None]).astype(np.float32), (D, WDP_))
          for b in range(n_bits)]
     )
     colmap = np.broadcast_to(np.arange(W, dtype=np.float32)[None, :], (D, W)).copy()

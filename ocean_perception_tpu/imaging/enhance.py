@@ -34,6 +34,14 @@ class EnhanceParams:
     dark_percentile: float = struct.field(pytree_node=False, default=0.01)
     guided_eps: float = struct.field(pytree_node=False, default=0.01)
     guided_subsample: int = struct.field(pytree_node=False, default=8)
+    # NOTE (round 5): bf16 inter-stage streams (D, il) were built and
+    # MEASURED as a negative result — quantizing the illuminant shifts the
+    # 12-param attenuation fit into different local minima (err 0.58 vs
+    # 0.37 on the same scene; ~7% median output drift through the exp
+    # amplification), and the only fit-safe stream (D alone) moves ~16 MB
+    # of the stage's counted 0.697 GB — the counters over-attribute fused
+    # traffic, the same lesson as the in-kernel volume build
+    # (docs/PERFORMANCE.md round 5). Streams stay f32.
 
 
 class EnhanceInfo(NamedTuple):

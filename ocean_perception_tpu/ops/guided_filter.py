@@ -35,8 +35,11 @@ def fast_guided_filter(
     h, w = max(2, H // s), max(2, W // s)
     r_small = max(1, int(round(radius / s)))
 
-    I = resize(guide, (h, w), method="nearest")
-    p = resize(target, (h, w), method="nearest")
+    # Small-res fit math always runs f32: the full-res target stream may be
+    # bf16 (imaging.EnhanceParams.bf16_streams) but box-filter cumsums in
+    # bf16 lose the means' low bits.
+    I = resize(guide, (h, w), method="nearest").astype(jnp.float32)
+    p = resize(target, (h, w), method="nearest").astype(jnp.float32)
 
     multi = p.ndim == 3
     I_ = I[..., None] if multi else I
